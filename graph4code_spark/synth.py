@@ -1,0 +1,354 @@
+"""Deterministic synthetic fixtures: API catalog + Common-Crawl-style pages.
+
+The north rule's input is an Iceberg/parquet table of web pages
+``(url, warc_ts, html, text, lang)``.  No external data is allowed, so we
+synthesize StackOverflow-shaped pages deterministically (hash-seeded per
+row id → identical output at any partitioning/parallelism) and a small
+API catalog mirroring the reference's docstring-record schema
+(`/root/reference/src/create_docstrings_graph.py:8-83`).
+
+Scale-out note: page generation is ``spark.range(n).mapInPandas(...)`` —
+fully distributed, no driver materialization, so the same generator backs
+the sf0.001 smoke test and the bench corpus.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graph4code_spark.schemas import API_CATALOG_SCHEMA, CLASS_MAP_SCHEMA
+
+# ---------------------------------------------------------------------------
+# Fixed catalog: modules / classes / methods / functions with params, types,
+# docstrings, base classes.  The hub entity is `sklearn.svm.SVC.fit`
+# (reference hub entities like `fit` overflow the 5000-hit cap,
+# `utils.py:282`); decoy-prone entity `json.load` shares its tail token with
+# planted decoys.
+# ---------------------------------------------------------------------------
+
+def _p(name, doc, typ=None, optional=None, inferred=None):
+    return {
+        "name": name,
+        "param_doc": doc,
+        "type": typ,
+        "optional": optional,
+        "inferred_type": inferred,
+        "dimensionality": None,
+    }
+
+
+def _rec(module, klass=None, function=None, fdoc=None, cdoc=None,
+         param_names=None, param_map=None, return_map=None,
+         ret_types=None, base_classes=None):
+    return {
+        "module": module,
+        "klass": klass,
+        "function": function,
+        "function_docstring": fdoc,
+        "class_docstring": cdoc,
+        "param_names": param_names,
+        "param_map": param_map,
+        "return_map": return_map,
+        "ret_types": ret_types,
+        "base_classes": base_classes,
+    }
+
+
+FIXED_CATALOG: list[dict] = [
+    # classes
+    _rec("sklearn", klass="sklearn.svm.SVC",
+         cdoc="C-Support Vector Classification.",
+         param_names=["C", "kernel", "degree"],
+         param_map={
+             "C": _p("C", " Regularization parameter.", " float, optional", True, ["float"]),
+             "kernel": _p("kernel", " Kernel type.", " str, optional", True, ["str"]),
+             "degree": _p("degree", " Degree of poly kernel.", " int, optional", True, ["int"]),
+         },
+         base_classes=["sklearn.base.BaseEstimator", "sklearn.base.ClassifierMixin"]),
+    _rec("pandas", klass="pandas.DataFrame",
+         cdoc="Two-dimensional, size-mutable, tabular data.",
+         param_names=["data", "index", "columns"],
+         param_map={
+             "data": _p("data", " ndarray, Iterable, dict, or DataFrame.", " object", None, None),
+             "index": _p("index", " Index to use.", " Index, optional", True, None),
+         },
+         base_classes=["pandas.core.generic.NDFrame"]),
+    _rec("numpy", klass="numpy.ndarray",
+         cdoc="An array object of fixed-size items.",
+         param_names=["shape", "dtype"],
+         param_map={"shape": _p("shape", " Shape of created array.", " tuple of ints", None, ["tuple"])}),
+    _rec("requests", klass="requests.Session",
+         cdoc="A Requests session.",
+         param_names=[]),
+    _rec("torch", klass="torch.Tensor",
+         cdoc="A multi-dimensional matrix.",
+         param_names=[]),
+    # methods (klass + function)
+    _rec("sklearn", klass="sklearn.svm.SVC", function="fit",
+         fdoc="Fit the SVM model according to the given training data.",
+         param_names=["X", "y", "sample_weight"],
+         param_map={
+             "X": _p("X", " Training vectors.", " array-like", None, ["numpy.ndarray"]),
+             "y": _p("y", " Target values.", " array-like", None, ["numpy.ndarray"]),
+             "sample_weight": _p("sample_weight", " Per-sample weights.", " array-like, optional", True, None),
+         },
+         return_map={"doc": " **self** -- Fitted estimator.", "type": " object", "inferred_type": ["object"]}),
+    _rec("sklearn", klass="sklearn.svm.SVC", function="predict",
+         fdoc="Perform classification on samples in X.",
+         param_names=["X"],
+         param_map={"X": _p("X", " Samples.", " array-like", None, None)},
+         return_map={"doc": " **y_pred** -- Class labels.", "type": " numpy.ndarray",
+                     "inferred_type": ["numpy.ndarray"]}),
+    _rec("pandas", klass="pandas.DataFrame", function="merge",
+         fdoc="Merge DataFrame or named Series objects.",
+         param_names=["right", "how", "on"],
+         param_map={
+             "right": _p("right", " Object to merge with.", " DataFrame", None, ["pandas.DataFrame"]),
+             "how": _p("how", " Type of merge.", " str, optional", True, ["str"]),
+             "on": _p("on", " Column or index level names.", " label or list, optional", True, None),
+         },
+         return_map={"doc": " DataFrame of the two merged objects.", "type": " pandas.DataFrame",
+                     "inferred_type": ["pandas.DataFrame"]}),
+    _rec("pandas", klass="pandas.DataFrame", function="groupby",
+         fdoc="Group DataFrame using a mapper or by a Series of columns.",
+         param_names=["by", "axis"],
+         param_map={"by": _p("by", " Used to determine the groups.", " mapping or label", None, None)},
+         return_map={"doc": " Groupby object.", "type": " pandas.core.groupby.DataFrameGroupBy",
+                     "inferred_type": None}),
+    _rec("requests", klass="requests.Session", function="get",
+         fdoc="Sends a GET request.",
+         param_names=["url"],
+         param_map={"url": _p("url", " URL for the new Request.", " str", None, ["str"])},
+         return_map={"doc": " Response object.", "type": " requests.Response",
+                     "inferred_type": ["requests.Response"]}),
+    _rec("numpy", klass="numpy.ndarray", function="reshape",
+         fdoc="Returns an array containing the same data with a new shape.",
+         param_names=["shape"],
+         return_map={"doc": " Reshaped array.", "type": " numpy.ndarray",
+                     "inferred_type": ["numpy.ndarray"]}),
+    _rec("torch", klass="torch.Tensor", function="backward",
+         fdoc="Computes the gradient of current tensor wrt graph leaves.",
+         param_names=["gradient", "retain_graph"],
+         param_map={"gradient": _p("gradient", " Gradient wrt the tensor.", " Tensor, optional", True, None)}),
+    # functions (module-level)
+    _rec("pandas", function="pandas.read_csv",
+         fdoc="Read a comma-separated values (csv) file into DataFrame.",
+         param_names=["filepath_or_buffer", "sep", "header"],
+         param_map={
+             "filepath_or_buffer": _p("filepath_or_buffer", " Any valid string path.", " str", None, ["str"]),
+             "sep": _p("sep", " Delimiter to use.", " str, optional", True, ["str"]),
+         },
+         return_map={"doc": " DataFrame or TextParser.", "type": " pandas.DataFrame",
+                     "inferred_type": ["pandas.DataFrame"]}),
+    _rec("numpy", function="numpy.linspace",
+         fdoc="Return evenly spaced numbers over a specified interval.",
+         param_names=["start", "stop", "num"],
+         param_map={"num": _p("num", " Number of samples.", " int, optional", True, ["int"])},
+         return_map={"doc": " num equally spaced samples.", "type": " numpy.ndarray",
+                     "inferred_type": ["numpy.ndarray"]}),
+    _rec("json", function="json.load",
+         fdoc="Deserialize fp to a Python object.",
+         param_names=["fp"],
+         param_map={"fp": _p("fp", " A .read()-supporting file-like object.", " file", None, None)}),
+    _rec("sklearn", function="sklearn.model_selection.train_test_split",
+         fdoc="Split arrays or matrices into random train and test subsets.",
+         param_names=["test_size", "random_state"],
+         param_map={"test_size": _p("test_size", " Proportion of test split.", " float, optional", True, ["float"])},
+         ret_types="typing.List[numpy.ndarray]"),
+    _rec("matplotlib", function="matplotlib.pyplot.plot",
+         fdoc="Plot y versus x as lines and/or markers.",
+         param_names=["args"],
+         param_map={}),
+]
+
+#: alias pairs for canonicalization (symmetric on load, with a chain a-b-c
+#: so connected components must transitively close)
+FIXED_CLASS_MAP: list[tuple[str, str]] = [
+    ("sklearn.svm.SVC", "sklearn.svm.classes.SVC"),
+    ("sklearn.svm.classes.SVC", "sklearn.svm._classes.SVC"),
+    ("pandas.DataFrame", "pandas.core.frame.DataFrame"),
+    ("numpy.ndarray", "numpy.core.ndarray"),
+    ("torch.Tensor", "torch.tensor.Tensor"),
+]
+
+
+def entity_name(rec: dict) -> str:
+    """Qualified entity name per the reference's type dispatch
+    (`create_docstrings_graph.py:358-390`)."""
+    if rec.get("klass") and rec.get("function"):
+        return rec["klass"] + "." + rec["function"]
+    if rec.get("klass"):
+        return rec["klass"]
+    return rec["function"]
+
+
+def entity_type(rec: dict) -> str:
+    if rec.get("klass") and rec.get("function"):
+        return "method"
+    if rec.get("klass"):
+        return "class"
+    return "function"
+
+
+def catalog_df(spark: SparkSession, records: list[dict] | None = None) -> DataFrame:
+    recs = records if records is not None else FIXED_CATALOG
+    rows = [
+        tuple(r.get(f.name) for f in API_CATALOG_SCHEMA.fields) for r in recs
+    ]
+    return spark.createDataFrame(rows, schema=API_CATALOG_SCHEMA)
+
+
+def class_map_df(spark: SparkSession, pairs=None) -> DataFrame:
+    pairs = pairs if pairs is not None else FIXED_CLASS_MAP
+    return spark.createDataFrame(pairs, schema=CLASS_MAP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Page synthesis
+# ---------------------------------------------------------------------------
+
+_TAG_POOL = ["python", "pandas", "numpy", "scikit-learn", "pytorch",
+             "dataframe", "machine-learning", "csv", "http", "plotting"]
+
+_SENTENCES = [
+    "I am trying to {e} but it raises a ValueError.",
+    "How can I use {e} with a large dataset?",
+    "The documentation for {e} is unclear about the first argument.",
+    "Calling {e} works locally but fails on the server.",
+    "Why is {e} slower than the naive loop version?",
+]
+
+_ANSWER_SENTENCES = [
+    "You should call {e} after preprocessing your input.",
+    "The trick is to pass the right dtype before {e} is invoked.",
+    "See the user guide; {e} accepts an optional keyword argument.",
+    "Upgrading the library fixed the issue with {e} for me.",
+]
+
+
+def _h(*parts) -> int:
+    """Stable 64-bit hash for per-row decisions (no RNG state)."""
+    m = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(m[:8], "big")
+
+
+def _page_record(page_id: int, seed: int, names: list[str], hub: str) -> dict:
+    """Build one deterministic StackOverflow-shaped page."""
+    qid = str(100000 + page_id)
+    h0 = _h(seed, page_id, "sel")
+    # entity selection: ~30% of pages mention the hub entity (skew), plus
+    # 1-2 others; ~15% are decoy pages that mention only the tail token.
+    ents: list[str] = []
+    if h0 % 10 < 3:
+        ents.append(hub)
+    ents.append(names[_h(seed, page_id, "e1") % len(names)])
+    if h0 % 3 == 0:
+        ents.append(names[_h(seed, page_id, "e2") % len(names)])
+    ents = list(dict.fromkeys(ents))
+    decoy = (h0 % 100) >= 85
+
+    def mention(e: str, k: int) -> str:
+        if decoy:
+            # token soup: every analyzer token present (satisfies the AND
+            # query) but multi-token must-terms are never adjacent, so the
+            # good_match re-check fails — the reference's "bad ES hit" case
+            from graph4code_spark.analyzer import analyze
+
+            return " plus ".join(reversed(analyze(e)))
+        return e
+
+    title = f"Question about {mention(ents[0], 0)} usage"
+    body_parts = []
+    for k, e in enumerate(ents):
+        tmpl = _SENTENCES[_h(seed, page_id, "s", k) % len(_SENTENCES)]
+        body_parts.append("<p>" + tmpl.format(e=mention(e, k)) + "</p>")
+    body_html = "".join(body_parts)
+
+    n_answers = 1 + _h(seed, page_id, "na") % 3
+    answers = []
+    for a in range(n_answers):
+        aid = str(900000 + page_id * 10 + a)
+        votes = str(_h(seed, page_id, "av", a) % 40)
+        e = ents[_h(seed, page_id, "ae", a) % len(ents)]
+        tmpl = _ANSWER_SENTENCES[_h(seed, page_id, "as", a) % len(_ANSWER_SENTENCES)]
+        abody = "<p>" + tmpl.format(e=mention(e, a)) + "</p>"
+        if _h(seed, page_id, "code", a) % 2 == 0:
+            tail = e.split(".")[-1]
+            mod = e.split(".")[0]
+            abody += (
+                "<pre><code>import " + mod + "\n"
+                + "obj = " + (e if not decoy else tail) + "(data)\n"
+                + "result = obj." + tail + "()\n</code></pre>"
+            )
+        else:
+            abody += "<code>x = 1</code>"  # single-line -> filtered out
+        answers.append((aid, abody, votes))
+
+    tags = "<" + _TAG_POOL[_h(seed, page_id, "t1") % len(_TAG_POOL)] + ">" \
+        + "<" + _TAG_POOL[_h(seed, page_id, "t2") % len(_TAG_POOL)] + ">"
+    qvotes = str(_h(seed, page_id, "qv") % 200)
+
+    ans_html = "".join(
+        f'<div class="answer" data-aid="{aid}" data-votes="{v}">'
+        f'<div class="abody">{ab}</div></div>'
+        for aid, ab, v in answers
+    )
+    html = (
+        "<html><head><title>" + title + "</title></head><body>"
+        + f'<div class="question" data-qid="{qid}" data-tags="{tags}" '
+        + f'data-votes="{qvotes}"><h1>' + title + "</h1>"
+        + f'<div class="qbody">{body_html}</div></div>'
+        + ans_html + "</body></html>"
+    )
+    lang = "en" if _h(seed, page_id, "lang") % 20 else "de"
+    ts = _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=page_id % 86400)
+    return {
+        "url": f"https://stackoverflow.com/questions/{qid}",
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "lang": lang,
+    }
+
+
+HUB_ENTITY = "sklearn.svm.SVC.fit"
+
+
+def synth_pages(
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = 42,
+    records: list[dict] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic page generator.
+
+    ``text`` is filled with the canonical extractor so the table satisfies
+    the input_hint contract (reference-extracted text present alongside
+    html); the pipeline re-extracts and must match byte-identically.
+    """
+    from graph4code_spark.html_extract import extract_text
+
+    recs = records if records is not None else FIXED_CATALOG
+    names = sorted({entity_name(r) for r in recs})
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for pid in pdf["id"]:
+                rec = _page_record(int(pid), seed, names, hub)
+                rec["text"] = extract_text(rec["html"].decode("utf-8"))
+                out.append(rec)
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    parts = partitions or max(1, min(n_pages // 250, 256))
+    return (
+        spark.range(0, n_pages, numPartitions=parts)
+        .mapInPandas(gen, schema="url string, warc_ts timestamp, html binary, text string, lang string")
+    )
