@@ -1,0 +1,238 @@
+"""Code-block flow extraction: snippets → analysis-node rows (E6/E7 feed).
+
+The reference's analysis graph comes from WALA interprocedural analysis of
+whole Python scripts (`PythonTurtleAnalysisEngine.java:1413-2256`).  In
+the webtext tier the inputs are forum code snippets, so this operator is
+the honest subset SURVEY.md §7.7 scopes: lightweight sequential-call
+extraction per snippet, emitting the reference's node/edge vocabulary —
+
+- one node per recognized API call or import (catalog-driven)
+- ``flowsTo`` at ordinal 0 for receiver dataflow: ``v = Ctor(...)`` then
+  ``v.method(...)`` links the constructor node to the method node, the
+  shape the reference's DATA-0 edges take (`…Engine.java:1892-1954`)
+- ``flowsTo`` at ordinal k when a produced variable is passed as the k-th
+  positional argument of a later recognized call
+- ``immediatelyPrecedes`` (CONTROL) chaining consecutive recognized calls
+  inside a snippet (`…Engine.java:2116-2256`)
+- constant positional/named args (string/number literals) with ordinals,
+  receiver = position 0 so explicit args start at 1
+- import nodes flagged ``is_import`` (single-element path)
+
+Runs as one Arrow-batched pass over (url, codes); node numbers are
+sequential per page so URIs are unique within the page's named graph.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from graph4code_spark.schemas import ANALYSIS_NODES_SCHEMA
+from graph4code_spark.synth import entity_name, entity_type
+
+_IMPORT_RE = re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][\w.]*)")
+_CALL_RE = re.compile(r"\b([A-Za-z_][\w.]*)\s*\(")
+_ASSIGN_RE = re.compile(r"^\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*=[^=]")
+_STR_ARG = re.compile(r"^(?:'([^']*)'|\"([^\"]*)\")$")
+_NUM_ARG = re.compile(r"^-?\d+(?:\.\d+)?$")
+_NAMED_ARG = re.compile(r"^([A-Za-z_]\w*)\s*=\s*(.+)$")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a call's argument text at top-level commas (no nesting aware
+    beyond brackets/quotes — snippets, not a parser)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in argstr:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([{":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [a for a in out if a]
+
+
+def _call_args(line: str, m: re.Match) -> str:
+    """Text between the call's parens (best effort, same-line)."""
+    start = m.end()
+    depth, i = 1, start
+    while i < len(line) and depth:
+        if line[i] == "(":
+            depth += 1
+        elif line[i] == ")":
+            depth -= 1
+        i += 1
+    return line[start : i - 1] if depth == 0 else line[start:]
+
+
+def build_flow_catalog(records: list[dict]):
+    """(qualified-name index, class→methods, module set) for recognition."""
+    by_name: dict[str, list[str]] = {}
+    methods_of: dict[str, dict[str, list[str]]] = {}
+    modules: set[str] = set()
+    for rec in records:
+        name = entity_name(rec)
+        path = name.split(".")
+        by_name[name] = path
+        modules.add(path[0])
+        if entity_type(rec) == "method":
+            methods_of.setdefault(rec["klass"], {})[rec["function"]] = path
+    return by_name, methods_of, modules
+
+
+def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
+    """(url, codes) → ANALYSIS_NODES_SCHEMA rows, graph_uri = page url."""
+    by_name, methods_of, modules = build_flow_catalog(catalog_records)
+
+    def page_nodes(url: str, codes: list[str]) -> list[dict]:
+        nodes: list[dict] = []
+        counter = 0
+        for code in codes or []:
+            lines = code.split("\n")
+            var_producer: dict[str, int] = {}   # var -> node number
+            var_klass: dict[str, str] = {}      # var -> class name
+            prev_in_snippet: int | None = None
+
+            def new_node(path, line_no, line, text, is_import=False):
+                nonlocal counter, prev_in_snippet
+                n = {
+                    "graph_uri": url,
+                    "node_number": counter,
+                    "path": path,
+                    "path_end": path[-1],
+                    "normalized_label": ".".join(path),
+                    "is_import": is_import,
+                    "is_slice": False,
+                    "flows_to": {},
+                    "immediately_precedes": [],
+                    "reads": [],
+                    "writes": [],
+                    "constant_positional_args": {},
+                    "constant_named_args": {},
+                    "value_names": [],
+                    "source_location": {
+                        "first_line": line_no + 1, "last_line": line_no + 1,
+                        "first_col": 0, "last_col": len(line),
+                        "first_offset": None, "last_offset": None, "url": url,
+                    },
+                    "source_text": text,
+                    "source_lines": [line],
+                }
+                counter += 1
+                if prev_in_snippet is not None:
+                    nodes[prev_in_snippet]["immediately_precedes"] = nodes[
+                        prev_in_snippet
+                    ]["immediately_precedes"] + [n["node_number"]]
+                prev_in_snippet = len(nodes)
+                nodes.append(n)
+                return n
+
+            for ln, line in enumerate(lines):
+                im = _IMPORT_RE.match(line)
+                if im and im.group(1).split(".")[0] in modules:
+                    new_node([im.group(1)], ln, line, im.group(1), is_import=True)
+                    continue
+                assign = _ASSIGN_RE.match(line)
+                lhs_vars = (
+                    [v.strip() for v in assign.group(1).split(",")] if assign else []
+                )
+                for m in _CALL_RE.finditer(line):
+                    cname = m.group(1)
+                    path = None
+                    produced_klass = None
+                    recv_node = None
+                    if cname in by_name:
+                        path = by_name[cname]
+                        if cname in methods_of:  # class ctor call
+                            produced_klass = cname
+                    elif "." in cname:
+                        recv, meth = cname.rsplit(".", 1)
+                        if recv in var_klass and meth in methods_of.get(var_klass[recv], {}):
+                            path = methods_of[var_klass[recv]][meth]
+                            recv_node = var_producer.get(recv)
+                    if path is None:
+                        # suffix match: bare class/func tail used after import
+                        for qual, p in by_name.items():
+                            if cname == qual.split(".")[-1] and "." not in cname:
+                                path = p
+                                if qual in methods_of:
+                                    produced_klass = qual
+                                break
+                    if path is None:
+                        continue
+                    node = new_node(list(path), ln, line, m.group(0).rstrip("( \t") + "(...)")
+                    # receiver dataflow at ordinal 0 (reference DATA-0)
+                    if recv_node is not None:
+                        src = nodes[_node_index(nodes, recv_node)]
+                        src["flows_to"] = _append_flow(src["flows_to"], "0", node["node_number"])
+                    # args: constants + variable dataflow (receiver=0 ⇒ args 1..n)
+                    args = _split_args(_call_args(line, m))
+                    pos = 0
+                    for a in args:
+                        nm = _NAMED_ARG.match(a)
+                        if nm and not _NAMED_ARG.match(nm.group(2)):
+                            key, val = nm.group(1), nm.group(2)
+                            sm = _STR_ARG.match(val)
+                            if sm:
+                                node["constant_named_args"][key] = sm.group(1) or sm.group(2) or ""
+                            elif _NUM_ARG.match(val):
+                                node["constant_named_args"][key] = val
+                            continue
+                        pos += 1
+                        sm = _STR_ARG.match(a)
+                        if sm:
+                            node["constant_positional_args"][str(pos)] = sm.group(1) or sm.group(2) or ""
+                        elif _NUM_ARG.match(a):
+                            node["constant_positional_args"][str(pos)] = a
+                        elif a in var_producer:
+                            src = nodes[_node_index(nodes, var_producer[a])]
+                            src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
+                    if lhs_vars:
+                        node["value_names"] = lhs_vars
+                        for v in lhs_vars:
+                            var_producer[v] = node["node_number"]
+                            if produced_klass:
+                                var_klass[v] = produced_klass
+        return nodes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ANALYSIS_NODES_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, codes in zip(pdf["url"], pdf["codes"]):
+                rows.extend(page_nodes(url, list(codes) if codes is not None else []))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return qa.select("url", "codes").mapInPandas(run, schema=ANALYSIS_NODES_SCHEMA)
+
+
+def _node_index(nodes: list[dict], node_number: int) -> int:
+    # node_number is global per page; nodes list holds them in order
+    for i in range(len(nodes) - 1, -1, -1):
+        if nodes[i]["node_number"] == node_number:
+            return i
+    raise KeyError(node_number)
+
+
+def _append_flow(flows: dict, key: str, dst: int) -> dict:
+    flows = dict(flows)
+    flows[key] = flows.get(key, []) + [dst]
+    return flows

@@ -276,3 +276,79 @@ def forum_quads(
             sink.add(code_uri, _RDF + "type", _SCHEMA + "SoftwareSourceCode", False, g)
             sink.add(code_uri, _PROV + "value", code, True, g)
     return sink.quads
+
+
+# ---------------------------------------------------------------------------
+# E6/E7 oracle: per-node analysis quads (nodeToRDF/handleDataFlow semantics,
+# `PythonTurtleAnalysisEngine.java:319-420`), flattened RDF* convention as
+# documented in graph4code_spark.emitters.analysis.
+# ---------------------------------------------------------------------------
+
+_G4C_BASE = "http://purl.org/twc/graph4code/"
+_SIO = PREFIXES["sio"]
+
+AnnQuad = tuple[str, str, str, bool, int | None, str | None, str]
+
+
+def _join_trailing(parts, sep):
+    if parts is None:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    return sep.join(parts) + sep
+
+
+def analysis_quads(node: dict) -> set[AnnQuad]:
+    """All (subj,pred,obj,is_literal,arg_pos,arg_name,graph) rows for one
+    analysis-node record (ANALYSIS_NODES_SCHEMA shape as a plain dict)."""
+    out: set[AnnQuad] = set()
+    g = node["graph_uri"]
+    s = f"{_G4C_BASE}se{node['node_number']}"
+
+    def add(p, o, lit, pos=None, name=None):
+        out.add((s, p, _lex(o), lit, pos, name, g))
+
+    path = node["path"]
+    add(_SCHEMA + "about", path[-1], True)
+    add(_RDFS + "label", _join_trailing(path, "."), True)
+    loc = node.get("source_location")
+    if loc is not None:
+        import json as _json
+
+        keys = [("firstLine", "first_line"), ("firstCol", "first_col"),
+                ("lastLine", "last_line"), ("lastCol", "last_col"),
+                ("firstOffset", "first_offset"), ("lastOffset", "last_offset"),
+                ("url", "url")]
+        obj = {k: loc[v] for k, v in keys if loc.get(v) is not None}
+        add(_SIO + "SIO_000061", _json.dumps(obj, separators=(",", ":")), True)
+    if node.get("source_text") is not None:
+        add(_SCHEMA + "text", node["source_text"], True)
+    if node.get("source_lines") is not None:
+        add(_G4C_BASE + "sourceLines", _join_trailing(node["source_lines"], "\n"), True)
+    if node.get("normalized_label") is not None:
+        add(_G4C_BASE + "normalizedLabel", node["normalized_label"], True)
+    for v in node.get("value_names") or []:
+        add(_G4C_BASE + "valueNames", v, True)
+    if node.get("is_import"):
+        add(_RDF + "type", _G4C_BASE + "Imported", False)
+    for k, v in (node.get("constant_positional_args") or {}).items():
+        add(_SIO + "SIO_000230", v, True, pos=int(k))
+    for k, v in (node.get("constant_named_args") or {}).items():
+        add(_SIO + "SIO_000230", v, True, name=k)
+    for kind in ("reads", "writes"):
+        pred = _G4C_BASE + ("read" if kind == "reads" else "write")
+        for acc in node.get(kind) or []:
+            fld = acc["field"]
+            if fld.isdigit():
+                add(pred, f"{_G4C_BASE}se{fld}", False, name=fld)
+            else:
+                add(pred, fld, True, name=fld)
+    for d in node.get("immediately_precedes") or []:
+        add(_SIO + "SIO_000250", f"{_G4C_BASE}se{d}", False)
+    for k, dsts in (node.get("flows_to") or {}).items():
+        for d in dsts:
+            if k.isdigit():
+                add(_G4C_BASE + "flowsTo", f"{_G4C_BASE}se{d}", False, pos=int(k))
+            else:
+                add(_G4C_BASE + "flowsTo", f"{_G4C_BASE}se{d}", False, name=k)
+    return out

@@ -238,7 +238,9 @@ def _h(*parts) -> int:
     return int.from_bytes(m[:8], "big")
 
 
-def _page_record(page_id: int, seed: int, names: list[str], hub: str) -> dict:
+def _page_record(page_id: int, seed: int, names: list[str], hub: str,
+                 etypes: dict[str, str] | None = None) -> dict:
+    etypes = etypes or {}
     """Build one deterministic StackOverflow-shaped page."""
     qid = str(100000 + page_id)
     h0 = _h(seed, page_id, "sel")
@@ -279,13 +281,20 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str) -> dict:
         tmpl = _ANSWER_SENTENCES[_h(seed, page_id, "as", a) % len(_ANSWER_SENTENCES)]
         abody = "<p>" + tmpl.format(e=mention(e, a)) + "</p>"
         if _h(seed, page_id, "code", a) % 2 == 0:
-            tail = e.split(".")[-1]
-            mod = e.split(".")[0]
-            abody += (
-                "<pre><code>import " + mod + "\n"
-                + "obj = " + (e if not decoy else tail) + "(data)\n"
-                + "result = obj." + tail + "()\n</code></pre>"
-            )
+            parts = e.split(".")
+            mod = parts[0]
+            if decoy:
+                body_code = "obj = " + parts[-1] + "(data)\n"
+            elif etypes.get(e) == "method" and len(parts) > 1:
+                # method-shaped: ctor + receiver call (flowsTo-0 chain)
+                klass, meth = ".".join(parts[:-1]), parts[-1]
+                body_code = (
+                    "obj = " + klass + "(data)\n"
+                    + "result = obj." + meth + "(x, 3)\n"
+                )
+            else:
+                body_code = "out = " + e + "('input.csv')\n"
+            abody += "<pre><code>import " + mod + "\n" + body_code + "</code></pre>"
         else:
             abody += "<code>x = 1</code>"  # single-line -> filtered out
         answers.append((aid, abody, votes))
@@ -336,13 +345,14 @@ def synth_pages(
 
     recs = records if records is not None else FIXED_CATALOG
     names = sorted({entity_name(r) for r in recs})
+    etypes = {entity_name(r): entity_type(r) for r in recs}
     hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for pid in pdf["id"]:
-                rec = _page_record(int(pid), seed, names, hub)
+                rec = _page_record(int(pid), seed, names, hub, etypes)
                 rec["text"] = extract_text(rec["html"].decode("utf-8"))
                 out.append(rec)
             yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])

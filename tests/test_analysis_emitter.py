@@ -1,0 +1,122 @@
+"""E6/E7 emitter parity vs the straight-line oracle, plus the code-block
+flow extractor."""
+
+from graph4code_spark.emitters.analysis import analysis_triples
+from graph4code_spark.operators.flows import extract_flow_nodes
+from graph4code_spark.reference_impl.emitters import analysis_quads
+from graph4code_spark.schemas import ANALYSIS_NODES_SCHEMA
+from graph4code_spark.sources.qa import extract_qa
+from graph4code_spark.synth import FIXED_CATALOG, synth_pages
+
+G4C = "http://purl.org/twc/graph4code/"
+
+FIXTURE = [
+    {
+        "graph_uri": "http://github.example/test/test",
+        "node_number": 85,
+        "path": ["pandas", "read_csv", "columns"],
+        "path_end": "columns",
+        "normalized_label": "pandas.core.frame.DataFrame.columns",
+        "is_import": False,
+        "is_slice": False,
+        "flows_to": {"0": [88, 89], "kernel": [90]},
+        "immediately_precedes": [88],
+        "reads": [{"container": [80], "field": "svm"}, {"container": [81], "field": "91"}],
+        "writes": [],
+        "constant_positional_args": {"1": "rbf"},
+        "constant_named_args": {"kernel": "rbf"},
+        "value_names": ["X", "y"],
+        "source_location": {
+            "first_line": 8, "last_line": 8, "first_col": 9, "last_col": 43,
+            "first_offset": 205, "last_offset": 239, "url": "file:/tmp/e1.py",
+        },
+        "source_text": "data.columns[:len(data.columns)-1]",
+        "source_lines": ["X = data[data.columns]", "y = other"],
+    },
+    {
+        "graph_uri": "http://github.example/test/test",
+        "node_number": 64,
+        "path": ["clear"],
+        "path_end": "clear",
+        "normalized_label": "clear",
+        "is_import": True,
+        "is_slice": False,
+        "flows_to": {},
+        "immediately_precedes": [65],
+        "reads": [],
+        "writes": [],
+        "constant_positional_args": {},
+        "constant_named_args": {},
+        "value_names": [],
+        "source_location": None,
+        "source_text": None,
+        "source_lines": None,
+    },
+]
+
+
+def _row(d):
+    return tuple(d[f.name] for f in ANALYSIS_NODES_SCHEMA.fields)
+
+
+def test_analysis_emitter_parity(spark):
+    df = spark.createDataFrame([_row(d) for d in FIXTURE], ANALYSIS_NODES_SCHEMA)
+    got = {
+        (r.subj, r.pred, r.obj, r.is_literal, r.arg_pos, r.arg_name, r.graph)
+        for r in analysis_triples(df).collect()
+    }
+    want = set()
+    for node in FIXTURE:
+        want |= analysis_quads(node)
+    assert got == want
+    # reference join bug: trailing separator for multi-element paths
+    assert (f"{G4C}se85", "http://www.w3.org/2000/01/rdf-schema#label",
+            "pandas.read_csv.columns.", True, None, None,
+            "http://github.example/test/test") in got
+    assert (f"{G4C}se64", "http://www.w3.org/2000/01/rdf-schema#label",
+            "clear", True, None, None, "http://github.example/test/test") in got
+
+
+def test_flow_extraction_receiver_and_args(spark):
+    code = (
+        "import sklearn\n"
+        "import pandas\n"
+        "df = pandas.read_csv('train.csv')\n"
+        "model = sklearn.svm.SVC(1, kernel='rbf')\n"
+        "model.fit(df, 7)\n"
+    )
+    qa = spark.createDataFrame(
+        [("http://q.example/1", [code])], "url string, codes array<string>"
+    )
+    nodes = {r["node_number"]: r.asDict(recursive=True)
+             for r in extract_flow_nodes(qa, FIXED_CATALOG).collect()}
+    by_path = {tuple(n["path"]): n for n in nodes.values()}
+
+    assert by_path[("pandas",)]["is_import"]
+    rc = by_path[("pandas", "read_csv")]
+    assert rc["constant_positional_args"] == {"1": "train.csv"}
+    assert rc["value_names"] == ["df"]
+    svc = by_path[("sklearn", "svm", "SVC")]
+    assert svc["constant_positional_args"] == {"1": "1"}
+    assert svc["constant_named_args"] == {"kernel": "rbf"}
+    fit = by_path[("sklearn", "svm", "SVC", "fit")]
+    # receiver dataflow SVC -> fit at ordinal 0
+    assert fit["node_number"] in svc["flows_to"]["0"]
+    # df passed as 1st positional arg of fit
+    assert fit["node_number"] in rc["flows_to"]["1"]
+    assert fit["constant_positional_args"] == {"2": "7"}
+    # control chain: each node precedes the next
+    order = sorted(nodes)
+    for a, b in zip(order, order[1:]):
+        assert nodes[a]["immediately_precedes"] == [b]
+
+
+def test_flow_nodes_on_synth_pages(spark):
+    pages = synth_pages(spark, 80, seed=3)
+    qa = extract_qa(pages)
+    nodes = extract_flow_nodes(qa, FIXED_CATALOG)
+    triples = analysis_triples(nodes)
+    assert nodes.count() > 0
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert G4C + "flowsTo" in preds
+    assert "http://semanticscience.org/resource/SIO_000250" in preds
