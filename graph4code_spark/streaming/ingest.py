@@ -1,0 +1,59 @@
+"""Structured-Streaming ingestion of page batches.
+
+The reference is batch-only with pickle resume (`utils.py:104-189`); the
+Spark-native upgrade is a file-source stream with
+``Trigger.AvailableNow``: each run drains whatever page files have
+landed, checkpoints offsets, and exits — giving incremental ingestion
+with exactly-once sink semantics and the same resume story as the batch
+pipeline (SURVEY.md §2.10 mapping).
+
+`stream_extract_text` shows a stateless streaming stage (the canonical
+extractor applied on the stream); stateful/windowed aggregation on page
+arrivals is `pages_per_window`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph4code_spark.html_extract import EXTRACT_OUTPUT_SCHEMA, extract_pages_batches
+from graph4code_spark.schemas import WEB_PAGES_SCHEMA
+
+
+def read_page_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+
+
+def stream_extract_text(pages_stream: DataFrame) -> DataFrame:
+    return pages_stream.select("url", "html").mapInPandas(
+        extract_pages_batches, schema=EXTRACT_OUTPUT_SCHEMA
+    )
+
+
+def pages_per_window(pages_stream: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Windowed arrival counts with a watermark for late pages."""
+    return (
+        pages_stream.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.window("warc_ts", window), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def run_available_now(
+    pages_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Drain-everything-then-stop run; offsets in `checkpoint_dir` make
+    re-runs incremental (exactly-once file sink)."""
+    extracted = stream_extract_text(pages_stream)
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
