@@ -32,21 +32,26 @@ def transitive_closure(edges: DataFrame, max_hops: int = 12) -> DataFrame:
     closure = base.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
     frontier = closure
     for _ in range(max_hops - 1):
-        nxt = (
-            frontier.alias("f")
+        hop = (
+            frontier.select(
+                F.col("src").alias("f_src"), F.col("dst").alias("f_dst"),
+                F.col("graph").alias("graph"), F.col("hops").alias("f_hops"),
+            )
             .join(
-                base.alias("e"),
-                (F.col("f.dst") == F.col("e.src")) & (F.col("f.graph") == F.col("e.graph")),
+                base.select(
+                    F.col("src").alias("e_src"), F.col("dst").alias("e_dst"),
+                    F.col("graph").alias("e_graph"),
+                ),
+                on=[F.col("f_dst") == F.col("e_src"), F.col("graph") == F.col("e_graph")],
             )
             .select(
-                F.col("f.src").alias("src"),
-                F.col("e.dst").alias("dst"),
-                F.col("f.graph").alias("graph"),
-                (F.col("f.hops") + 1).alias("hops"),
+                F.col("f_src").alias("src"), F.col("e_dst").alias("dst"),
+                F.col("graph"), (F.col("f_hops") + 1).alias("hops"),
             )
-            .join(closure.select("src", "dst", "graph"), ["src", "dst", "graph"], "left_anti")
-            .distinct()
         )
+        nxt = hop.join(
+            closure.select("src", "dst", "graph"), ["src", "dst", "graph"], "left_anti"
+        ).distinct()
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
