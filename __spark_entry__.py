@@ -62,7 +62,14 @@ from graph4code_spark.synth import (
 # ---------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # a small single-file table arrives as ONE partition; spread it so the
+    # per-row operators actually parallelize (a real 100 TB table arrives
+    # with thousands of splits and never hits this path)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 4):
+        df = df.repartition(par)
+    return df
 
 
 def _sql_quote(s: str) -> str:
@@ -800,6 +807,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_event_types": q_topk_event_types,
         # multimodal plumbing
         "media_features": q_media_features,
+        # extended §2 coverage
+        "merge_modules": q_merge_modules,
+        "longest_description": q_longest_description,
+        "shape_dims": q_shape_dims,
+        "graph_uri_normalize": q_graph_uri_normalize,
     }
 
 
@@ -830,4 +842,156 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "votes_per_user": _ORACLE_VOTES_PER_USER,
         "topk_event_types": _ORACLE_TOPK_EVENTS,
+        "merge_modules": _oracle_merge_modules(),
+        "longest_description": _ORACLE_LONGEST_DESC,
+        "shape_dims": _oracle_shape_dims(),
     }
+
+
+# ---------------------------------------------------------------------------
+# extended SURVEY §2 coverage (round-1 additions)
+# ---------------------------------------------------------------------------
+
+_MERGE_LEFT = [
+    ("sklearn", "SVC", "fit", "fit doc v15"),
+    ("sklearn", "SVC", "predict", "predict doc v15"),
+    ("pandas", None, "read_csv", "read_csv doc v15"),
+]
+_MERGE_RIGHT = [
+    ("sklearn", "SVC", "fit", "fit doc v22"),
+    ("sklearn", "SVC", "score", "score doc v22"),
+    ("numpy", None, "linspace", "linspace doc v22"),
+]
+
+
+def q_merge_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 `MergeModules`: full-outer merge of two docstring trees on
+    (klass, function), newer tree wins on conflict
+    (`code_breaker/src/main/java/util/MergeModules.java:17-80`)."""
+    schema = "module string, klass string, function string, doc string"
+    left = spark.createDataFrame(_MERGE_LEFT, schema)
+    right = spark.createDataFrame(_MERGE_RIGHT, schema)
+    l = left.select(
+        F.col("klass").alias("k"), F.col("function").alias("f"),
+        F.col("module").alias("l_module"), F.col("doc").alias("l_doc"),
+    )
+    r = right.select(
+        F.col("klass").alias("k"), F.col("function").alias("f"),
+        F.col("module").alias("r_module"), F.col("doc").alias("r_doc"),
+    )
+    j = l.join(r, ["k", "f"], "full_outer")
+    return j.select(
+        F.coalesce("r_module", "l_module").alias("module"),
+        F.col("k").alias("klass"),
+        F.col("f").alias("function"),
+        F.coalesce("r_doc", "l_doc").alias("doc"),
+    )
+
+
+def _oracle_merge_modules() -> str:
+    def vals(rows):
+        return ",\n".join(
+            "(" + ", ".join("NULL" if v is None else _sql_quote(v) for v in row) + ")"
+            for row in rows
+        )
+
+    return f"""
+WITH l(module, klass, function, doc) AS (VALUES {vals(_MERGE_LEFT)}),
+r(module, klass, function, doc) AS (VALUES {vals(_MERGE_RIGHT)})
+SELECT coalesce(r.module, l.module) AS module,
+       coalesce(l.klass, r.klass) AS klass,
+       coalesce(l.function, r.function) AS function,
+       coalesce(r.doc, l.doc) AS doc
+FROM l FULL OUTER JOIN r
+  ON l.klass IS NOT DISTINCT FROM r.klass
+ AND l.function IS NOT DISTINCT FROM r.function
+"""
+
+
+def q_longest_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 longest-description-wins (`inspect_docstrings_per_module.py:
+    163-171`): per source keep the longest document."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "doc_id", F.length("text").cast("long").alias("n_chars"))
+    )
+
+
+_ORACLE_LONGEST_DESC = """
+WITH ranked AS (
+  SELECT source, doc_id, length(text) AS n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY length(text) DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM ranked WHERE rn = 1
+"""
+
+
+_SHAPE_STRINGS = [
+    (0, "ndarray of shape=(2, 3)"),
+    (1, "shape=(10,)"),
+    (2, "int"),
+    (3, "list of shape=(4,4) or shape=(4, 5) arrays"),
+    (4, "shape=() scalar"),
+]
+
+
+def q_shape_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 shape/dimensionality extraction
+    (`inspect_docstrings_per_module.py:345-357,381-399`): parse every
+    `shape=(...)` group, collect the distinct integer dims."""
+    df = spark.createDataFrame(_SHAPE_STRINGS, "sid long, type_str string")
+    groups = F.regexp_extract_all(F.col("type_str"), F.lit(r"shape=\(([^)]*)\)"), 1)
+    dims = F.array_distinct(
+        F.flatten(
+            F.transform(
+                groups,
+                lambda s: F.filter(
+                    F.transform(F.split(s, ","), lambda x: F.trim(x)),
+                    lambda x: x.rlike("^[0-9]+$"),
+                ),
+            )
+        )
+    )
+    return df.select(
+        "sid",
+        F.array_join(F.array_sort(F.transform(dims, lambda d: d.cast("int"))), ",").alias("dims_csv"),
+    )
+
+
+def _oracle_shape_dims() -> str:
+    vals = ", ".join(f"({i}, {_sql_quote(s)})" for i, s in _SHAPE_STRINGS)
+    return f"""
+WITH base(sid, type_str) AS (VALUES {vals}),
+g AS (
+  SELECT sid, regexp_extract_all(type_str, 'shape=\\(([^)]*)\\)', 1) AS groups FROM base
+)
+SELECT CAST(sid AS BIGINT) AS sid,
+  coalesce(array_to_string(
+    list_sort(list_distinct(
+      list_transform(
+        list_filter(
+          flatten(list_transform(groups, s -> list_transform(string_split(s, ','), x -> trim(x)))),
+          x -> regexp_matches(x, '^[0-9]+$')
+        ), x -> CAST(x AS INTEGER))
+    )), ','), '') AS dims_csv
+FROM g
+"""
+
+
+def q_graph_uri_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: NFKC-normalize + percent-encode graph URIs
+    (`PythonTurtleAnalysisEngine.java:268,303`) — Arrow-batched UDF."""
+    from graph4code_spark.functions.udfs import normalize_graph_uri
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("http://github.example/repo/path "), F.col("source"),
+                   F.lit("/ﬁle"), F.col("doc_id").cast("string"))
+    return docs.select("doc_id", normalize_graph_uri(raw).alias("graph_uri"))

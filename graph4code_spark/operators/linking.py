@@ -105,17 +105,32 @@ def detect_mentions(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
     )
 
 
-def cap_per_entity(links: DataFrame, cap: int = ES_RESULT_CAP) -> DataFrame:
+def cap_per_entity(
+    links: DataFrame, cap: int = ES_RESULT_CAP, salt_buckets: int = 0
+) -> DataFrame:
     """Per-entity top-`cap` by score (W4) — deterministic rank window.
 
     At 100 TB this is the skewed shuffle: hub entities take the most rows.
-    The output is bounded at `cap` rows/entity, and AQE splits oversized
-    partitions while computing the window input."""
-    w = Window.partitionBy("entity").orderBy(
-        F.desc("score"), F.asc("url")
-    )
+    With ``salt_buckets > 0`` the cap runs in two phases over a **salted
+    key** (north-rule hub defense): phase 1 ranks within
+    (entity, hash(url) % S) so no single task sees a hub's full row set
+    and each bucket keeps ≤ cap rows; phase 2 ranks the ≤ S·cap survivors
+    per entity.  Output is identical to the unsalted window (verified by
+    tests); the unsalted path additionally relies on AQE skew splitting."""
+    order = [F.desc("score"), F.asc("url")]
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        w1 = Window.partitionBy("entity", salt).orderBy(*order)
+        pre = (
+            links.withColumn("rk", F.row_number().over(w1))
+            .where(F.col("rk") <= cap)
+            .drop("rk")
+        )
+    else:
+        pre = links
+    w = Window.partitionBy("entity").orderBy(*order)
     return (
-        links.withColumn("rk", F.row_number().over(w))
+        pre.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= cap)
         .drop("rk")
     )

@@ -1,0 +1,73 @@
+"""Query layer over pipeline output + salted-cap equivalence."""
+
+from pyspark.sql import functions as F
+
+from graph4code_spark.emitters.analysis import analysis_triples
+from graph4code_spark.emitters.forum import forum_triples
+from graph4code_spark.operators.flows import extract_flow_nodes
+from graph4code_spark.operators.linking import cap_per_entity, detect_mentions, link_entities
+from graph4code_spark.plans.queries import (
+    flows_excluding,
+    most_discussed_entities,
+    next_steps_after,
+    questions_about,
+)
+from graph4code_spark.sources.qa import extract_qa
+from graph4code_spark.synth import FIXED_CATALOG, HUB_ENTITY, synth_pages
+from graph4code_spark.uris import PREFIXES
+
+
+def _triples(spark, n_pages=120, seed=21):
+    pages = synth_pages(spark, n_pages, seed=seed)
+    qa = extract_qa(pages).cache()
+    links = link_entities(qa, FIXED_CATALOG)
+    forum = forum_triples(links, qa, FIXED_CATALOG)
+    flows = analysis_triples(extract_flow_nodes(qa, FIXED_CATALOG))
+    return forum.unionByName(flows), qa
+
+
+def test_query_layer_shapes(spark):
+    triples, qa = _triples(spark)
+    triples = triples.cache()
+
+    qa_about = questions_about(triples, HUB_ENTITY)
+    assert qa_about.count() > 0
+    assert all(r.title is not None for r in qa_about.collect())
+
+    top = most_discussed_entities(triples, k=5).collect()
+    assert len(top) == 5
+    py = PREFIXES["py"]
+    # hub entity is planted in ~30% of pages; its class parent strictly
+    # dominates it (every fit-matching page also AND-matches SVC), so the
+    # hub must appear in the top 2 with the class first
+    top_entities = [r["entity"] for r in top]
+    assert py + HUB_ENTITY in top_entities[:2]
+    assert top_entities.index(py + "sklearn.svm.SVC") < top_entities.index(py + HUB_ENTITY)
+
+    nxt = next_steps_after(triples, "SVC", k=3).collect()
+    assert len(nxt) >= 1
+
+    ex = flows_excluding(triples, "SVC")
+    assert ex.count() >= 0
+    labels_of_sources = {r.src for r in ex.collect()}
+    svc_sources = {
+        r.subj for r in triples.where(
+            (F.col("pred") == PREFIXES["rdfs"] + "label") & F.col("obj").contains("SVC")
+        ).collect()
+    }
+    assert not (labels_of_sources & svc_sources)
+
+
+def test_salted_cap_equals_unsalted(spark):
+    pages = synth_pages(spark, 150, seed=33)
+    qa = extract_qa(pages)
+    links = detect_mentions(qa, FIXED_CATALOG).cache()
+    plain = cap_per_entity(links, cap=10)
+    salted = cap_per_entity(links, cap=10, salt_buckets=7)
+    key = ["url", "question_id", "entity", "etype", "score", "good_match"]
+    assert {tuple(r) for r in plain.select(*key).collect()} == {
+        tuple(r) for r in salted.select(*key).collect()
+    }
+    # cap actually binds for the hub entity
+    hub_count = plain.where(F.col("entity") == HUB_ENTITY).count()
+    assert hub_count == 10
