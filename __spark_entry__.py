@@ -324,6 +324,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(sig, max_hamming=8)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact all-pairs flavor (oracle-checked).
+    The LSH-bucketed scale path is `dedup_embedding_lsh`."""
+    from graph4code_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+_ORACLE_DEDUP_EMBEDDING = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: hyperplane-bucketed candidates → exact verify → CC →
+    survivors. Rows-only check (LSH recall < 1 by construction)."""
+    from graph4code_spark.operators.dedup import embedding_neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, dim=64, threshold=0.4, n_planes=6).select("vec_id")
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -785,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         # text analysis
@@ -825,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_groups": _ORACLE_DEDUP_GROUPS,
         "dedup_token_jaccard": _ORACLE_DEDUP_JACCARD,
+        "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "sim_cosine_topk": _ORACLE_COSINE_TOPK,
         "text_token_counts": _ORACLE_TOKEN_COUNTS,
         "text_language": _oracle_text_language(),

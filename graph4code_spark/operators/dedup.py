@@ -260,6 +260,92 @@ def simhash_candidates(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup — the verifier / small-input path.
+
+    O(n²) self-join; dot products are pure JVM column expressions
+    (`zip_with` + `aggregate`), no Python.  At scale this runs only on
+    LSH candidate pairs (see `embedding_neardup`)."""
+    from graph4code_spark.operators.similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    )
+    a = v.select(F.col("id").alias("a"), F.col("e").alias("ea"))
+    b = v.select(F.col("id").alias("b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cosine_expr(F.col("ea"), F.col("eb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    seed: int = 42,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup — the scale path.
+
+    hyperplane sign buckets (one Arrow pass, no shuffle) → within-bucket
+    candidate pairs (bucket-hash shuffle only; degenerate buckets capped
+    at `bucket_cap`, mirroring the reference's hub caps `utils.py:282`) →
+    exact cosine verify on candidates only → connected components →
+    keep the min-id representative per near-dup cluster.
+
+    Recall < 1 by construction (pairs split by every hyperplane are
+    missed); n_planes trades recall for candidate volume."""
+    from graph4code_spark.operators.similarity import cosine_expr, hyperplane_buckets
+
+    vb = hyperplane_buckets(df, vec_col, id_col, dim, n_planes, seed)
+    grouped = vb.groupBy("bucket").agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    grouped = grouped.where((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+    cand = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    )
+    verified = (
+        cand.join(v.select(F.col("id").alias("a"), F.col("e").alias("ea")), "a")
+        .join(v.select(F.col("id").alias("b"), F.col("e").alias("eb")), "b")
+        .select("a", "b", cosine_expr(F.col("ea"), F.col("eb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    edges = verified.select(
+        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+    )
+    mapping = connected_components(edges)  # name -> canon (min of cluster)
+    drop = mapping.select(F.col("name").cast(df.schema[id_col].dataType).alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram jaccard (brute verifier / small-input path)
 # ---------------------------------------------------------------------------
 

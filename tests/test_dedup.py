@@ -1,4 +1,8 @@
+import numpy as np
+
 from graph4code_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    embedding_neardup,
     exact_dedup,
     duplicate_groups,
     minhash_dedup,
@@ -49,6 +53,44 @@ def test_ngram_jaccard_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
     assert (0, 3) not in pairs
+
+
+def _emb(spark, n=40, dim=8, seed=7):
+    rs = np.random.RandomState(seed)
+    base = rs.normal(size=(n, dim))
+    # ids 0/1 and 2/3 are near-duplicate vectors; everything else random
+    base[1] = base[0] + rs.normal(scale=0.01, size=dim)
+    base[3] = base[2] + rs.normal(scale=0.01, size=dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, base
+
+
+def test_embedding_cosine_pairs_exact(spark):
+    df, base = _emb(spark)
+    got = {(r.a, r.b): r.cosine for r in
+           embedding_cosine_pairs(df, "embedding", "vec_id", threshold=0.95).collect()}
+    v = base.astype(np.float32).astype(np.float64)  # match the float column round-trip
+    norms = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / np.outer(norms, norms)
+    want = {(a, b) for a in range(len(v)) for b in range(a + 1, len(v))
+            if cos[a, b] >= 0.95}
+    assert set(got) == want and {(0, 1), (2, 3)} <= want
+    for (a, b), c in got.items():
+        assert abs(c - cos[a, b]) < 1e-5
+
+
+def test_embedding_neardup_lsh(spark):
+    df, _ = _emb(spark)
+    survivors = {r.vec_id for r in
+                 embedding_neardup(df, dim=8, threshold=0.95, n_planes=4).collect()}
+    # near-identical vectors land in the same hyperplane bucket -> collapsed
+    assert 0 in survivors and 1 not in survivors
+    assert 2 in survivors and 3 not in survivors
+    # LSH survivors are a superset of the exact-pairs survivors
+    exact_drop = {r.b for r in
+                  embedding_cosine_pairs(df, "embedding", "vec_id", 0.95).collect()}
+    assert survivors <= set(range(40)) - {1, 3} and survivors >= set(range(40)) - exact_drop
 
 
 def test_simhash_near_vs_far(spark):
