@@ -24,30 +24,17 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 
-_WS = re.compile(r"\s+")
-_NON_ALNUM = re.compile(r"[^0-9A-Za-z]+")
-# case-change + letter/digit boundaries, applied inside an alnum run
-_BOUNDARIES = re.compile(
-    r"(?<=[a-z])(?=[A-Z])"       # lower -> upper
-    r"|(?<=[A-Z])(?=[A-Z][a-z])"  # ACRONYMWord -> ACRONYM | Word
-    r"|(?<=[0-9])(?=[A-Za-z])"    # digit -> letter
-    r"|(?<=[A-Za-z])(?=[0-9])"    # letter -> digit
-)
+# One findall pass emits the final token parts directly: whitespace and
+# non-alphanumerics delimit; inside an alnum run the alternatives encode
+# the word_delimiter boundaries (lower->upper, ACRONYM|Word, letter<->digit).
+# Alternative order matters: digits; UPPER-run not followed by lowercase
+# (backtracks one char so CSVFile -> CSV, File); Upper-initial word; lower run.
+_PARTS = re.compile(r"[0-9]+|[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+")
 
 
 def analyze(text: str) -> list[str]:
     """Tokenize ``text`` exactly as the reference's ES analyzer does."""
-    tokens: list[str] = []
-    for ws_tok in _WS.split(text):
-        if not ws_tok:
-            continue
-        for run in _NON_ALNUM.split(ws_tok):
-            if not run:
-                continue
-            for part in _BOUNDARIES.split(run):
-                if part:
-                    tokens.append(part.lower())
-    return tokens
+    return [p.lower() for p in _PARTS.findall(text)]
 
 
 def analyze_joined(text: str) -> str:

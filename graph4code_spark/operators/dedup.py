@@ -95,14 +95,17 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8
+    signatures: DataFrame, bands: int = 8, num_hashes: int | None = None
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become pairs.
+
+    Pass ``num_hashes`` when known — probing it from the data costs a
+    full extra evaluation of the signature pipeline.
 
     Hub defense: a degenerate bucket (boilerplate shingle sets) of size m
     produces m² pairs — buckets are capped at 64 docs (log-dropped at
     scale), mirroring the reference's silent hub caps (`utils.py:282`)."""
-    n = signatures.select(F.size("sig")).first()[0]
+    n = num_hashes if num_hashes is not None else signatures.select(F.size("sig")).first()[0]
     rows = n // bands
     banded = signatures.select(
         "id",
@@ -179,7 +182,7 @@ def minhash_dedup(
     of each near-duplicate cluster (cluster representative = min id)."""
     sh = word_shingles(df, text_col, id_col, k_shingle)
     sig = minhash_signatures(sh, num_hashes)
-    pairs = lsh_candidate_pairs(sig, bands)
+    pairs = lsh_candidate_pairs(sig, bands, num_hashes)
     verified = jaccard_verify(pairs, sh, threshold)
     edges = verified.select(
         F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
@@ -200,8 +203,11 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     def _stable64(w: str) -> int:
         # process-salt-free 64-bit word hash (python hash() is salted and
-        # would differ across executors -> nondeterministic signatures)
-        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        # would differ across executors -> nondeterministic signatures);
+        # md5 first 8 bytes big-endian == DuckDB
+        # ('0x' || substring(md5(w),1,16))::UBIGINT, so the whole simhash
+        # is oracle-reproducible in SQL
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -214,7 +220,9 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     continue
                 hashes = np.array([np.uint64(_stable64(w)) for w in words], dtype=np.uint64)
                 bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-                votes = bits.sum(axis=0) * 2 - len(words)
+                # int64 before the subtraction: uint64 arithmetic would wrap
+                # negative vote sums to huge positives (all-ones signatures)
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
                 sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
                 out_ids.append(i)
                 out_sig.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
