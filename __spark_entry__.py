@@ -809,6 +809,57 @@ def q_kg_pipeline_forum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forum_triples(links, qa, FIXED_CATALOG).dropDuplicates()
 
 
+def q_kg_pipeline_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-sensitive digest of the FULL forum pipeline output, per
+    predicate: row count + md5 over the sorted per-quad md5s.  The oracle
+    side recomputes the same digests from the straight-line reference
+    pipeline (`reference_impl.forum_pipeline_quads`) — a compact but
+    complete equality check of every emitted quad."""
+    tri = q_kg_pipeline_forum(spark, sf_dir).select(
+        "subj", "pred", "obj", "is_literal", "graph"
+    ).dropDuplicates()
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", "subj", "pred", "obj",
+            F.col("is_literal").cast("string"), "graph",
+        )
+    )
+    return (
+        tri.select("pred", h.alias("h"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("digest"),
+        )
+    )
+
+
+def _oracle_kg_pipeline_digest() -> str:
+    import hashlib
+    from collections import defaultdict
+
+    from graph4code_spark.reference_impl.emitters import forum_pipeline_quads
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+    from graph4code_spark.uris import PREFIXES
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    pages_rows = [_page_record(pid, 42, names, hub, etypes) for pid in range(300)]
+    quads = forum_pipeline_quads(pages_rows, FIXED_CATALOG, PREFIXES["stackoverflow3"])
+
+    per_pred: dict[str, list[str]] = defaultdict(list)
+    for subj, pred, obj, is_literal, graph in quads:
+        row = "\x1f".join([subj, pred, obj, "true" if is_literal else "false", graph])
+        per_pred[pred].append(hashlib.md5(row.encode("utf-8")).hexdigest())
+    rows = [
+        (pred, len(hs), hashlib.md5("".join(sorted(hs)).encode()).hexdigest())
+        for pred, hs in sorted(per_pred.items())
+    ]
+    return _values_table(rows, ["pred", "n", "digest"],
+                         ["VARCHAR", "BIGINT", "VARCHAR"])
+
+
 def q_kg_flow_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph4code_spark.emitters.analysis import analysis_triples
     from graph4code_spark.operators.flows import extract_flow_nodes
@@ -851,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_question_triples": q_kg_question_triples,
         "kg_flow_closure": q_kg_flow_closure,
         "kg_pipeline_forum": q_kg_pipeline_forum,
+        "kg_pipeline_digest": q_kg_pipeline_digest,
         "kg_flow_triples": q_kg_flow_triples,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
@@ -897,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": _oracle_kg_mentions(),
         "kg_question_triples": _oracle_kg_question_triples(),
         "kg_flow_closure": _oracle_kg_flow_closure(),
+        "kg_pipeline_digest": _oracle_kg_pipeline_digest(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_groups": _ORACLE_DEDUP_GROUPS,
         "dedup_token_jaccard": _ORACLE_DEDUP_JACCARD,

@@ -278,6 +278,64 @@ def forum_quads(
     return sink.quads
 
 
+def forum_pipeline_quads(pages_rows, records, forum_prefix) -> set[Quad]:
+    """Straight-line simulation of the whole webtext path: parse each page,
+    run the per-entity ES-style AND search + cap + good_match loop
+    (`utils.py:253-343,573-592`), emit with `forum_quads`.  The golden
+    oracle for the Spark pipeline (tests + driver digest oracle)."""
+    from graph4code_spark.analyzer import analyze, entity_required_tokens, good_match
+    from graph4code_spark.sources.qa import parse_qa_page
+    from graph4code_spark.synth import entity_name, entity_type
+
+    docs = []
+    for r in pages_rows:
+        html = r["html"]
+        if isinstance(html, (bytes, bytearray)):
+            html = html.decode("utf-8")
+        rec = parse_qa_page(r["url"], html)
+        if rec:
+            docs.append(rec)
+    out: set[Quad] = set()
+    for rec in records:
+        name = entity_name(rec)
+        etype = entity_type(rec)
+        if etype == "method":
+            required = entity_required_tokens(rec["klass"], rec["function"])
+            qualified = rec["klass"] + "." + rec["function"]
+        else:
+            required = entity_required_tokens(name)
+            qualified = name
+        hits = []
+        for d in docs:
+            toks = analyze(d["content"])
+            tokset = set(toks)
+            if required <= tokset:
+                score = sum(1 for t in toks if t in required)
+                hits.append((score, d))
+        hits.sort(key=lambda x: (-x[0], x[1]["url"]))
+        hits = hits[:5000]
+        if not hits:
+            continue
+        matches = []
+        for _, d in hits:
+            matches.append(
+                {
+                    "question_id": d["question_id"],
+                    "title": d["title"],
+                    "question_text": d["q_body"],
+                    "tags": d["tags"],
+                    "good_match": "True" if good_match(d["content"].lower(), qualified) else "False",
+                    "answers": [
+                        (a[0], None, None, None, None, a[1], None, a[2])
+                        for a in d["answers"]
+                    ],
+                    "codes": d["codes"],
+                }
+            )
+        out |= forum_quads(rec, matches, forum_prefix)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # E6/E7 oracle: per-node analysis quads (nodeToRDF/handleDataFlow semantics,
 # `PythonTurtleAnalysisEngine.java:319-420`), flattened RDF* convention as

@@ -2,17 +2,10 @@
 compared against a driver-side simulation of the reference's per-entity
 ES search + filter + emit loop."""
 
-from graph4code_spark.analyzer import analyze, entity_required_tokens, good_match
 from graph4code_spark.emitters.forum import forum_triples
 from graph4code_spark.operators.linking import link_entities
-from graph4code_spark.reference_impl.emitters import forum_quads
-from graph4code_spark.sources.qa import extract_qa, parse_qa_page
-from graph4code_spark.synth import (
-    FIXED_CATALOG,
-    entity_name,
-    entity_type,
-    synth_pages,
-)
+from graph4code_spark.sources.qa import extract_qa
+from graph4code_spark.synth import FIXED_CATALOG, synth_pages
 from graph4code_spark.uris import PREFIXES
 
 N_PAGES = 150
@@ -20,50 +13,9 @@ PREFIX = PREFIXES["stackoverflow3"]
 
 
 def oracle_forum_quads(pages_rows, records):
-    docs = []
-    for r in pages_rows:
-        rec = parse_qa_page(r["url"], r["html"].decode("utf-8"))
-        if rec:
-            docs.append(rec)
-    out = set()
-    for rec in records:
-        name = entity_name(rec)
-        etype = entity_type(rec)
-        if etype == "method":
-            required = entity_required_tokens(rec["klass"], rec["function"])
-            qualified = rec["klass"] + "." + rec["function"]
-        else:
-            required = entity_required_tokens(name)
-            qualified = name
-        hits = []
-        for d in docs:
-            toks = analyze(d["content"])
-            tokset = set(toks)
-            if required <= tokset:
-                score = sum(1 for t in toks if t in required)
-                hits.append((score, d))
-        hits.sort(key=lambda x: (-x[0], x[1]["url"]))
-        hits = hits[:5000]
-        if not hits:
-            continue
-        matches = []
-        for _, d in hits:
-            matches.append(
-                {
-                    "question_id": d["question_id"],
-                    "title": d["title"],
-                    "question_text": d["q_body"],
-                    "tags": d["tags"],
-                    "good_match": "True" if good_match(d["content"].lower(), qualified) else "False",
-                    "answers": [
-                        (a[0], None, None, None, None, a[1], None, a[2])
-                        for a in d["answers"]
-                    ],
-                    "codes": d["codes"],
-                }
-            )
-        out |= forum_quads(rec, matches, PREFIX)
-    return out
+    from graph4code_spark.reference_impl.emitters import forum_pipeline_quads
+
+    return forum_pipeline_quads(pages_rows, records, PREFIX)
 
 
 def test_forum_end_to_end(spark):
