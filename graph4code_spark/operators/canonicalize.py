@@ -69,13 +69,49 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+#: below this many (deduped) edges the component graph is collected and
+#: solved with driver-side union-find — the per-round Spark overhead of
+#: the iterative algorithm (4 shuffles + a convergence job) dwarfs the
+#: actual work.  Same adaptive philosophy as broadcast-vs-shuffle join
+#: selection; at 10^12-document scale the edge set exceeds the threshold
+#: and the distributed large-star/small-star path engages.
+SMALL_GRAPH_EDGES = 200_000
+
+
+def _union_find_mapping(edge_rows) -> list[tuple[str, str]]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by lexicographic minimum keeps the canon deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent if find(n) != n]
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25,
+    small_graph_threshold: int = SMALL_GRAPH_EDGES,
+) -> DataFrame:
     """Edge list (src,dst) → mapping (name, canon), canon = component min.
 
     Nodes absent from any edge are their own canon and are not emitted.
     """
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint(eager=True)
+    if small_graph_threshold and cur.count() <= small_graph_threshold:
+        spark = edges.sparkSession
+        rows = _union_find_mapping((r[0], r[1]) for r in cur.collect())
+        return spark.createDataFrame(rows or [], "name string, canon string")
     prev_sig = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)

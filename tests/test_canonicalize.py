@@ -51,9 +51,16 @@ def test_random_graph_vs_union_find(spark):
         if a != b:
             edges.append((a, b))
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["name"]: r["canon"] for r in connected_components(df).collect()}
     want = {n: c for n, c in _uf_components(edges).items() if n != c}
-    assert got == want
+    # small-graph fast path (driver union-find)
+    got_fast = {r["name"]: r["canon"] for r in connected_components(df).collect()}
+    assert got_fast == want
+    # distributed large-star/small-star path (forced)
+    got_dist = {
+        r["name"]: r["canon"]
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_same_as_and_rewrite(spark):
