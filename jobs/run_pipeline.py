@@ -30,7 +30,8 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="graph4code-spark KG pipeline")
-    ap.add_argument("--out-dir", required=True, help="stage/checkpoint + output dir")
+    ap.add_argument("--out-dir", default=None,
+                    help="stage/checkpoint + output dir (required unless --bench)")
     ap.add_argument("--input", default=None,
                     help="parquet path of a pages table (url, warc_ts, html, text, lang); "
                          "default: deterministic synthetic corpus")
@@ -39,7 +40,13 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cap", type=int, default=5000, help="per-entity result cap (W4)")
     ap.add_argument("--buckets", type=int, default=8, help="subject-hash write buckets")
+    ap.add_argument("--bench", type=int, default=0, metavar="R",
+                    help="throughput mode: skip the checkpointed write, run the "
+                         "in-memory pipeline R times after a warm-up and report "
+                         "best-of-R triples/sec (the N-vs-4N scaling probe)")
     args = ap.parse_args()
+    if not args.bench and not args.out_dir:
+        ap.error("--out-dir is required unless --bench is given")
 
     from pyspark.sql import SparkSession
 
@@ -52,6 +59,14 @@ def main() -> None:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }.items():
         spark.conf.set(k, spark.conf.get(k, v))
+    # size the shuffle to the actual topology unless explicitly set via
+    # --conf — at local[1] the 200-partition default is pure per-task
+    # overhead (an explicit non-default value always wins)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
 
     # imports resolve from --py-files (driver PYTHONPATH + executor ship)
     from graph4code_spark.plans.pipeline import PipelineConfig, run_pipeline
@@ -61,6 +76,34 @@ def main() -> None:
         pages = spark.read.parquet(args.input)
     else:
         pages = synth_pages(spark, args.pages, seed=args.seed)
+
+    if args.bench > 0:
+        from graph4code_spark.emitters.forum import forum_triples
+        from graph4code_spark.materialize import dedup_quads
+        from graph4code_spark.operators.linking import link_entities
+        from graph4code_spark.sources.qa import extract_qa
+        from graph4code_spark.synth import FIXED_CATALOG
+
+        def once() -> tuple[int, float]:
+            t0 = time.time()
+            qa = extract_qa(pages).cache()
+            links = link_entities(qa, FIXED_CATALOG).cache()
+            n = dedup_quads(forum_triples(links, qa, FIXED_CATALOG)).count()
+            qa.unpersist()
+            links.unpersist()
+            return n, time.time() - t0
+
+        once()  # warm: spawns workers, JITs
+        best = min((once() for _ in range(args.bench)), key=lambda x: x[1])
+        n, wall = best
+        print(json.dumps({
+            "mode": "bench", "n_triples": n, "sec": round(wall, 3),
+            "triples_per_sec": round(n / wall, 1),
+            "master": spark.sparkContext.master,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+        }))
+        spark.stop()
+        return
 
     t0 = time.time()
     cfg = PipelineConfig(out_dir=args.out_dir, cap=args.cap, buckets=args.buckets)
