@@ -870,6 +870,72 @@ def q_kg_flow_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analysis_triples(extract_flow_nodes(qa, FIXED_CATALOG)).dropDuplicates()
 
 
+def q_kg_flow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate digest of the E6/E7 analysis triples (same compaction
+    as kg_pipeline_digest, over the 7-column annotated-quad shape).  The
+    oracle recomputes from the straight-line page extractor +
+    `reference_impl.analysis_quads` (independent emitter; the per-page
+    extraction worker is shared — its semantics are covered separately by
+    tests/test_analysis_emitter)."""
+    tri = q_kg_flow_triples(spark, sf_dir)
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", "subj", "pred", "obj",
+            F.col("is_literal").cast("string"),
+            F.coalesce(F.col("arg_pos").cast("string"), F.lit("")),
+            F.coalesce(F.col("arg_name"), F.lit("")),
+            "graph",
+        )
+    )
+    return (
+        tri.select("pred", h.alias("h"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("digest"),
+        )
+    )
+
+
+def _oracle_kg_flow_digest() -> str:
+    import hashlib
+    from collections import defaultdict
+
+    from graph4code_spark.operators.flows import build_flow_catalog, extract_page_flow_nodes
+    from graph4code_spark.reference_impl.emitters import analysis_quads
+    from graph4code_spark.sources.qa import parse_qa_page
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    cat = build_flow_catalog(FIXED_CATALOG)
+    quads = set()
+    for pid in range(300):
+        page = _page_record(pid, 42, names, hub, etypes)
+        rec = parse_qa_page(page["url"], page["html"].decode("utf-8"))
+        if rec is None:
+            continue
+        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
+            quads |= analysis_quads(node)
+
+    per_pred: dict[str, list[str]] = defaultdict(list)
+    for subj, pred, obj, is_literal, arg_pos, arg_name, graph in quads:
+        row = "\x1f".join([
+            subj, pred, obj, "true" if is_literal else "false",
+            "" if arg_pos is None else str(arg_pos),
+            "" if arg_name is None else arg_name,
+            graph,
+        ])
+        per_pred[pred].append(hashlib.md5(row.encode("utf-8")).hexdigest())
+    rows = [
+        (pred, len(hs), hashlib.md5("".join(sorted(hs)).encode()).hexdigest())
+        for pred, hs in sorted(per_pred.items())
+    ]
+    return _values_table(rows, ["pred", "n", "digest"],
+                         ["VARCHAR", "BIGINT", "VARCHAR"])
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, 60)
     feats = extract_media_features(media, fake=True)
@@ -904,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_forum": q_kg_pipeline_forum,
         "kg_pipeline_digest": q_kg_pipeline_digest,
         "kg_flow_triples": q_kg_flow_triples,
+        "kg_flow_digest": q_kg_flow_digest,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
@@ -950,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_question_triples": _oracle_kg_question_triples(),
         "kg_flow_closure": _oracle_kg_flow_closure(),
         "kg_pipeline_digest": _oracle_kg_pipeline_digest(),
+        "kg_flow_digest": _oracle_kg_flow_digest(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_groups": _ORACLE_DEDUP_GROUPS,
         "dedup_token_jaccard": _ORACLE_DEDUP_JACCARD,

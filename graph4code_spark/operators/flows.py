@@ -98,11 +98,36 @@ def build_flow_catalog(records: list[dict]):
     return by_name, methods_of, modules
 
 
+def extract_page_flow_nodes(
+    url: str, codes: list[str], flow_catalog
+) -> list[dict]:
+    """Straight-line per-page flow-node extraction (the worker the Arrow
+    UDF batches over; also callable directly for golden-oracle paths).
+    ``flow_catalog`` = `build_flow_catalog(records)`."""
+    by_name, methods_of, modules = flow_catalog
+    return _page_nodes(url, codes, by_name, methods_of, modules)
+
+
 def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
     """(url, codes) → ANALYSIS_NODES_SCHEMA rows, graph_uri = page url."""
-    by_name, methods_of, modules = build_flow_catalog(catalog_records)
+    flow_catalog = build_flow_catalog(catalog_records)
 
-    def page_nodes(url: str, codes: list[str]) -> list[dict]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ANALYSIS_NODES_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, codes in zip(pdf["url"], pdf["codes"]):
+                rows.extend(
+                    extract_page_flow_nodes(
+                        url, list(codes) if codes is not None else [], flow_catalog
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return qa.select("url", "codes").mapInPandas(run, schema=ANALYSIS_NODES_SCHEMA)
+
+
+def _page_nodes(url, codes, by_name, methods_of, modules):
         nodes: list[dict] = []
         counter = 0
         for code in codes or []:
@@ -212,16 +237,6 @@ def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
                             if produced_klass:
                                 var_klass[v] = produced_klass
         return nodes
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in ANALYSIS_NODES_SCHEMA.fields]
-        for pdf in batches:
-            rows: list[dict] = []
-            for url, codes in zip(pdf["url"], pdf["codes"]):
-                rows.extend(page_nodes(url, list(codes) if codes is not None else []))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return qa.select("url", "codes").mapInPandas(run, schema=ANALYSIS_NODES_SCHEMA)
 
 
 def _node_index(nodes: list[dict], node_number: int) -> int:
