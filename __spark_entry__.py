@@ -1018,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_flow_closure": _oracle_kg_flow_closure(),
         "kg_pipeline_digest": _oracle_kg_pipeline_digest(),
         "kg_flow_digest": _oracle_kg_flow_digest(),
+        "graph_uri_normalize": _ORACLE_GRAPH_URI,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_groups": _ORACLE_DEDUP_GROUPS,
         "dedup_token_jaccard": _ORACLE_DEDUP_JACCARD,
@@ -1193,3 +1194,14 @@ def q_graph_uri_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.concat(F.lit("http://github.example/repo/path "), F.col("source"),
                    F.lit("/ﬁle"), F.col("doc_id").cast("string"))
     return docs.select("doc_id", normalize_graph_uri(raw).alias("graph_uri"))
+
+
+# expected encoding derived by hand from the UDF's contract (quote then
+# NFKC): space -> %20, the fi-ligature's UTF-8 bytes -> %EF%AC%81; the
+# srcN source values are ASCII-safe and pass through
+_ORACLE_GRAPH_URI = """
+SELECT doc_id,
+       'http://github.example/repo/path%20' || source || '/%EF%AC%81le'
+         || CAST(doc_id AS VARCHAR) AS graph_uri
+FROM documents
+"""
