@@ -35,12 +35,53 @@ def stream_extract_text(pages_stream: DataFrame) -> DataFrame:
     )
 
 
-def pages_per_window(pages_stream: DataFrame, window: str = "1 hour") -> DataFrame:
-    """Windowed arrival counts with a watermark for late pages."""
+def pages_per_window(
+    pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed arrival counts with a watermark for late pages.
+
+    Append-mode consumers only see a window once the watermark passes its
+    end — size both to the stream's event-time density (the 1h/2h
+    defaults fit crawl-scale arrival; tests use seconds)."""
     return (
-        pages_stream.withWatermark("warc_ts", "2 hours")
+        pages_stream.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window), "lang")
         .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def running_page_totals(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (`applyInPandasWithState`):
+    cumulative page count per language across micro-batches.
+
+    State = one long per lang key; each batch emits
+    (lang, batch_pages, total_pages).  The SURVEY §2.10 demonstration
+    that arbitrary keyed state works on the page stream — the same shape
+    a streaming dedup or per-site rate tracker would take at scale (state
+    store is RocksDB-backed per key-range partition on a cluster)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        total = (state.get[0] if state.exists else 0) + batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {"lang": [key[0]], "batch_pages": [batch], "total_pages": [total]}
+        )
+
+    return (
+        pages_stream.select("lang", "url")
+        .groupBy("lang")
+        .applyInPandasWithState(
+            update,
+            outputStructType="lang string, batch_pages long, total_pages long",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
