@@ -180,7 +180,11 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline; returns df minus non-representative members
     of each near-duplicate cluster (cluster representative = min id)."""
-    sh = word_shingles(df, text_col, id_col, k_shingle)
+    # the deduped shingle set feeds three consumers (signatures, the
+    # common-shingle join, the size agg); materialize it once instead of
+    # re-running the explode+distinct per branch — at cluster scale this
+    # is the stage you'd persist to a checkpoint table anyway
+    sh = word_shingles(df, text_col, id_col, k_shingle).localCheckpoint(eager=False)
     sig = minhash_signatures(sh, num_hashes)
     pairs = lsh_candidate_pairs(sig, bands, num_hashes)
     verified = jaccard_verify(pairs, sh, threshold)
