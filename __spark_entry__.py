@@ -436,7 +436,57 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
+    out = lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _oracle_sim_lsh_topk() -> str:
+    """The hyperplane LSH is fully deterministic (seeded planes), so the
+    whole ANN path — sign-bit buckets, bucket-equality candidates, exact
+    cosine re-rank — is expressible in SQL with the planes embedded as
+    literal vectors.  Independent of the Arrow/numpy implementation."""
+    from graph4code_spark.operators.similarity import _planes
+
+    planes = _planes(64, 8, 42)
+    rows = ",\n".join(
+        "(%d, [%s])" % (p, ", ".join("%.17g" % x for x in planes[p]))
+        for p in range(8)
+    )
+    # embeddings are float32 in parquet; Spark's numpy path promotes to
+    # float64 per element, matching CAST(embedding AS DOUBLE[])
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planes(p, w) AS (VALUES
+{rows}
+),
+b AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, w) > 0
+                               THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id
+),
+qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT qb.query_id, b.vec_id FROM b JOIN qb USING (bucket)
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(v.e, q.e) /
+           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.e, q.e))) AS cosine
+  FROM cand c
+  JOIN v ON v.vec_id = c.vec_id
+  JOIN v q ON q.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "sim_cosine_topk": _ORACLE_COSINE_TOPK,
+        "sim_lsh_topk": _oracle_sim_lsh_topk(),
         "text_token_counts": _ORACLE_TOKEN_COUNTS,
         "text_language": _oracle_text_language(),
         "text_quality": _ORACLE_TEXT_QUALITY,
