@@ -397,6 +397,53 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(emb, dim=64, threshold=0.4, n_planes=6).select("vec_id")
 
 
+def _oracle_dedup_embedding_lsh() -> str:
+    """Full SQL recomputation of the LSH near-dup path: literal-plane
+    buckets → within-bucket pairs (size-capped) → exact cosine verify →
+    connected components via recursive CTE → survivors.  The CC canon is
+    the LEXICOGRAPHIC min (the Spark operator works on string ids), so
+    ids are compared as VARCHAR."""
+    from graph4code_spark.operators.similarity import _planes
+
+    planes = _planes(64, 6, 42)
+    rows = ",\n".join(
+        "(%d, [%s])" % (p, ", ".join("%.17g" % x for x in planes[p]))
+        for p in range(6)
+    )
+    return f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planes(p, w) AS (VALUES
+{rows}
+),
+b AS (
+  SELECT vec_id, SUM(CASE WHEN list_dot_product(e, w) > 0
+                          THEN (1 << p) ELSE 0 END) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id
+),
+bs AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+eligible AS (SELECT b.vec_id, b.bucket FROM b JOIN bs USING (bucket)
+             WHERE bs.c > 1 AND bs.c <= 256),
+ver AS (
+  SELECT CAST(x.vec_id AS VARCHAR) AS s, CAST(y.vec_id AS VARCHAR) AS d
+  FROM eligible x JOIN eligible y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN v va ON va.vec_id = x.vec_id JOIN v vb ON vb.vec_id = y.vec_id
+  WHERE list_dot_product(va.e, vb.e) /
+        (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) >= 0.4
+),
+edges AS (SELECT s, d FROM ver UNION SELECT d, s FROM ver),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+canon AS (SELECT s, least(s, min(d)) AS c FROM reach GROUP BY s),
+dropped AS (SELECT CAST(s AS BIGINT) AS vec_id FROM canon WHERE c < s)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -992,6 +1039,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes")
 
 
+# expected independently from the synth-media spec: payload is always the
+# 16-byte md5 digest repeated 4x (64 bytes), types cycle image/audio/video
+_ORACLE_MEDIA_FEATURES = """
+SELECT 'm' || CAST(i AS VARCHAR) AS media_id,
+       ['image', 'audio', 'video'][(i % 3) + 1] AS media_type,
+       CAST(64 AS INTEGER) AS n_bytes
+FROM range(60) t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1076,6 +1133,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "sim_cosine_topk": _ORACLE_COSINE_TOPK,
         "sim_lsh_topk": _oracle_sim_lsh_topk(),
+        "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
+        "media_features": _ORACLE_MEDIA_FEATURES,
         "text_token_counts": _ORACLE_TOKEN_COUNTS,
         "text_language": _oracle_text_language(),
         "text_quality": _ORACLE_TEXT_QUALITY,
