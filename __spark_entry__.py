@@ -324,6 +324,77 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, "text", "doc_id", threshold=0.7).select("doc_id")
 
 
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable minhash twin: identical pipeline shape with the
+    md5-low-64 word hash and raw band-string buckets, both reproducible
+    in DuckDB (16 hashes / 4 bands to bound the 32-md5s-per-shingle
+    cost).  The xxhash64 default path stays the scale/bench query."""
+    from graph4code_spark.operators.dedup import md5_hash_fn
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.7,
+        hash_fn=md5_hash_fn, hash_bucket=False,
+    ).select("doc_id")
+
+
+_ORACLE_DEDUP_MINHASH_MD5 = """
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM base
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+mh AS (
+  SELECT doc_id, k,
+         min(('0x' || substring(md5(shingle || '|' || CAST(k AS VARCHAR)), 1, 16))::UBIGINT) AS h
+  FROM sh CROSS JOIN range(16) t(k) GROUP BY doc_id, k
+),
+sigarr AS (SELECT doc_id, list(h ORDER BY k) AS s FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b,
+         array_to_string(list_transform([1, 2, 3, 4],
+                                        i -> CAST(s[b * 4 + i] AS VARCHAR)), ',') AS bucket
+  FROM sigarr CROSS JOIN range(4) t(b)
+),
+bsz AS (SELECT b, bucket, count(*) AS c FROM banded GROUP BY b, bucket),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2
+  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  JOIN bsz ON bsz.b = x.b AND bsz.bucket = x.bucket
+  WHERE bsz.c > 1 AND bsz.c <= 64
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b2, count(*) AS cm
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b2
+    AND sa.shingle = sb.shingle
+  GROUP BY c.a, c.b2
+),
+ver AS (
+  SELECT CAST(cm2.a AS VARCHAR) AS s, CAST(cm2.b2 AS VARCHAR) AS d
+  FROM common cm2 JOIN sizes za ON za.doc_id = cm2.a JOIN sizes zb ON zb.doc_id = cm2.b2
+  WHERE CAST(cm2.cm AS DOUBLE) / (za.n + zb.n - cm2.cm) >= 0.7
+),
+edges AS (SELECT s, d FROM ver UNION SELECT d, s FROM ver),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+canon AS (SELECT s, least(s, min(d)) AS c FROM reach GROUP BY s),
+dropped AS (SELECT CAST(s AS BIGINT) AS doc_id FROM canon WHERE c < s)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sig = simhash_signatures(docs, "text", "doc_id")
@@ -1083,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1131,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_jaccard": _ORACLE_DEDUP_JACCARD,
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
+        "dedup_minhash_md5": _ORACLE_DEDUP_MINHASH_MD5,
         "sim_cosine_topk": _ORACLE_COSINE_TOPK,
         "sim_lsh_topk": _oracle_sim_lsh_topk(),
         "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),

@@ -81,13 +81,26 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     )
 
 
+def _xxhash_fn(col, seed: int):
+    return F.xxhash64(col, F.lit(seed))
+
+
+def md5_hash_fn(col, seed: int):
+    """Unsigned-64 word hash from md5 — slower than xxhash64 but exactly
+    reproducible in DuckDB as ('0x'||substring(md5(s||'|k'),1,16))::UBIGINT,
+    which makes the whole minhash path oracle-checkable."""
+    hex16 = F.substring(F.md5(F.concat(col, F.lit(f"|{seed}"))), 1, 16)
+    return F.conv(hex16, 16, 10).cast("decimal(20,0)")
+
+
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 32
+    shingles: DataFrame, num_hashes: int = 32, hash_fn=None
 ) -> DataFrame:
-    """(id, sig array<bigint>) — K independent min-hashes as one hash-agg
+    """(id, sig array) — K independent min-hashes as one hash-agg
     (map-side combine does the heavy lifting; single shuffle on id)."""
+    hf = hash_fn or _xxhash_fn
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        F.min(hf(F.col("shingle"), seed)).alias(f"h{seed}")
         for seed in range(num_hashes)
     ]
     sig = shingles.groupBy("id").agg(*aggs)
@@ -95,35 +108,40 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, num_hashes: int | None = None
+    signatures: DataFrame, bands: int = 8, num_hashes: int | None = None,
+    hash_bucket: bool = True,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become pairs.
 
     Pass ``num_hashes`` when known — probing it from the data costs a
     full extra evaluation of the signature pipeline.
 
+    ``hash_bucket=False`` keeps the raw joined band string as the bucket
+    key (engine-agnostic, used by the SQL-oracle path); the default
+    xxhash64 compresses it for narrower shuffles at scale.
+
     Hub defense: a degenerate bucket (boilerplate shingle sets) of size m
     produces m² pairs — buckets are capped at 64 docs (log-dropped at
     scale), mirroring the reference's silent hub caps (`utils.py:282`)."""
     n = num_hashes if num_hashes is not None else signatures.select(F.size("sig")).first()[0]
     rows = n // bands
+
+    def band_key(b):
+        joined = F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), b * rows + 1, rows),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        return F.xxhash64(joined) if hash_bucket else joined
+
     banded = signatures.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
@@ -177,16 +195,21 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    hash_fn=None,
+    hash_bucket: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline; returns df minus non-representative members
-    of each near-duplicate cluster (cluster representative = min id)."""
+    of each near-duplicate cluster (cluster representative = min id).
+
+    Defaults use xxhash64 (fastest, JVM-side); pass ``hash_fn=md5_hash_fn,
+    hash_bucket=False`` for the SQL-oracle-reproducible variant."""
     # the deduped shingle set feeds three consumers (signatures, the
     # common-shingle join, the size agg); materialize it once instead of
     # re-running the explode+distinct per branch — at cluster scale this
     # is the stage you'd persist to a checkpoint table anyway
     sh = word_shingles(df, text_col, id_col, k_shingle).localCheckpoint(eager=False)
-    sig = minhash_signatures(sh, num_hashes)
-    pairs = lsh_candidate_pairs(sig, bands, num_hashes)
+    sig = minhash_signatures(sh, num_hashes, hash_fn)
+    pairs = lsh_candidate_pairs(sig, bands, num_hashes, hash_bucket)
     verified = jaccard_verify(pairs, sh, threshold)
     edges = verified.select(
         F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
