@@ -1104,6 +1104,69 @@ def _oracle_kg_flow_digest() -> str:
                          ["VARCHAR", "BIGINT", "VARCHAR"])
 
 
+def q_kg_next_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's marquee usage query (`find_next_step.sparql`):
+    which API calls most commonly follow the `SVC` constructor through
+    flowsTo+, over the full pipeline's analysis triples.  Oracle: the
+    straight-line pipeline + Python BFS closure computes the same top-3."""
+    from graph4code_spark.plans.queries import next_steps_after
+
+    tri = q_kg_flow_triples(spark, sf_dir)
+    return next_steps_after(tri, "SVC", k=3)
+
+
+def _oracle_kg_next_steps() -> str:
+    from collections import Counter, defaultdict
+
+    from graph4code_spark.operators.flows import build_flow_catalog, extract_page_flow_nodes
+    from graph4code_spark.reference_impl.emitters import analysis_quads
+    from graph4code_spark.sources.qa import parse_qa_page
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    cat = build_flow_catalog(FIXED_CATALOG)
+    quads = set()
+    for pid in range(300):
+        page = _page_record(pid, 42, names, hub, etypes)
+        rec = parse_qa_page(page["url"], page["html"].decode("utf-8"))
+        if rec is None:
+            continue
+        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
+            quads |= analysis_quads(node)
+
+    label_p = "http://www.w3.org/2000/01/rdf-schema#label"
+    flows_p = "http://purl.org/twc/graph4code/flowsTo"
+    labels: dict[tuple[str, str], str] = {}
+    edges: dict[str, dict[str, set]] = defaultdict(lambda: defaultdict(set))
+    for s, p, o, _lit, _pos, _name, g in quads:
+        if p == label_p:
+            labels[(g, s)] = o
+        elif p == flows_p:
+            edges[g][s].add(o)
+
+    counts: Counter = Counter()
+    for g, adj in edges.items():
+        # per-graph transitive closure, BFS from every node
+        for src in list(adj):
+            seen, stack = set(), list(adj[src])
+            while stack:
+                d = stack.pop()
+                if d in seen:
+                    continue
+                seen.add(d)
+                stack.extend(adj.get(d, ()))
+            if (g, src) in labels and "SVC" in labels[(g, src)]:
+                for d in seen:
+                    if (g, d) in labels:
+                        counts[labels[(g, d)]] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    return _values_table(
+        [(lbl, c) for lbl, c in top], ["next_label", "c"], ["VARCHAR", "BIGINT"]
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, 60)
     feats = extract_media_features(media, fake=True)
@@ -1149,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_digest": q_kg_pipeline_digest,
         "kg_flow_triples": q_kg_flow_triples,
         "kg_flow_digest": q_kg_flow_digest,
+        "kg_next_steps": q_kg_next_steps,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
@@ -1197,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_flow_closure": _oracle_kg_flow_closure(),
         "kg_pipeline_digest": _oracle_kg_pipeline_digest(),
         "kg_flow_digest": _oracle_kg_flow_digest(),
+        "kg_next_steps": _oracle_kg_next_steps(),
         "graph_uri_normalize": _ORACLE_GRAPH_URI,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_groups": _ORACLE_DEDUP_GROUPS,
