@@ -1104,6 +1104,103 @@ def _oracle_kg_flow_digest() -> str:
                          ["VARCHAR", "BIGINT", "VARCHAR"])
 
 
+#: deterministic Posts.xml/Votes.xml fixture for the S1/S2/J1/J2 driver
+#: query — covers entity decoding (&amp; &lt; &#xA;), garbage lines, a
+#: question without answers, missing votes, and answer ids whose STRING
+#: sort differs from numeric ("10" < "3" < "9")
+_POSTS_XML_LINES = [
+    '<?xml version="1.0" encoding="utf-8"?>',
+    "<posts>",
+    '  <row Id="1" PostTypeId="1" AcceptedAnswerId="3" '
+    'Title="How to use pandas &amp; numpy?" '
+    'Body="I read csv&#xA;with &lt;code&gt;pd.read_csv&lt;/code&gt;" '
+    'Tags="&lt;python&gt;&lt;pandas&gt;" />',
+    '  <row Id="2" PostTypeId="1" Title="Spark question" Body="B2" '
+    'Tags="&lt;spark&gt;" />',
+    '  <row Id="3" PostTypeId="2" ParentId="1" Body="Use read_csv" />',
+    '  <row Id="10" PostTypeId="2" ParentId="1" Body="Answer ten" />',
+    '  <row Id="9" PostTypeId="2" ParentId="1" Body="Answer nine" />',
+    "</posts>",
+]
+_VOTES_XML_LINES = [
+    '<?xml version="1.0" encoding="utf-8"?>',
+    "<votes>",
+    '  <row Id="100" PostId="1" VoteTypeId="2" />',
+    '  <row Id="101" PostId="1" VoteTypeId="2" />',
+    '  <row Id="102" PostId="1" VoteTypeId="1" />',
+    '  <row Id="103" PostId="1" VoteTypeId="5" />',  # filtered (not 1/2)
+    '  <row Id="104" PostId="3" VoteTypeId="2" />',
+    '  <row Id="105" PostId="99" VoteTypeId="2" />',  # no such post
+    "</votes>",
+]
+
+
+def q_posts_xml_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+J2+J1 end-to-end: Posts.xml/Votes.xml line scans → vote
+    join → question assembly, as one driver query.  Oracle: an
+    independent `xml.etree` parse + dict assembly (the reference's
+    xmltodict shape, `utils.py:104-189`)."""
+    from graph4code_spark.sources.posts_xml import (
+        assemble_questions,
+        parse_posts_lines,
+        parse_votes_lines,
+        posts_with_votes,
+    )
+
+    posts_lines = spark.createDataFrame([(l,) for l in _POSTS_XML_LINES], "value string")
+    votes_lines = spark.createDataFrame([(l,) for l in _VOTES_XML_LINES], "value string")
+    posts = parse_posts_lines(posts_lines)
+    votes = parse_votes_lines(votes_lines)
+    q = assemble_questions(posts_with_votes(posts, votes))
+    return q.select(
+        "question_id", "title", "tags", "q_votes",
+        F.array_join(F.transform("answers", lambda a: a["aid"]), ",").alias("answer_ids"),
+        "content",
+    )
+
+
+def _oracle_posts_xml_questions() -> str:
+    import xml.etree.ElementTree as ET
+
+    def rows(lines):
+        out = []
+        for line in lines:
+            s = line.strip()
+            if not s.startswith("<row"):
+                continue
+            out.append(ET.fromstring(s).attrib)
+        return out
+
+    posts = rows(_POSTS_XML_LINES)
+    votes = rows(_VOTES_XML_LINES)
+    vc: dict[str, int] = {}
+    for v in votes:
+        if v.get("VoteTypeId") in ("1", "2"):
+            vc[v["PostId"]] = vc.get(v["PostId"], 0) + 1
+    result = []
+    for p in posts:
+        if p.get("PostTypeId") != "1":
+            continue
+        qid = p["Id"]
+        ans = sorted(
+            (a for a in posts if a.get("PostTypeId") == "2" and a.get("ParentId") == qid),
+            key=lambda a: a["Id"],  # STRING sort, matching array_sort on struct
+        )
+        title, body, tags = p.get("Title", ""), p.get("Body", ""), p.get("Tags", "")
+        content = title + " " + body + " " + tags + "".join(a.get("Body", "") for a in ans)
+        result.append((
+            qid, title, tags,
+            str(vc[qid]) if qid in vc else "",
+            ",".join(a["Id"] for a in ans),
+            content,
+        ))
+    return _values_table(
+        result,
+        ["question_id", "title", "tags", "q_votes", "answer_ids", "content"],
+        ["VARCHAR"] * 6,
+    )
+
+
 def q_kg_next_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's marquee usage query (`find_next_step.sparql`):
     which API calls most commonly follow the `SVC` constructor through
@@ -1213,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_flow_triples": q_kg_flow_triples,
         "kg_flow_digest": q_kg_flow_digest,
         "kg_next_steps": q_kg_next_steps,
+        "posts_xml_questions": q_posts_xml_questions,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
@@ -1262,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_digest": _oracle_kg_pipeline_digest(),
         "kg_flow_digest": _oracle_kg_flow_digest(),
         "kg_next_steps": _oracle_kg_next_steps(),
+        "posts_xml_questions": _oracle_posts_xml_questions(),
         "graph_uri_normalize": _ORACLE_GRAPH_URI,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_groups": _ORACLE_DEDUP_GROUPS,
