@@ -39,6 +39,13 @@ _ASSIGN_RE = re.compile(r"^\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*=[^=]")
 _STR_ARG = re.compile(r"^(?:'([^']*)'|\"([^\"]*)\")$")
 _NUM_ARG = re.compile(r"^-?\d+(?:\.\d+)?$")
 _NAMED_ARG = re.compile(r"^([A-Za-z_]\w*)\s*=\s*(.+)$")
+_ATTR_WRITE_RE = re.compile(r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=[^=]")
+_SUBSCR_WRITE_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\[\s*(?:'([^']*)'|\"([^\"]*)\")\s*\]\s*=[^=]"
+)
+_ATTR_READ_RE = re.compile(
+    r"(?<![\w.])([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?![\w.])(?!\s*\()"
+)
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -84,10 +91,16 @@ def _call_args(line: str, m: re.Match) -> str:
 
 
 def build_flow_catalog(records: list[dict]):
-    """(qualified-name index, class→methods, module set) for recognition."""
+    """(qualified-name index, class→methods, module set, tail index) for
+    recognition.  ``tail_first`` maps a bare tail token to the FIRST
+    catalog entry whose qualified name ends in it — precomputed here so
+    the per-call suffix probe is O(1) instead of an O(|catalog|) sweep
+    (the reference's real catalog has 5.8M methods, `docs/index.md:40`;
+    a linear scan per candidate call would be a 100×-scale killer)."""
     by_name: dict[str, list[str]] = {}
     methods_of: dict[str, dict[str, list[str]]] = {}
     modules: set[str] = set()
+    tail_first: dict[str, tuple[str, list[str]]] = {}
     for rec in records:
         name = entity_name(rec)
         path = name.split(".")
@@ -95,7 +108,10 @@ def build_flow_catalog(records: list[dict]):
         modules.add(path[0])
         if entity_type(rec) == "method":
             methods_of.setdefault(rec["klass"], {})[rec["function"]] = path
-    return by_name, methods_of, modules
+        tail = path[-1]
+        if tail not in tail_first:
+            tail_first[tail] = (name, path)
+    return by_name, methods_of, modules, tail_first
 
 
 def extract_page_flow_nodes(
@@ -104,8 +120,8 @@ def extract_page_flow_nodes(
     """Straight-line per-page flow-node extraction (the worker the Arrow
     UDF batches over; also callable directly for golden-oracle paths).
     ``flow_catalog`` = `build_flow_catalog(records)`."""
-    by_name, methods_of, modules = flow_catalog
-    return _page_nodes(url, codes, by_name, methods_of, modules)
+    by_name, methods_of, modules, tail_first = flow_catalog
+    return _page_nodes(url, codes, by_name, methods_of, modules, tail_first)
 
 
 def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
@@ -127,8 +143,9 @@ def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
     return qa.select("url", "codes").mapInPandas(run, schema=ANALYSIS_NODES_SCHEMA)
 
 
-def _page_nodes(url, codes, by_name, methods_of, modules):
+def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
         nodes: list[dict] = []
+        idx_of: dict[int, int] = {}  # node_number -> index in `nodes` (O(1) edge wiring)
         counter = 0
         for code in codes or []:
             lines = code.split("\n")
@@ -167,6 +184,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules):
                         prev_in_snippet
                     ]["immediately_precedes"] + [n["node_number"]]
                 prev_in_snippet = len(nodes)
+                idx_of[n["node_number"]] = len(nodes)
                 nodes.append(n)
                 return n
 
@@ -193,20 +211,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules):
                         if recv in var_klass and meth in methods_of.get(var_klass[recv], {}):
                             path = methods_of[var_klass[recv]][meth]
                             recv_node = var_producer.get(recv)
-                    if path is None:
-                        # suffix match: bare class/func tail used after import
-                        for qual, p in by_name.items():
-                            if cname == qual.split(".")[-1] and "." not in cname:
-                                path = p
-                                if qual in methods_of:
-                                    produced_klass = qual
-                                break
+                    if path is None and "." not in cname:
+                        # suffix match: bare class/func tail used after
+                        # import — O(1) probe of the precomputed tail index
+                        # (first catalog entry wins, matching the original
+                        # insertion-order scan)
+                        hit = tail_first.get(cname)
+                        if hit is not None:
+                            qual, path = hit
+                            if qual in methods_of:
+                                produced_klass = qual
                     if path is None:
                         continue
                     node = new_node(list(path), ln, line, m.group(0).rstrip("( \t") + "(...)")
                     # receiver dataflow at ordinal 0 (reference DATA-0)
                     if recv_node is not None:
-                        src = nodes[_node_index(nodes, recv_node)]
+                        src = nodes[idx_of[recv_node]]
                         src["flows_to"] = _append_flow(src["flows_to"], "0", node["node_number"])
                     # args: constants + variable dataflow (receiver=0 ⇒ args 1..n)
                     args = _split_args(_call_args(line, m))
@@ -228,7 +248,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules):
                         elif _NUM_ARG.match(a):
                             node["constant_positional_args"][str(pos)] = a
                         elif a in var_producer:
-                            src = nodes[_node_index(nodes, var_producer[a])]
+                            src = nodes[idx_of[var_producer[a]]]
                             src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
                     if lhs_vars:
                         node["value_names"] = lhs_vars
@@ -236,15 +256,33 @@ def _page_nodes(url, codes, by_name, methods_of, modules):
                             var_producer[v] = node["node_number"]
                             if produced_klass:
                                 var_klass[v] = produced_klass
+                # reads/writes on values produced by recognized calls
+                # (honest G2 subset of `PythonTurtleAnalysisEngine.java:
+                # 1892-1954`'s AstPropertyRead/Write handling): an
+                # attribute or string-subscript assignment on a tracked
+                # variable is a write on its producer node; a bare
+                # attribute access (not a call, not a dotted chain) is a
+                # read.  All-digit fields are skipped — the emitters
+                # interpret digit fields as node references
+                # (`…Engine.java:400-414`), which this extractor cannot
+                # honestly produce from a snippet.
+                wm = _ATTR_WRITE_RE.match(line)
+                w_field = wm.group(2) if wm else None
+                if wm is None:
+                    sm2 = _SUBSCR_WRITE_RE.match(line)
+                    if sm2:
+                        wm = sm2
+                        w_field = sm2.group(2) if sm2.group(2) is not None else sm2.group(3)
+                if wm and w_field and not w_field.isdigit() and wm.group(1) in var_producer:
+                    src = nodes[idx_of[var_producer[wm.group(1)]]]
+                    src["writes"] = src["writes"] + [{"container": None, "field": w_field}]
+                for rm in _ATTR_READ_RE.finditer(line):
+                    if wm is not None and rm.start(1) == wm.start(1):
+                        continue  # the write target itself is not a read
+                    if rm.group(1) in var_producer:
+                        src = nodes[idx_of[var_producer[rm.group(1)]]]
+                        src["reads"] = src["reads"] + [{"container": None, "field": rm.group(2)}]
         return nodes
-
-
-def _node_index(nodes: list[dict], node_number: int) -> int:
-    # node_number is global per page; nodes list holds them in order
-    for i in range(len(nodes) - 1, -1, -1):
-        if nodes[i]["node_number"] == node_number:
-            return i
-    raise KeyError(node_number)
 
 
 def _append_flow(flows: dict, key: str, dst: int) -> dict:

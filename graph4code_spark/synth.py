@@ -286,14 +286,24 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             if decoy:
                 body_code = "obj = " + parts[-1] + "(data)\n"
             elif etypes.get(e) == "method" and len(parts) > 1:
-                # method-shaped: ctor + receiver call (flowsTo-0 chain)
+                # method-shaped: ctor + receiver call (flowsTo-0 chain),
+                # plus an attribute read + subscript write on tracked
+                # values (~half the snippets) so the G2 reads/writes
+                # subset is exercised end-to-end
                 klass, meth = ".".join(parts[:-1]), parts[-1]
                 body_code = (
                     "obj = " + klass + "(data)\n"
                     + "result = obj." + meth + "(x, 3)\n"
                 )
+                if _h(seed, page_id, "rw", a) % 2 == 0:
+                    body_code += (
+                        "print(result.shape)\n"
+                        + "obj['col'] = result\n"
+                    )
             else:
                 body_code = "out = " + e + "('input.csv')\n"
+                if _h(seed, page_id, "rw", a) % 3 == 0:
+                    body_code += "out.columns = ['a']\n"
             abody += "<pre><code>import " + mod + "\n" + body_code + "</code></pre>"
         else:
             abody += "<code>x = 1</code>"  # single-line -> filtered out
