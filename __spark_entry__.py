@@ -396,15 +396,18 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 chunks of 8 bits → pigeonhole-guaranteed recall for Hamming ≤ 7
+    (4×16 chunks only guarantee ≤ 3; the previous max_hamming=8 over
+    4 chunks silently missed pairs differing in every chunk)."""
     docs = _t(spark, sf_dir, "documents")
     sig = simhash_signatures(docs, "text", "doc_id")
-    return simhash_candidates(sig, max_hamming=8).select(
+    return simhash_candidates(sig, max_hamming=7, n_chunks=8).select(
         "a", "b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
 # full SimHash recomputation in SQL: md5-low-64 word hash, per-bit ±1
-# votes, sign bits -> signed 64-bit signature, pigeonhole 16-bit chunk
+# votes, sign bits -> signed 64-bit signature, pigeonhole 8-bit chunk
 # join, Hamming via bit_count(xor).
 _ORACLE_DEDUP_SIMHASH = """
 WITH words AS (
@@ -426,15 +429,15 @@ WITH words AS (
   SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
   FROM documents d LEFT JOIN sigs0 s USING (doc_id)
 ), chunks AS (
-  SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS val
-  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS c)
+  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS val
+  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS c)
 ), pairs AS (
   SELECT DISTINCT ca.doc_id AS a, cb.doc_id AS b, ca.simhash AS ha, cb.simhash AS hb
   FROM chunks ca JOIN chunks cb
     ON ca.c = cb.c AND ca.val = cb.val AND ca.doc_id < cb.doc_id
 )
 SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 7
 """
 
 
@@ -1347,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_description": q_longest_description,
         "shape_dims": q_shape_dims,
         "graph_uri_normalize": q_graph_uri_normalize,
+        "kg_patched_types": q_kg_patched_types,
     }
 
 
@@ -1391,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_modules": _oracle_merge_modules(),
         "longest_description": _ORACLE_LONGEST_DESC,
         "shape_dims": _oracle_shape_dims(),
+        "kg_patched_types": _oracle_kg_patched_types(),
     }
 
 
@@ -1551,4 +1556,95 @@ SELECT doc_id,
        'http://github.example/repo/path%20' || source || '/%EF%AC%81le'
          || CAST(doc_id AS VARCHAR) AS graph_uri
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5: patch_types — attach inferred_type by searching known class names in
+# raw param/return type strings (round-2 addition)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_patched_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 as a real broadcast join (`inspect_docstrings_per_module.py:
+    453-501`): tokenize every typed param/return slot's raw type string,
+    equi-join tokens against the broadcast (class, tail-token) table,
+    append sorted distinct hits to the existing inferred_type.  The
+    DuckDB oracle recomputes the attach from the same raw type strings
+    in SQL (tokenize + join + group)."""
+    from graph4code_spark.operators.patch_types import patch_type_slots
+
+    cat = catalog_df(spark)
+    out = patch_type_slots(cat)
+    empty = F.array().cast("array<string>")
+    return out.select(
+        "key", "slot", "type_string",
+        F.array_join(F.coalesce("existing", empty), ",").alias("existing"),
+        F.array_join("additions", ",").alias("additions"),
+        F.array_join(F.coalesce("inferred_type", empty), ",").alias("inferred"),
+    )
+
+
+def _oracle_kg_patched_types() -> str:
+    from graph4code_spark.operators.patch_types import BASE_TYPES
+
+    # raw typed slots, straight-line from the fixture catalog (data
+    # extraction only — the attach itself happens in SQL below)
+    raw = []
+    for rec in FIXED_CATALOG:
+        key = entity_name(rec)
+        for pname, pinfo in (rec.get("param_map") or {}).items():
+            if pinfo.get("type") is not None:
+                raw.append((key, "param:" + pname, pinfo["type"],
+                            ",".join(pinfo.get("inferred_type") or [])))
+        rm = rec.get("return_map")
+        if rm is not None and rm.get("type") is not None:
+            raw.append((key, "return", rm["type"],
+                        ",".join(rm.get("inferred_type") or [])))
+    classes = sorted(
+        {r["klass"] for r in FIXED_CATALOG if r.get("klass")} | set(BASE_TYPES)
+    )
+    raw_vals = ",\n".join(
+        f"({_sql_quote(k)}, {_sql_quote(s)}, {_sql_quote(t)}, {_sql_quote(e)})"
+        for k, s, t, e in raw
+    )
+    cls_vals = ", ".join(f"({_sql_quote(c)})" for c in classes)
+    return f"""
+WITH raw(key, slot, type_string, existing) AS (VALUES
+{raw_vals}
+),
+cls(class_name) AS (VALUES {cls_vals}),
+cls_t AS (
+  SELECT class_name,
+         lower(list_extract(string_split(class_name, '.'), -1)) AS tail
+  FROM cls
+  WHERE lower(list_extract(string_split(class_name, '.'), -1)) <> ''
+),
+tok AS (
+  SELECT DISTINCT key, slot,
+         unnest(list_filter(string_split_regex(lower(type_string), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM raw
+),
+hits AS (
+  SELECT key, slot,
+         CASE WHEN slot = 'return' THEN
+           CASE class_name WHEN 'boolean' THEN 'bool'
+                           WHEN 'integer' THEN 'int'
+                           WHEN 'string' THEN 'str'
+                           ELSE class_name END
+         ELSE class_name END AS hit
+  FROM tok JOIN cls_t ON tok.tok = cls_t.tail
+),
+agg AS (
+  SELECT key, slot,
+         array_to_string(list_sort(list(DISTINCT hit)), ',') AS additions
+  FROM hits GROUP BY key, slot
+)
+SELECT r.key, r.slot, r.type_string, r.existing,
+       coalesce(a.additions, '') AS additions,
+       CASE WHEN r.existing = '' THEN coalesce(a.additions, '')
+            WHEN coalesce(a.additions, '') = '' THEN r.existing
+            ELSE r.existing || ',' || a.additions END AS inferred
+FROM raw r LEFT JOIN agg a USING (key, slot)
 """

@@ -120,11 +120,24 @@ def materialize_triples_iceberg(
             .using("iceberg")
             .createOrReplace()
         )
-    except Exception as e:  # noqa: BLE001 — surface a setup hint, keep cause
-        raise RuntimeError(
-            f"Iceberg write to '{table}' failed — this Spark session has no "
-            "Iceberg catalog. Configure spark.sql.catalog.<name>=org.apache."
-            "iceberg.spark.SparkCatalog with iceberg-spark-runtime on the "
-            "classpath, or use materialize_triples() (identical parquet "
-            "layout) instead."
-        ) from e
+    except Exception as e:
+        # Only translate catalog-resolution failures into the setup hint;
+        # schema/IO/permission errors re-raise untouched so the real
+        # diagnosis isn't masked.
+        msg = str(e)
+        catalog_markers = (
+            "CATALOG_NOT_FOUND", "Catalog not found", "is not a valid Spark catalog",
+            "Cannot find catalog plugin", "NoSuchCatalogException",
+            "Multi-catalog support", "iceberg", "Iceberg",
+        )
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException) and any(m in msg for m in catalog_markers):
+            raise RuntimeError(
+                f"Iceberg write to '{table}' failed — this Spark session has no "
+                "Iceberg catalog. Configure spark.sql.catalog.<name>=org.apache."
+                "iceberg.spark.SparkCatalog with iceberg-spark-runtime on the "
+                "classpath, or use materialize_triples() (identical parquet "
+                "layout) instead."
+            ) from e
+        raise

@@ -261,10 +261,24 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def simhash_candidates(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pigeonhole: split 64 bits into 4 chunks; any pair within Hamming
-    distance ≤ 3 shares at least one exact chunk → equality join per
-    chunk, then exact Hamming verification via bit_count(xor)."""
+def simhash_candidates(
+    signatures: DataFrame, max_hamming: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """Pigeonhole: split 64 bits into ``n_chunks`` equal chunks; any pair
+    within Hamming distance ≤ n_chunks-1 shares at least one exact chunk
+    → equality join per chunk, then exact Hamming verification via
+    bit_count(xor).  Recall is only guaranteed for
+    ``max_hamming <= n_chunks - 1`` — a larger ``max_hamming`` silently
+    misses pairs that differ in every chunk, so it is rejected here."""
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole recall guarantee requires max_hamming <= n_chunks-1 "
+            f"(got max_hamming={max_hamming}, n_chunks={n_chunks})"
+        )
+    if 64 % n_chunks:
+        raise ValueError(f"n_chunks must divide 64 (got {n_chunks})")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     chunks = signatures.select(
         "id",
         "simhash",
@@ -273,9 +287,9 @@ def simhash_candidates(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                        F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cv"),

@@ -119,10 +119,18 @@ def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     config: PipelineConfig,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Pages → final quad table. Returns the materialized triples."""
+    """Pages → final quad table. Returns the materialized triples.
+
+    ``stats``, when given, is filled with {"executed": [stage, ...]} —
+    the stages actually recomputed this run (empty on a full resume), so
+    callers can assert resume semantics directly instead of inferring
+    them from wall-clock."""
     cfg = config
     runner = StageRunner(spark, cfg.out_dir, cfg.fingerprint())
+    if stats is not None:
+        stats["executed"] = runner.executed
     records = cfg.catalog_records
 
     qa = runner.run("01_qa", lambda: extract_qa(pages))

@@ -34,9 +34,12 @@ def _xml_unescape(col):
 
 
 def _attr(name: str):
-    # XML attribute value; '' when absent (reference uses el.get(k, ''))
+    # XML attribute value; '' when absent (reference uses el.get(k, '')).
+    # The name is boundary-anchored: an unanchored `Id="` would match the
+    # tail of PostTypeId=/ParentId=/AcceptedAnswerId= when Id is absent
+    # or attributes are reordered.
     return _xml_unescape(
-        F.regexp_extract(F.col("value"), f'{name}="([^"]*)"', 1)
+        F.regexp_extract(F.col("value"), f'(?<![A-Za-z]){name}="([^"]*)"', 1)
     ).alias(name)
 
 
@@ -49,8 +52,8 @@ def parse_posts_lines(lines: DataFrame) -> DataFrame:
 def parse_votes_lines(lines: DataFrame) -> DataFrame:
     rows = lines.where(F.trim(F.col("value")).startswith("<row"))
     return rows.select(
-        F.regexp_extract("value", 'PostId="([^"]*)"', 1).alias("PostId"),
-        F.regexp_extract("value", 'VoteTypeId="([^"]*)"', 1).alias("VoteTypeId"),
+        F.regexp_extract("value", '(?<![A-Za-z])PostId="([^"]*)"', 1).alias("PostId"),
+        F.regexp_extract("value", '(?<![A-Za-z])VoteTypeId="([^"]*)"', 1).alias("VoteTypeId"),
     ).where(F.col("PostId") != "")
 
 

@@ -107,7 +107,8 @@ def main() -> None:
 
     t0 = time.time()
     cfg = PipelineConfig(out_dir=args.out_dir, cap=args.cap, buckets=args.buckets)
-    triples = run_pipeline(spark, pages, cfg)
+    stats: dict = {}
+    triples = run_pipeline(spark, pages, cfg, stats=stats)
     n = triples.count()
     wall = time.time() - t0
 
@@ -126,6 +127,8 @@ def main() -> None:
             k: {"rows": v.get("rows"), "wall_sec": v.get("wall_sec")}
             for k, v in sorted(manifest.items())
         },
+        # stages recomputed THIS run (empty list == full manifest resume)
+        "executed": stats.get("executed", []),
     }
     print(json.dumps(result))
     spark.stop()

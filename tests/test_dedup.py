@@ -102,7 +102,9 @@ def test_simhash_near_vs_far(spark):
         [(0, base), (1, base), (2, near), (3, far)], "doc_id long, text string"
     )
     sig = simhash_signatures(d, "text", "doc_id")
-    cand = {(r.a, r.b): r.hamming for r in simhash_candidates(sig, max_hamming=12).collect()}
+    # 16 chunks of 4 bits guarantee recall for hamming <= 15
+    cand = {(r.a, r.b): r.hamming
+            for r in simhash_candidates(sig, max_hamming=12, n_chunks=16).collect()}
     assert cand[(0, 1)] == 0           # identical docs, identical signature
     assert (0, 2) in cand              # one-word edit stays within hamming 12
     assert (0, 3) not in cand          # unrelated docs differ widely

@@ -44,7 +44,13 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert "01_qa" in first["stages"] and "triples" in first["stages"]
 
     # kill-free resume check: rerun with the manifest in place — stages are
-    # read back, not recomputed, and the final table is identical
+    # read back, not recomputed, and the final table is identical.  Assert
+    # resume semantics directly (every stage marked resumed), not strict
+    # wall-clock ordering: this VM's run-to-run variance is 2-4x, so a
+    # throttled second JVM can be slower than a warm first one.
     second = submit()
     assert second["n_triples"] == first["n_triples"]
-    assert second["wall_sec"] < first["wall_sec"]
+    assert first["executed"], "first run should have computed stages"
+    assert second["executed"] == [], f"resume recomputed {second['executed']}"
+    # read-back stages are byte-identical manifest entries
+    assert second["stages"] == first["stages"]
