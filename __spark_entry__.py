@@ -1351,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_dims": q_shape_dims,
         "graph_uri_normalize": q_graph_uri_normalize,
         "kg_patched_types": q_kg_patched_types,
+        "kg_rst_docstrings": q_kg_rst_docstrings,
     }
 
 
@@ -1396,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         "longest_description": _ORACLE_LONGEST_DESC,
         "shape_dims": _oracle_shape_dims(),
         "kg_patched_types": _oracle_kg_patched_types(),
+        "kg_rst_docstrings": _oracle_kg_rst_docstrings(),
     }
 
 
@@ -1648,3 +1650,111 @@ SELECT r.key, r.slot, r.type_string, r.existing,
             ELSE r.existing || ',' || a.additions END AS inferred
 FROM raw r LEFT JOIN agg a USING (key, slot)
 """
+
+
+# ---------------------------------------------------------------------------
+# X5: RST/Napoleon docstring parsing (round-2 addition)
+# ---------------------------------------------------------------------------
+
+#: messy docstring fixtures: type-before-param, colon-in-doc (greedy-name
+#: quirk), params with no returns (final param dropped), NumPy style with
+#: shapes/optional, Google style, plain prose, :rtype termination,
+#: multi-shape dimensionality
+_RST_FIXTURES = [
+    "Do a thing.\n\n:type x: int, optional\n:param x: the x value\n"
+    "  spans two lines\n:param y: the y\n:type y: str\n"
+    ":returns: a result\n:rtype: bool",
+    "Head.\n\n:param x: maps a: b pairs\n:param y: simple\n"
+    ":returns: r\n:rtype: t",
+    ":param a: first\n:param b: second (lost)",
+    "Fit the model.\n\nParameters\n----------\n"
+    "X : array-like, shape (n_samples, n_features)\n    Training vectors.\n"
+    "    More detail.\ny : array-like, shape (n_samples,), optional\n"
+    "    Target values.\n\nReturns\n-------\nself : object\n"
+    "    Fitted estimator.\n",
+    "Send a request.\n\nArgs:\n    url (str): the URL.\n"
+    "    timeout (float, optional): seconds\n        with continuation.\n\n"
+    "Returns:\n    Response: the response object.\n",
+    "Just a description.\nSecond line.",
+    ":param q: doc\n:returns: out\n:rtype: int\n:param z: never seen",
+    "Compute.\n\nParameters\n----------\n"
+    "M : ndarray, shape (3, 3) or shape (2, 2)\n    A matrix.\n"
+    "flag : bool\n    A flag.\n\nReturns\n-------\nint\n"
+    "    Count of things\n    over lines.\n",
+]
+
+
+def q_kg_rst_docstrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: parse raw docstring text (NumPy/Google/RST styles) into
+    function_doc + param/return maps via one Arrow-batched pass
+    (`inspect_docstrings_per_module.py:27-109,337-399`), flattened to
+    rows.  Oracle: an independently-written straight-line transcription
+    (`reference_impl/rst_oracle.py`) over the same fixtures."""
+    from graph4code_spark.docparse import parse_docstrings
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_RST_FIXTURES)], "id long, text string"
+    )
+    parsed = parse_docstrings(df, "text", "id")
+    doc_rows = parsed.select(
+        "id", F.lit("doc").alias("slot"), F.lit("").alias("name"),
+        F.coalesce("function_doc", F.lit("")).alias("doc"),
+        F.lit("").alias("typ"),
+        F.lit(None).cast("boolean").alias("optional"),
+        F.lit("").alias("dims"),
+    )
+    p = F.col("p")
+    param_rows = (
+        parsed.select("id", F.explode("param_map").alias("name", "p"))
+        .select(
+            "id", F.lit("param").alias("slot"), "name",
+            F.coalesce(p["param_doc"], F.lit("")).alias("doc"),
+            F.coalesce(p["type"], F.lit("")).alias("typ"),
+            p["optional"].alias("optional"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(p["dimensionality"], lambda x: x.cast("string")), ","
+                ),
+                F.lit(""),
+            ).alias("dims"),
+        )
+    )
+    ret_rows = (
+        parsed.where(F.col("return_map").isNotNull())
+        .select(
+            "id", F.lit("return").alias("slot"), F.lit("").alias("name"),
+            F.col("return_map.doc").alias("doc"),
+            F.col("return_map.type").alias("typ"),
+            F.lit(None).cast("boolean").alias("optional"),
+            F.lit("").alias("dims"),
+        )
+    )
+    return doc_rows.unionByName(param_rows).unionByName(ret_rows)
+
+
+def _oracle_kg_rst_docstrings() -> str:
+    from graph4code_spark.reference_impl.rst_oracle import (
+        oracle_dimensionality,
+        oracle_find_optional,
+        oracle_parse_docstring,
+    )
+
+    rows = []
+    for i, text in enumerate(_RST_FIXTURES):
+        fdoc, p2d, p2t, rmap = oracle_parse_docstring(text)
+        rows.append((i, "doc", "", fdoc or "", "", None, ""))
+        for pname, pdoc in (p2d or {}).items():
+            t = (p2t or {}).get(pname)
+            optional = True if (t is not None and oracle_find_optional(t)) else None
+            dims = oracle_dimensionality(t) if t is not None else None
+            rows.append((
+                i, "param", pname, pdoc or "", t or "", optional,
+                ",".join(str(d) for d in dims) if dims else "",
+            ))
+        if rmap is not None:
+            rows.append((i, "return", "", rmap["doc"], rmap["type"], None, ""))
+    return _values_table(
+        rows,
+        ["id", "slot", "name", "doc", "typ", "optional", "dims"],
+        ["BIGINT", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "BOOLEAN", "VARCHAR"],
+    )
