@@ -1352,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_uri_normalize": q_graph_uri_normalize,
         "kg_patched_types": q_kg_patched_types,
         "kg_rst_docstrings": q_kg_rst_docstrings,
+        "kg_golden_nq": q_kg_golden_nq,
     }
 
 
@@ -1398,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "shape_dims": _oracle_shape_dims(),
         "kg_patched_types": _oracle_kg_patched_types(),
         "kg_rst_docstrings": _oracle_kg_rst_docstrings(),
+        "kg_golden_nq": _oracle_kg_golden_nq(),
     }
 
 
@@ -1757,4 +1759,69 @@ def _oracle_kg_rst_docstrings() -> str:
         rows,
         ["id", "slot", "name", "doc", "typ", "optional", "dims"],
         ["BIGINT", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "BOOLEAN", "VARCHAR"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-quads golden parity (round-2 addition)
+# ---------------------------------------------------------------------------
+
+_GOLDEN_NQ = "/root/reference/sample_graph/example1.nq"
+
+
+def q_kg_golden_nq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the reference's shipped example1.nq (615 quads incl. RDF*
+    `<< s p o >>` annotations) with the column-expression N-Quads parser
+    and aggregate per predicate.  Oracle: an independent `re`-based
+    Python parse of the same file."""
+    from graph4code_spark.nq import parse_nq_lines
+
+    g = parse_nq_lines(spark.read.text(_GOLDEN_NQ))
+    return g.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_literal"), 1).otherwise(0)).cast("long").alias("n_lit"),
+        F.sum(
+            F.when(
+                F.col("arg_pos").isNotNull() | F.col("arg_name").isNotNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_ann"),
+        F.count_distinct("subj").alias("n_subj"),
+    )
+
+
+def _oracle_kg_golden_nq() -> str:
+    import re
+    from collections import defaultdict
+
+    lit = r'[^"\\]*(?:\\.[^"\\]*)*'
+    obj = rf'(<[^>]*>|"{lit}"(?:\^\^<[^>]*>)?)'
+    plain = re.compile(rf"^<([^>]*)> <([^>]*)> {obj} <([^>]*)> \.$")
+    ann = re.compile(
+        rf'^<< <([^>]*)> <([^>]*)> {obj} >> <([^>]*)> "({lit})" <([^>]*)> \.$'
+    )
+    per: dict[str, list] = defaultdict(lambda: [0, 0, 0, set()])
+    with open(_GOLDEN_NQ) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            m = ann.match(line)
+            annotated = m is not None
+            if m is None:
+                m = plain.match(line)
+            assert m is not None, line
+            subj, pred, o = m.group(1), m.group(2), m.group(3)
+            e = per[pred]
+            e[0] += 1
+            e[1] += 1 if o.startswith('"') else 0
+            e[2] += 1 if annotated else 0
+            e[3].add(subj)
+    rows = [
+        (pred, n, n_lit, n_ann, len(subjs))
+        for pred, (n, n_lit, n_ann, subjs) in sorted(per.items())
+    ]
+    return _values_table(
+        rows,
+        ["pred", "n", "n_lit", "n_ann", "n_subj"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
     )
