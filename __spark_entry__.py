@@ -1353,6 +1353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patched_types": q_kg_patched_types,
         "kg_rst_docstrings": q_kg_rst_docstrings,
         "kg_golden_nq": q_kg_golden_nq,
+        "top_modules": q_top_modules,
+        "posts_xml_volume": q_posts_xml_volume,
+        "posts_xml_volume_agg": q_posts_xml_volume_agg,
     }
 
 
@@ -1400,6 +1403,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_patched_types": _oracle_kg_patched_types(),
         "kg_rst_docstrings": _oracle_kg_rst_docstrings(),
         "kg_golden_nq": _oracle_kg_golden_nq(),
+        "top_modules": _oracle_top_modules(),
+        "posts_xml_volume": _oracle_posts_xml_volume(),
+        "posts_xml_volume_agg": _oracle_posts_xml_volume_agg(),
     }
 
 
@@ -1824,4 +1830,177 @@ def _oracle_kg_golden_nq() -> str:
         rows,
         ["pred", "n", "n_lit", "n_ann", "n_subj"],
         ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: top modules as a driver query (round-2 addition)
+# ---------------------------------------------------------------------------
+
+
+def q_top_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 import counting (with the reference's off-by-one parity quirk,
+    `generate_top_modules.py:96-99`) + A3 top-K, over the synth corpus's
+    flow nodes.  Oracle: straight-line count over the same per-page
+    extraction worker."""
+    from graph4code_spark.operators.flows import extract_flow_nodes
+    from graph4code_spark.operators.topmodules import top_modules
+    from graph4code_spark.sources.qa import extract_qa
+
+    pages = synth_pages(spark, 300, seed=42)
+    nodes = extract_flow_nodes(extract_qa(pages), FIXED_CATALOG)
+    return top_modules(nodes, k=5, parity=True).select(
+        "module", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def _oracle_top_modules() -> str:
+    from collections import Counter
+
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+    from graph4code_spark.operators.topmodules import BUILTIN_MODULES
+    from graph4code_spark.sources.qa import parse_qa_page
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    cat = build_flow_catalog(FIXED_CATALOG)
+    counts: Counter = Counter()
+    for pid in range(300):
+        page = _page_record(pid, 42, names, hub, etypes)
+        rec = parse_qa_page(page["url"], page["html"].decode("utf-8"))
+        if rec is None:
+            continue
+        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
+            if node["is_import"] and node["path_end"] not in BUILTIN_MODULES:
+                counts[node["path_end"]] += 1
+    top = sorted(((m, c - 1) for m, c in counts.items()),
+                 key=lambda mc: (-mc[1], mc[0]))[:5]
+    return _values_table(top, ["module", "cnt"], ["VARCHAR", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# S1/S2/J1/J2 at volume: synthetic Posts.xml/Votes.xml dumps (round-2)
+# ---------------------------------------------------------------------------
+
+_POSTS_VOLUME_N = 8000
+
+
+def _posts_volume_questions(spark: SparkSession, n: int = _POSTS_VOLUME_N):
+    from graph4code_spark.sources.posts_xml import (
+        assemble_questions,
+        parse_posts_lines,
+        parse_votes_lines,
+        posts_with_votes,
+        synth_posts_lines,
+    )
+
+    posts_l, votes_l = synth_posts_lines(spark, n, seed=42)
+    posts = parse_posts_lines(posts_l)
+    votes = parse_votes_lines(votes_l)
+    return assemble_questions(posts_with_votes(posts, votes))
+
+
+def q_posts_xml_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Posts.xml path at volume (8k questions, ~12k answers,
+    ~25k vote rows, distributed line generation) with a 1-in-40 sampled
+    row-level oracle: the straight-line oracle regenerates the same
+    lines per question id and re-assembles with xml.etree."""
+    q = _posts_volume_questions(spark)
+    return q.where((F.col("question_id").cast("long") % 40) == 0).select(
+        "question_id", "title", "tags", "q_votes",
+        F.array_join(F.transform("answers", lambda a: a["aid"]), ",").alias("answer_ids"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+def q_posts_xml_volume_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global invariants over the full 8k-question assembly."""
+    q = _posts_volume_questions(spark)
+    return q.agg(
+        F.count(F.lit(1)).alias("n_questions"),
+        F.sum(F.size("answers")).cast("long").alias("n_answers"),
+        F.sum(F.when(F.col("q_votes") != "", 1).otherwise(0)).cast("long").alias("n_with_votes"),
+        F.sum(
+            F.when(F.col("q_votes") != "", F.col("q_votes").cast("long")).otherwise(0)
+        ).cast("long").alias("total_q_votes"),
+    )
+
+
+def _posts_volume_oracle_rows(n: int = _POSTS_VOLUME_N):
+    import hashlib
+    import xml.etree.ElementTree as ET
+
+    from graph4code_spark.sources.posts_xml import question_block_lines
+
+    posts, votes = [], []
+    for i in range(n):
+        p, v = question_block_lines(i, 42)
+        posts.extend(p)
+        votes.extend(v)
+
+    def rows(lines):
+        out = []
+        for line in lines:
+            s = line.strip()
+            if not s.startswith("<row"):
+                continue
+            out.append(ET.fromstring(s).attrib)
+        return out
+
+    prows, vrows = rows(posts), rows(votes)
+    vc: dict[str, int] = {}
+    for v in vrows:
+        if v.get("VoteTypeId") in ("1", "2"):
+            vc[v["PostId"]] = vc.get(v["PostId"], 0) + 1
+    by_parent: dict[str, list] = {}
+    for a in prows:
+        if a.get("PostTypeId") == "2":
+            by_parent.setdefault(a.get("ParentId"), []).append(a)
+    out = []
+    for p in prows:
+        if p.get("PostTypeId") != "1":
+            continue
+        qid = p["Id"]
+        ans = sorted(by_parent.get(qid, []), key=lambda a: a["Id"])  # STRING sort
+        title, body, tags = p.get("Title", ""), p.get("Body", ""), p.get("Tags", "")
+        content = title + " " + body + " " + tags + "".join(a.get("Body", "") for a in ans)
+        out.append({
+            "question_id": qid, "title": title, "tags": tags,
+            "q_votes": str(vc[qid]) if qid in vc else "",
+            "answer_ids": ",".join(a["Id"] for a in ans),
+            "n_answers": len(ans),
+            "content_md5": hashlib.md5(content.encode("utf-8")).hexdigest(),
+        })
+    return out
+
+
+def _oracle_posts_xml_volume() -> str:
+    rows = [
+        (r["question_id"], r["title"], r["tags"], r["q_votes"],
+         r["answer_ids"], r["content_md5"])
+        for r in _posts_volume_oracle_rows()
+        if int(r["question_id"]) % 40 == 0
+    ]
+    return _values_table(
+        rows,
+        ["question_id", "title", "tags", "q_votes", "answer_ids", "content_md5"],
+        ["VARCHAR"] * 6,
+    )
+
+
+def _oracle_posts_xml_volume_agg() -> str:
+    rows = _posts_volume_oracle_rows()
+    n_q = len(rows)
+    n_a = sum(r["n_answers"] for r in rows)
+    n_wv = sum(1 for r in rows if r["q_votes"] != "")
+    tot = sum(int(r["q_votes"]) for r in rows if r["q_votes"] != "")
+    return _values_table(
+        [(n_q, n_a, n_wv, tot)],
+        ["n_questions", "n_answers", "n_with_votes", "total_q_votes"],
+        ["BIGINT"] * 4,
     )

@@ -101,20 +101,27 @@ def _union_find_mapping(edge_rows) -> list[tuple[str, str]]:
 def connected_components(
     edges: DataFrame, max_iter: int = 25,
     small_graph_threshold: int = SMALL_GRAPH_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Edge list (src,dst) → mapping (name, canon), canon = component min.
 
     Nodes absent from any edge are their own canon and are not emitted.
+    ``stats``, when given, is filled with {"path": "unionfind"|
+    "distributed", "rounds": n} so tests can assert O(log n) convergence.
     """
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint(eager=True)
     if small_graph_threshold and cur.count() <= small_graph_threshold:
         spark = edges.sparkSession
         rows = _union_find_mapping((r[0], r[1]) for r in cur.collect())
+        if stats is not None:
+            stats.update(path="unionfind", rounds=0)
         return spark.createDataFrame(rows or [], "name string, canon string")
     prev_sig = None
+    rounds = 0
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        rounds += 1
         # convergence: edge-set signature (count + hash sum) is stable
         sig = cur.select(
             F.count(F.lit(1)).alias("n"),
@@ -124,6 +131,8 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats.update(path="distributed", rounds=rounds)
     # after convergence the graph is a union of stars centered at minima
     mapping = (
         cur.select(

@@ -57,6 +57,97 @@ def parse_votes_lines(lines: DataFrame) -> DataFrame:
     ).where(F.col("PostId") != "")
 
 
+# ---------------------------------------------------------------------------
+# Volume-scale synthetic dump (S1/S2 at bench size; no external data).
+# One straight-line worker per question id — shared by the distributed
+# generator and the driver oracle, the `synth._page_record` pattern.
+# ---------------------------------------------------------------------------
+
+_TITLE_WORDS = ["pandas", "numpy", "sklearn", "spark", "csv & files",
+                "dataframes", "a <tricky> title", "plotting"]
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;").replace("\n", "&#xA;")
+    )
+
+
+def _h_int(*parts) -> int:
+    import hashlib
+
+    m = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(m[:8], "big")
+
+
+def question_block_lines(i: int, seed: int) -> tuple[list[str], list[str]]:
+    """(post lines, vote lines) for question #i: the question row, its
+    answers (0-3, ids deliberately string-sort-hostile), votes with a
+    mix of counted (1/2) and ignored (other) types, plus occasional
+    garbage lines and votes for nonexistent posts."""
+    qid = 1_000_000 + i
+    h = _h_int(seed, i)
+    title = f"How to use {_TITLE_WORDS[h % len(_TITLE_WORDS)]} #{i}?"
+    body = f"Line one of {i}\nwith <code>x={i}</code> & more"
+    tags = f"<python><{_TITLE_WORDS[(h >> 3) % len(_TITLE_WORDS)].split(' ')[0]}>"
+    n_ans = h % 4  # 0..3 answers
+    # answer ids alternate 7-digit (9xxxxxx) and 8-digit (10xxxxxx)
+    # ranges so STRING sort differs from numeric ("9…" > "10…");
+    # unique for i < 100_000
+    aids = [(9_000_000 if a % 2 else 10_000_000) + i * 10 + a for a in range(n_ans)]
+    accepted = f' AcceptedAnswerId="{aids[0]}"' if aids and h % 5 == 0 else ""
+    posts = [
+        f'  <row Id="{qid}" PostTypeId="1"{accepted} '
+        f'Title="{_xml_escape(title)}" Body="{_xml_escape(body)}" '
+        f'Tags="{_xml_escape(tags)}" />'
+    ]
+    for a, aid in enumerate(aids):
+        posts.append(
+            f'  <row Id="{aid}" PostTypeId="2" ParentId="{qid}" '
+            f'Body="{_xml_escape(f"Answer {a} to {i} > use idiom & care")}" />'
+        )
+    if h % 17 == 0:
+        posts.append("  <!-- comment noise -->")
+    votes = []
+    vid = qid * 1000
+    for v in range(h % 6):  # votes on the question, types cycle 1,2,3,5
+        vtype = [1, 2, 3, 5][(h + v) % 4]
+        votes.append(f'  <row Id="{vid + v}" PostId="{qid}" VoteTypeId="{vtype}" />')
+    for a, aid in enumerate(aids):
+        for v in range((h >> (4 + a)) % 3):
+            votes.append(
+                f'  <row Id="{vid + 100 + a * 10 + v}" PostId="{aid}" VoteTypeId="2" />'
+            )
+    if h % 13 == 0:
+        votes.append(f'  <row Id="{vid + 999}" PostId="424242" VoteTypeId="2" />')
+    return posts, votes
+
+
+def synth_posts_lines(spark, n_questions: int, seed: int = 42):
+    """Distributed deterministic Posts.xml/Votes.xml dumps as two
+    line-DataFrames (value string) — spark.range → mapInPandas, no
+    driver materialization, identical at any partitioning."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(which: int):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: list[str] = []
+                for i in pdf["id"]:
+                    out.extend(question_block_lines(int(i), seed)[which])
+                yield pd.DataFrame({"value": out})
+        return run
+
+    parts = max(1, min(n_questions // 500, 64))
+    rng = spark.range(0, n_questions, numPartitions=parts)
+    posts = rng.mapInPandas(gen(0), schema="value string")
+    votes = rng.mapInPandas(gen(1), schema="value string")
+    return posts, votes
+
+
 def vote_counts(votes: DataFrame) -> DataFrame:
     """A1 + S2 filter: VoteTypeId ∈ {1,2} → count per post."""
     return (
