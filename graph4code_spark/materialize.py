@@ -129,6 +129,9 @@ def materialize_triples_iceberg(
             "CATALOG_NOT_FOUND", "Catalog not found", "is not a valid Spark catalog",
             "Cannot find catalog plugin", "NoSuchCatalogException",
             "Multi-catalog support", "iceberg", "Iceberg",
+            # an unregistered catalog name falls through to spark_catalog,
+            # which then rejects the multi-part identifier
+            "REQUIRES_SINGLE_PART_NAMESPACE",
         )
         from pyspark.errors import AnalysisException
 
