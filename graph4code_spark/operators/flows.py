@@ -17,6 +17,13 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
 - constant positional/named args (string/number literals) with ordinals,
   receiver = position 0 so explicit args start at 1
 - import nodes flagged ``is_import`` (single-element path)
+- attribute/string-subscript reads+writes on tracked values (the honest
+  G2 subset of AstPropertyRead/Write, `…Engine.java:1892-1954`)
+- multi-line call spans: physical lines with open parens merge into one
+  logical statement with a first_line≠last_line source span
+- container def-use chaining: ``v = [a, b]`` then ``f(v)`` flows a's and
+  b's producers into f (`…Engine.java:1905-1920`'s dict/tuple/list
+  recursion, scoped to literal containers of tracked variables)
 
 Runs as one Arrow-batched pass over (url, codes); node numbers are
 sequential per page so URIs are unique within the page's named graph.
@@ -45,6 +52,9 @@ _SUBSCR_WRITE_RE = re.compile(
 )
 _ATTR_READ_RE = re.compile(
     r"(?<![\w.])([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?![\w.])(?!\s*\()"
+)
+_CONTAINER_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*[\[\({](.*)[\]\)}]\s*$", re.S
 )
 
 
@@ -143,6 +153,45 @@ def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
     return qa.select("url", "codes").mapInPandas(run, schema=ANALYSIS_NODES_SCHEMA)
 
 
+def _net_paren_depth(line: str, depth: int = 0) -> int:
+    """Paren/bracket/brace nesting delta across a line, quote-aware."""
+    quote = None
+    for ch in line:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth = max(0, depth - 1)
+    return depth
+
+
+#: max physical lines a single logical statement may span (snippets)
+_MAX_SPAN = 8
+
+
+def _logical_lines(lines: list[str]):
+    """Merge physical lines whose parens stay open into one logical
+    statement — multi-line call spans, the G2 subset of the reference's
+    statement-level source spans (`RunTurtleSingleAnalysis.java:233-259`
+    records firstLine != lastLine for such calls)."""
+    out: list[tuple[int, list[str], str]] = []
+    i, n = 0, len(lines)
+    while i < n:
+        depth = _net_paren_depth(lines[i])
+        j = i
+        while depth > 0 and j + 1 < n and (j - i) < _MAX_SPAN - 1:
+            j += 1
+            depth = _net_paren_depth(lines[j], depth)
+        phys = lines[i : j + 1]
+        out.append((i, phys, "\n".join(phys)))
+        i = j + 1
+    return out
+
+
 def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
         nodes: list[dict] = []
         idx_of: dict[int, int] = {}  # node_number -> index in `nodes` (O(1) edge wiring)
@@ -151,9 +200,10 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
             lines = code.split("\n")
             var_producer: dict[str, int] = {}   # var -> node number
             var_klass: dict[str, str] = {}      # var -> class name
+            var_members: dict[str, list] = {}   # var -> producer node numbers inside a container literal
             prev_in_snippet: int | None = None
 
-            def new_node(path, line_no, line, text, is_import=False):
+            def new_node(path, line_no, phys, text, is_import=False):
                 nonlocal counter, prev_in_snippet
                 n = {
                     "graph_uri": url,
@@ -171,12 +221,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     "constant_named_args": {},
                     "value_names": [],
                     "source_location": {
-                        "first_line": line_no + 1, "last_line": line_no + 1,
-                        "first_col": 0, "last_col": len(line),
+                        "first_line": line_no + 1,
+                        "last_line": line_no + len(phys),
+                        "first_col": 0, "last_col": len(phys[-1]),
                         "first_offset": None, "last_offset": None, "url": url,
                     },
                     "source_text": text,
-                    "source_lines": [line],
+                    "source_lines": list(phys),
                 }
                 counter += 1
                 if prev_in_snippet is not None:
@@ -188,15 +239,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 nodes.append(n)
                 return n
 
-            for ln, line in enumerate(lines):
+            for ln, phys, line in _logical_lines(lines):
                 im = _IMPORT_RE.match(line)
                 if im and im.group(1).split(".")[0] in modules:
-                    new_node([im.group(1)], ln, line, im.group(1), is_import=True)
+                    new_node([im.group(1)], ln, phys, im.group(1), is_import=True)
                     continue
                 assign = _ASSIGN_RE.match(line)
                 lhs_vars = (
                     [v.strip() for v in assign.group(1).split(",")] if assign else []
                 )
+                made_call_node = False
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
                     path = None
@@ -223,7 +275,8 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                                 produced_klass = qual
                     if path is None:
                         continue
-                    node = new_node(list(path), ln, line, m.group(0).rstrip("( \t") + "(...)")
+                    made_call_node = True
+                    node = new_node(list(path), ln, phys, m.group(0).rstrip("( \t") + "(...)")
                     # receiver dataflow at ordinal 0 (reference DATA-0)
                     if recv_node is not None:
                         src = nodes[idx_of[recv_node]]
@@ -250,12 +303,37 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         elif a in var_producer:
                             src = nodes[idx_of[var_producer[a]]]
                             src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
+                        elif a in var_members:
+                            # container def-use chaining: a list/tuple/dict
+                            # literal passes each tracked member's dataflow
+                            # through to the call (the honest subset of
+                            # `…Engine.java:1905-1920`'s AstPropertyWrite→
+                            # Read recursion through dict/tuple/list news)
+                            for src_num in var_members[a]:
+                                src = nodes[idx_of[src_num]]
+                                src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
                     if lhs_vars:
                         node["value_names"] = lhs_vars
                         for v in lhs_vars:
                             var_producer[v] = node["node_number"]
+                            var_members.pop(v, None)
                             if produced_klass:
                                 var_klass[v] = produced_klass
+                # container-literal assignment: v = [a, b] / (a, b) /
+                # {'k': a} — remember which tracked producers flow into
+                # the container so a later call taking v sees them
+                if not made_call_node:
+                    cm = _CONTAINER_RE.match(line)
+                    if cm:
+                        members = []
+                        for part in _split_args(cm.group(2)):
+                            val = part.split(":", 1)[-1].strip() if ":" in part else part
+                            if val in var_producer:
+                                members.append(var_producer[val])
+                        if members:
+                            var_members[cm.group(1)] = members
+                            var_producer.pop(cm.group(1), None)
+                            var_klass.pop(cm.group(1), None)
                 # reads/writes on values produced by recognized calls
                 # (honest G2 subset of `PythonTurtleAnalysisEngine.java:
                 # 1892-1954`'s AstPropertyRead/Write handling): an

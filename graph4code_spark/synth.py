@@ -301,9 +301,20 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                         + "obj['col'] = result\n"
                     )
             else:
-                body_code = "out = " + e + "('input.csv')\n"
-                if _h(seed, page_id, "rw", a) % 3 == 0:
-                    body_code += "out.columns = ['a']\n"
+                rwh = _h(seed, page_id, "rw", a)
+                if rwh % 5 == 0:
+                    # multi-line call span + container def-use chain
+                    body_code = (
+                        "out = " + e + "(\n"
+                        "    'input.csv',\n"
+                        "    41)\n"
+                        "pair = [out, out]\n"
+                        "res = " + e + "(pair)\n"
+                    )
+                else:
+                    body_code = "out = " + e + "('input.csv')\n"
+                    if rwh % 3 == 0:
+                        body_code += "out.columns = ['a']\n"
             abody += "<pre><code>import " + mod + "\n" + body_code + "</code></pre>"
         else:
             abody += "<code>x = 1</code>"  # single-line -> filtered out

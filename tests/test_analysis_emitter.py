@@ -147,6 +147,36 @@ def test_flow_extraction_reads_writes():
     assert [w["field"] for w in rc["writes"]] == ["col", "index"]
 
 
+def test_flow_multiline_span_and_container_chain():
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv(\n"
+        "    'a.csv',\n"
+        "    7)\n"
+        "both = [df, df]\n"
+        "out = pandas.read_csv(both)\n"
+    )
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    rc1, rc2 = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    # multi-line span: 3 physical lines, firstLine != lastLine
+    loc = rc1["source_location"]
+    assert (loc["first_line"], loc["last_line"]) == (2, 4)
+    assert rc1["source_lines"] == ["df = pandas.read_csv(", "    'a.csv',", "    7)"]
+    # args inside the span still parse: constant positional 1 and 2
+    assert rc1["constant_positional_args"] == {"1": "a.csv", "2": "7"}
+    # container chain: both = [df, df] -> read_csv(both) flows df's
+    # producer to the second call at arg position 1 (once per member)
+    assert rc1["flows_to"]["1"] == [rc2["node_number"]] * 2
+    # container assignment itself creates no node
+    assert len(nodes) == 3
+
+
 def test_flow_catalog_scales_to_100k_entities():
     """The suffix probe must be O(1) per call, not O(|catalog|): with the
     reference's real 5.8M-method catalog a linear sweep per candidate
