@@ -1356,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_modules": q_top_modules,
         "posts_xml_volume": q_posts_xml_volume,
         "posts_xml_volume_agg": q_posts_xml_volume_agg,
+        "sim_ivf_topk": q_sim_ivf_topk,
     }
 
 
@@ -1406,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         "top_modules": _oracle_top_modules(),
         "posts_xml_volume": _oracle_posts_xml_volume(),
         "posts_xml_volume_agg": _oracle_posts_xml_volume_agg(),
+        "sim_ivf_topk": _oracle_sim_ivf_topk(),
     }
 
 
@@ -2004,3 +2006,73 @@ def _oracle_posts_xml_volume_agg() -> str:
         ["n_questions", "n_answers", "n_with_votes", "total_q_votes"],
         ["BIGINT"] * 4,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flavored ANN (round-2 addition)
+# ---------------------------------------------------------------------------
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-inverted-list assignment (seeded deterministic
+    centroids), nprobe=2 probe, exact cosine re-rank.  Oracle recomputes
+    the whole path in SQL with the centroids embedded as literals."""
+    from graph4code_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = (
+        emb.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = ivf_topk(emb, queries, dim=64, k=10, n_lists=8, nprobe=2, seed=42)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _oracle_sim_ivf_topk() -> str:
+    from graph4code_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, 8, 42)
+    rows = ",\n".join(
+        "(%d, [%s])" % (i, ", ".join("%.17g" % x for x in cents[i]))
+        for i in range(8)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents(list_id, c) AS (VALUES
+{rows}
+),
+scored AS (
+  SELECT vec_id, list_id, round(list_dot_product(e, c), 6) AS d
+  FROM v CROSS JOIN cents
+),
+ranked AS (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r
+  FROM scored
+),
+vl AS (SELECT vec_id, list_id FROM ranked WHERE r = 1),
+ql AS (SELECT vec_id AS query_id, list_id FROM ranked WHERE r <= 2 AND vec_id < 5),
+cand AS (
+  SELECT DISTINCT ql.query_id, vl.vec_id FROM vl JOIN ql USING (list_id)
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(v.e, q.e) /
+           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.e, q.e))) AS cosine
+  FROM cand c
+  JOIN v ON v.vec_id = c.vec_id
+  JOIN v q ON q.vec_id = c.query_id
+),
+topk AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM topk WHERE rank <= 10
+"""

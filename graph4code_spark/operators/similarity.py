@@ -84,6 +84,94 @@ def hyperplane_buckets(
     ).mapInPandas(run, schema="id long, bucket long")
 
 
+def ivf_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
+    """Deterministic L2-normalized coarse-quantizer centroids.  A seeded
+    random quantizer (random directions, like a one-shot k-means init)
+    keeps the whole IVF path reproducible with no training pass — the
+    assignment/probe/re-rank machinery is identical to a trained
+    quantizer's, and the DuckDB oracle can embed the centroids as
+    literals."""
+    rs = np.random.RandomState(seed)
+    c = rs.normal(size=(n_lists, dim)).astype(np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _centroid_df(spark, dim: int, n_lists: int, seed: int) -> DataFrame:
+    cents = ivf_centroids(dim, n_lists, seed)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(n_lists)],
+        "list_id int, centroid array<double>",
+    )
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, id_col: str,
+    dim: int, n_lists: int, seed: int, nprobe: int = 1,
+) -> DataFrame:
+    """(id, list_id) — each vector's ``nprobe`` nearest inverted lists.
+
+    JVM-side on purpose: the dot product is a sequential `F.aggregate`
+    fold (same evaluation order as DuckDB's list_dot_product) and the
+    ranking key rounds to 6 decimals with a list_id tie-break, so the
+    assignment is bit-stable across engines.  The centroid table is tiny
+    and broadcast; the scan stays partition-local."""
+    spark = df.sparkSession
+    cents = F.broadcast(_centroid_df(spark, dim, n_lists, seed))
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .crossJoin(cents)
+        .select("id", "list_id", F.round(dot, 6).alias("d"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("list_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= nprobe)
+        .select("id", "list_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flavored ANN: vectors live in their nearest inverted list,
+    queries probe the ``nprobe`` nearest lists, exact cosine re-rank
+    within the probed lists.  Same scale shape as a trained IVF index:
+    the candidate join is list-equality (shuffle on list_id, |lists|
+    bounded), never a cross product."""
+    vl = ivf_assign(vectors, vec_col, id_col, dim, n_lists, seed, nprobe=1)
+    ql = ivf_assign(queries, query_vec_col, query_id_col, dim, n_lists, seed, nprobe=nprobe)
+    cand = (
+        vl.join(ql.withColumnRenamed("id", "qid"), "list_id")
+        .select(F.col("qid").alias(query_id_col), F.col("id").alias(id_col))
+        .distinct()
+    )
+    j = (
+        cand.join(vectors, id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
