@@ -209,6 +209,29 @@ def class_map_df(spark: SparkSession, pairs=None) -> DataFrame:
     return spark.createDataFrame(pairs, schema=CLASS_MAP_SCHEMA)
 
 
+def render_docstring(rec: dict) -> str | None:
+    """Render a catalog record back to raw RST-field docstring text — the
+    inverse of the X5 parse path, used to prove raw-docstring →
+    `docparse.parse_docstrings` → catalog round-trips onto the
+    API_CATALOG_SCHEMA fields the parser produces.  A bare ``:returns:``
+    is always emitted: the reference parser flushes its final param only
+    on a returns line (quirk documented in `docparse.parse_rst`)."""
+    if not rec.get("param_map"):
+        return None
+    lines = [(rec.get("function_docstring") or rec.get("class_docstring") or "")]
+    for name, p in rec["param_map"].items():
+        lines.append(f":param {name}:{p.get('param_doc') or ''}")
+        if p.get("type") is not None:
+            lines.append(f":type {name}:{p['type']}")
+    rm = rec.get("return_map")
+    if rm and rm.get("doc") and rm.get("type"):
+        lines.append(f":returns:{rm['doc']}")
+        lines.append(f":rtype:{rm['type']}")
+    else:
+        lines.append(":returns:")
+    return "\n".join(lines)
+
+
 # ---------------------------------------------------------------------------
 # Page synthesis
 # ---------------------------------------------------------------------------

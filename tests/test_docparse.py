@@ -130,6 +130,37 @@ def test_parse_rst_property_engine_equals_oracle(lines):
     assert parse_rst(lines) == oracle_parse_rst(lines)
 
 
+def test_catalog_roundtrip_through_raw_docstrings(spark):
+    """FIXED_CATALOG → rendered raw docstrings → Arrow-batched parse →
+    the parse-produced API_CATALOG_SCHEMA fields (param_doc, type,
+    optional, dimensionality, return doc/type) equal the originals.
+    This is the X5 integration proof: the engine can build its catalog
+    from raw docstring text, not only consume a pre-parsed one."""
+    from graph4code_spark.synth import FIXED_CATALOG, entity_name, render_docstring
+
+    recs = [r for r in FIXED_CATALOG if render_docstring(r) is not None]
+    df = spark.createDataFrame(
+        [(i, render_docstring(r)) for i, r in enumerate(recs)],
+        "id long, text string",
+    )
+    parsed = {r.id: r for r in parse_docstrings(df, "text", "id").collect()}
+    for i, rec in enumerate(recs):
+        got = parsed[i]
+        pm = {k: v.asDict() for k, v in got.param_map.items()}
+        assert set(pm) == set(rec["param_map"]), entity_name(rec)
+        for name, orig in rec["param_map"].items():
+            assert pm[name]["param_doc"] == orig["param_doc"], (entity_name(rec), name)
+            assert pm[name]["type"] == orig["type"]
+            assert pm[name]["optional"] == orig["optional"]
+            assert pm[name]["dimensionality"] == orig["dimensionality"]
+        rm = rec.get("return_map")
+        if rm and rm.get("doc") and rm.get("type"):
+            assert got.return_map.doc == rm["doc"]
+            assert got.return_map.type == rm["type"]
+        else:
+            assert got.return_map is None
+
+
 def test_parse_docstrings_spark_surface(spark):
     df = spark.createDataFrame(
         [(0, ":param a: doc a\n:type a: int\n:returns: r\n:rtype: t"),
