@@ -74,3 +74,15 @@ def dotted_prefix(col: Column) -> Column:
 def path_end(col: Column) -> Column:
     """Last dotted component."""
     return F.element_at(F.split(col, r"\."), -1)
+
+
+def drop_test_modules(catalog):
+    """F9: skip `.tests.` submodules during catalog construction — the
+    reference's walk filter `if '.tests.' in modname: continue`
+    (`inspect_docstrings_per_module.py:522-523`), restated as a
+    scan-time predicate over the record's qualified names (Catalyst
+    pushes it into the catalog source)."""
+    def has_tests(c):
+        return F.coalesce(F.col(c).contains(".tests."), F.lit(False))
+
+    return catalog.where(~(has_tests("klass") | has_tests("function")))

@@ -249,12 +249,27 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     [v.strip() for v in assign.group(1).split(",")] if assign else []
                 )
                 made_call_node = False
+                last_chain = None  # (index after ')', node_number, produced_klass)
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
                     path = None
                     produced_klass = None
                     recv_node = None
-                    if cname in by_name:
+                    if (
+                        last_chain is not None
+                        and "." not in cname
+                        and m.start() == last_chain[0] + 1
+                        and line[last_chain[0] : last_chain[0] + 1] == "."
+                        and last_chain[2] is not None
+                        and cname in methods_of.get(last_chain[2], {})
+                    ):
+                        # call chaining — the collapse-rewrite analogue
+                        # (`…Engine.java:2069-2112`): `Ctor(...).meth(...)`
+                        # links the ctor node to the method node at DATA-0
+                        # without an intermediate variable
+                        path = methods_of[last_chain[2]][cname]
+                        recv_node = last_chain[1]
+                    elif cname in by_name:
                         path = by_name[cname]
                         if cname in methods_of:  # class ctor call
                             produced_klass = cname
@@ -282,7 +297,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         src = nodes[idx_of[recv_node]]
                         src["flows_to"] = _append_flow(src["flows_to"], "0", node["node_number"])
                     # args: constants + variable dataflow (receiver=0 ⇒ args 1..n)
-                    args = _split_args(_call_args(line, m))
+                    argtext = _call_args(line, m)
+                    close = m.end() + len(argtext)  # index of the ')'
+                    if line[close : close + 1] == ")":
+                        last_chain = (close + 1, node["node_number"], produced_klass)
+                    else:
+                        last_chain = None
+                    args = _split_args(argtext)
                     pos = 0
                     for a in args:
                         nm = _NAMED_ARG.match(a)

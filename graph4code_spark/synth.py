@@ -314,10 +314,14 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 # values (~half the snippets) so the G2 reads/writes
                 # subset is exercised end-to-end
                 klass, meth = ".".join(parts[:-1]), parts[-1]
-                body_code = (
-                    "obj = " + klass + "(data)\n"
-                    + "result = obj." + meth + "(x, 3)\n"
-                )
+                if _h(seed, page_id, "chain", a) % 4 == 0:
+                    # chained form: ctor(...).method(...) — collapse path
+                    body_code = "result = " + klass + "(data)." + meth + "(x, 3)\n"
+                else:
+                    body_code = (
+                        "obj = " + klass + "(data)\n"
+                        + "result = obj." + meth + "(x, 3)\n"
+                    )
                 if _h(seed, page_id, "rw", a) % 2 == 0:
                     body_code += (
                         "print(result.shape)\n"

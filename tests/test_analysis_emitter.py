@@ -177,6 +177,31 @@ def test_flow_multiline_span_and_container_chain():
     assert len(nodes) == 3
 
 
+def test_flow_call_chaining_collapse_analogue():
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    code = (
+        "import sklearn\n"
+        "result = sklearn.svm.SVC(1).fit(df, 7)\n"
+        "bogus = sklearn.svm.SVC(1).nosuch(x)\n"
+    )
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    svc1, svc2 = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fit = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"])
+    # ctor(...).method(...) links ctor -> method at DATA-0, no variable
+    assert svc1["flows_to"]["0"] == [fit["node_number"]]
+    assert fit["constant_positional_args"] == {"2": "7"}
+    # the chained result is the method node's value
+    assert fit["value_names"] == ["result"]
+    # unknown chained method: no node, no edge
+    assert svc2["flows_to"] == {}
+    assert len(nodes) == 4
+
+
 def test_flow_catalog_scales_to_100k_entities():
     """The suffix probe must be O(1) per call, not O(|catalog|): with the
     reference's real 5.8M-method catalog a linear sweep per candidate

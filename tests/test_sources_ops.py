@@ -95,3 +95,24 @@ def test_transitive_closure(spark):
     assert tc[("a", "a")] == 3       # cycle closes
     assert ("a", "y") not in tc      # graphs are isolated
     assert tc[("x", "y")] == 1
+
+
+def test_drop_test_modules_filter(spark):
+    from graph4code_spark.functions import drop_test_modules
+    from graph4code_spark.schemas import API_CATALOG_SCHEMA
+    from graph4code_spark.synth import catalog_df
+
+    recs = [
+        {"module": "sklearn", "klass": "sklearn.tests.test_svm.FakeCase",
+         "function": None},
+        {"module": "sklearn", "klass": None,
+         "function": "sklearn.utils.tests.test_x.helper"},
+        {"module": "sklearn", "klass": "sklearn.svm.SVC", "function": "fit"},
+        {"module": "pandas", "klass": None, "function": "pandas.read_csv"},
+    ]
+    rows = [tuple(r.get(f.name) for f in API_CATALOG_SCHEMA.fields) for r in recs]
+    df = spark.createDataFrame(rows, API_CATALOG_SCHEMA)
+    kept = {(r.klass, r.function) for r in drop_test_modules(df).collect()}
+    assert kept == {("sklearn.svm.SVC", "fit"), (None, "pandas.read_csv")}
+    # no-op on the clean fixture catalog
+    assert drop_test_modules(catalog_df(spark)).count() == catalog_df(spark).count()
