@@ -110,27 +110,43 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, list_id) — each vector's ``nprobe`` nearest inverted lists.
 
-    JVM-side on purpose: the dot product is a sequential `F.aggregate`
-    fold (same evaluation order as DuckDB's list_dot_product) and the
-    ranking key rounds to 6 decimals with a list_id tie-break, so the
-    assignment is bit-stable across engines.  The centroid table is tiny
-    and broadcast; the scan stays partition-local."""
-    spark = df.sparkSession
-    cents = F.broadcast(_centroid_df(spark, dim, n_lists, seed))
-    dot = F.aggregate(
-        F.zip_with(F.col("vec"), F.col("centroid"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
+    **Zero-shuffle by construction**: the centroids are literals, so each
+    row scores all ``n_lists`` of them in one projection and picks its
+    top-``nprobe`` with `sort_array` + `slice` — no crossJoin, no
+    per-id window (the first cut shuffled the full vector table just to
+    rank 8 rows per id; `.explain` showed the Exchange).  JVM-side on
+    purpose: the dot product is a sequential `F.aggregate` fold (same
+    evaluation order as DuckDB's list_dot_product) and the ranking key
+    rounds to 6 decimals with a list_id tie-break, so the assignment is
+    bit-stable across engines."""
+    cents = ivf_centroids(dim, n_lists, seed)
+
+    def dot_with(c: "np.ndarray"):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("vec"), lit, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    # sort_array asc on struct(-round(d,6), list_id) == (d desc, list_id asc)
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.round(dot_with(cents[i]), 6)).alias("nd"),
+                F.lit(i).alias("list_id"),
+            )
+            for i in range(n_lists)
+        ]
     )
-    scored = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .crossJoin(cents)
-        .select("id", "list_id", F.round(dot, 6).alias("d"))
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("list_id"))
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= nprobe)
-        .select("id", "list_id")
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .select(
+            "id",
+            F.explode(
+                F.slice(F.sort_array(scored), 1, nprobe)
+            ).alias("s"),
+        )
+        .select("id", F.col("s.list_id").alias("list_id"))
     )
 
 

@@ -50,6 +50,21 @@ def pages_per_window(
     )
 
 
+def dedup_pages_stream(
+    pages_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup by url, watermark-scoped
+    (`dropDuplicatesWithinWatermark`): a re-crawled url arriving within
+    the watermark horizon is dropped, state for older urls is evicted so
+    the state store stays bounded — the streaming twin of the batch
+    `operators/dedup.exact_dedup`.  At crawl scale the horizon is the
+    re-crawl window; unbounded `dropDuplicates` would grow state forever.
+    """
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def running_page_totals(pages_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (`applyInPandasWithState`):
     cumulative page count per language across micro-batches.

@@ -4,6 +4,7 @@ resume via checkpointed offsets."""
 import os
 
 from graph4code_spark.streaming.ingest import (
+    dedup_pages_stream,
     pages_per_window,
     read_page_stream,
     run_available_now,
@@ -61,6 +62,30 @@ def test_watermark_windowed_counts(spark, tmp_path):
             (batch.warc_ts >= start) & (batch.lang == lang)
         ).where(f"warc_ts < timestamp'{start}' + interval 10 seconds").count()
         assert n == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "pages_d")
+    ckpt = str(tmp_path / "ckpt_d")
+    # write the same 30 pages twice (re-crawl) — one file set, duplicates
+    # inside the watermark horizon must collapse to one row per url
+    p = synth_pages(spark, 30, seed=5)
+    p.write.parquet(in_dir)
+    p.write.mode("append").parquet(in_dir)
+    stream = read_page_stream(spark, in_dir)
+    q = (
+        dedup_pages_stream(stream, watermark="1 hour")
+        .select("url")
+        .writeStream.format("memory").queryName("dedup_pages")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r.url for r in spark.sql("select url from dedup_pages").collect()]
+    assert len(rows) == 30
+    assert len(set(rows)) == 30
 
 
 def test_stateful_running_totals(spark, tmp_path):
