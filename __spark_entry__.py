@@ -1074,7 +1074,9 @@ def _oracle_kg_flow_digest() -> str:
 
     from graph4code_spark.operators.flows import build_flow_catalog, extract_page_flow_nodes
     from graph4code_spark.reference_impl.emitters import analysis_quads
-    from graph4code_spark.sources.qa import parse_qa_page
+    from graph4code_spark.reference_impl.qa_oracle import (
+        oracle_parse_qa_page as parse_qa_page,
+    )
     from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
 
     names = sorted({entity_name(r) for r in FIXED_CATALOG})
@@ -1220,7 +1222,9 @@ def _oracle_kg_next_steps() -> str:
 
     from graph4code_spark.operators.flows import build_flow_catalog, extract_page_flow_nodes
     from graph4code_spark.reference_impl.emitters import analysis_quads
-    from graph4code_spark.sources.qa import parse_qa_page
+    from graph4code_spark.reference_impl.qa_oracle import (
+        oracle_parse_qa_page as parse_qa_page,
+    )
     from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
 
     names = sorted({entity_name(r) for r in FIXED_CATALOG})
@@ -1864,7 +1868,9 @@ def _oracle_top_modules() -> str:
         extract_page_flow_nodes,
     )
     from graph4code_spark.operators.topmodules import BUILTIN_MODULES
-    from graph4code_spark.sources.qa import parse_qa_page
+    from graph4code_spark.reference_impl.qa_oracle import (
+        oracle_parse_qa_page as parse_qa_page,
+    )
     from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
 
     names = sorted({entity_name(r) for r in FIXED_CATALOG})

@@ -284,7 +284,9 @@ def forum_pipeline_quads(pages_rows, records, forum_prefix) -> set[Quad]:
     (`utils.py:253-343,573-592`), emit with `forum_quads`.  The golden
     oracle for the Spark pipeline (tests + driver digest oracle)."""
     from graph4code_spark.analyzer import analyze, entity_required_tokens, good_match
-    from graph4code_spark.sources.qa import parse_qa_page
+    from graph4code_spark.reference_impl.qa_oracle import (
+        oracle_parse_qa_page as parse_qa_page,
+    )
     from graph4code_spark.synth import entity_name, entity_type
 
     docs = []
