@@ -228,3 +228,54 @@ def test_flow_catalog_scales_to_100k_entities():
     elapsed = time.time() - t0
     assert len(nodes) == 2001  # import + every call resolved
     assert elapsed < 10.0, f"suffix probe not O(1): {elapsed:.1f}s"
+
+
+def test_flow_extraction_invariants_on_random_snippets():
+    """Property net over the flow extractor: for random line soups the
+    worker must never crash, node numbers are strictly increasing, every
+    flowsTo / precedes target is a real later node, and extraction is
+    deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    line = st.one_of(
+        st.just("import pandas"),
+        st.just("import sklearn"),
+        st.just("df = pandas.read_csv('a.csv')"),
+        st.just("m = sklearn.svm.SVC(1)"),
+        st.just("r = m.fit(df, 2)"),
+        st.just("r = sklearn.svm.SVC(1).fit(df, 2)"),
+        st.just("pair = [df, m]"),
+        st.just("z = pandas.read_csv(pair)"),
+        st.just("print(df.shape)"),
+        st.just("df['c'] = 1"),
+        st.just("df.x = 2"),
+        st.just("x = pandas.read_csv("),   # unbalanced
+        st.just("    'b.csv', 3)"),
+        st.just("nonsense ((("),
+        st.just(""),
+        st.text(alphabet="abc().=[] '", max_size=12),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(line, max_size=10))
+    def run(lines):
+        code = "\n".join(lines)
+        nodes = extract_page_flow_nodes("http://q/p", [code], cat)
+        nums = [n["node_number"] for n in nodes]
+        assert nums == sorted(nums) and len(set(nums)) == len(nums)
+        valid = set(nums)
+        for n in nodes:
+            for dsts in n["flows_to"].values():
+                assert set(dsts) <= valid
+                assert all(d > n["node_number"] for d in dsts)
+            assert set(n["immediately_precedes"]) <= valid
+        assert nodes == extract_page_flow_nodes("http://q/p", [code], cat)
+
+    run()
