@@ -1361,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posts_xml_volume": q_posts_xml_volume,
         "posts_xml_volume_agg": q_posts_xml_volume_agg,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "kg_canonical_triples": q_kg_canonical_triples,
     }
 
 
@@ -1412,6 +1413,7 @@ def oracle_sql() -> dict[str, str]:
         "posts_xml_volume": _oracle_posts_xml_volume(),
         "posts_xml_volume_agg": _oracle_posts_xml_volume_agg(),
         "sim_ivf_topk": _oracle_sim_ivf_topk(),
+        "kg_canonical_triples": _oracle_kg_canonical_triples(),
     }
 
 
@@ -2082,3 +2084,67 @@ topk AS (
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
 FROM topk WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Canonicalized quad table (round-2 addition)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full canonicalization path as a driver query: docstring triples →
+    CC mapping over the alias pairs → rewrite `py:` entity URIs in
+    subj/obj to their component canon via broadcast joins
+    (`operators/canonicalize.canonicalize_triples`).  Oracle: the
+    straight-line documentation quads + union-find canon + a Python
+    rewrite of the same URI surgery."""
+    from graph4code_spark.operators.canonicalize import (
+        canonical_mapping,
+        canonicalize_triples,
+    )
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
+    mapping = canonical_mapping(class_map_df(spark, FIXED_CLASS_MAP))
+    out = canonicalize_triples(t, mapping)
+    return out.select("subj", "pred", "obj", "is_literal", "graph").dropDuplicates()
+
+
+def _oracle_kg_canonical_triples() -> str:
+    from graph4code_spark.reference_impl.emitters import documentation_quads
+    from graph4code_spark.uris import PREFIXES
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in FIXED_CLASS_MAP:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    canon = {n: find(n) for n in parent if n != find(n)}
+
+    py = PREFIXES["py"]
+
+    def rewrite(uri: str, is_literal: bool) -> str:
+        if is_literal or not uri.startswith(py):
+            return uri
+        name = uri[len(py):]
+        return py + canon.get(name, name)
+
+    quads = set()
+    for rec in FIXED_CATALOG:
+        for s, p, o, lit, g in documentation_quads(rec, alias):
+            quads.add((rewrite(s, False), p, rewrite(o, lit), lit, g))
+    return _values_table(
+        sorted(quads),
+        ["subj", "pred", "obj", "is_literal", "graph"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "BOOLEAN", "VARCHAR"],
+    )
