@@ -1362,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posts_xml_volume_agg": q_posts_xml_volume_agg,
         "sim_ivf_topk": q_sim_ivf_topk,
         "kg_canonical_triples": q_kg_canonical_triples,
+        "media_frame_plan": q_media_frame_plan,
     }
 
 
@@ -1414,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "posts_xml_volume_agg": _oracle_posts_xml_volume_agg(),
         "sim_ivf_topk": _oracle_sim_ivf_topk(),
         "kg_canonical_triples": _oracle_kg_canonical_triples(),
+        "media_frame_plan": _oracle_media_frame_plan(),
     }
 
 
@@ -2148,3 +2150,29 @@ def _oracle_kg_canonical_triples() -> str:
         ["subj", "pred", "obj", "is_literal", "graph"],
         ["VARCHAR", "VARCHAR", "VARCHAR", "BOOLEAN", "VARCHAR"],
     )
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal plumbing): one row per
+    planned frame timestamp via pure column math (`F.sequence`).  Oracle
+    derives the same rows straight from the synth-media spec."""
+    from graph4code_spark.operators.multimodal import frame_sample_plan, synth_media
+
+    media = synth_media(spark, 60)
+    return frame_sample_plan(media, every_ms=700).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+def _oracle_media_frame_plan() -> str:
+    import hashlib
+
+    rows = []
+    for i in range(60):
+        if i % 3 != 2:  # types cycle image/audio/video; only video planned
+            continue
+        h = hashlib.md5(f"42|media|{i}".encode()).digest()
+        dur = 1000 * (1 + h[2] % 10)
+        for ts in range(0, dur, 700):
+            rows.append((f"m{i}", ts))
+    return _values_table(rows, ["media_id", "frame_ts_ms"], ["VARCHAR", "BIGINT"])

@@ -53,3 +53,41 @@ def test_patch_catalog_types_roundtrip(spark):
     # rows with no param_map at all pass through
     sess = rows[("requests.Session", None)]
     assert sess.param_map is None
+
+
+def test_patch_types_scales_to_100k_classes(spark):
+    """Scale shape probe: 100k known classes against 5k typed slots must
+    stay a broadcast token join — bounded wall, no cross product."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from graph4code_spark.schemas import API_CATALOG_SCHEMA
+
+    # 5k records, one typed param each; type strings mention a rotating
+    # class tail so ~all slots get at least one hit
+    rows = []
+    for i in range(5000):
+        pm = {"x": {"name": "x", "param_doc": " d", "type": f" Klass{i % 997}, optional",
+                    "optional": True, "inferred_type": None, "dimensionality": None}}
+        rec = {"module": f"m{i}", "klass": None, "function": f"m{i}.f{i}",
+               "function_docstring": None, "class_docstring": None,
+               "param_names": ["x"], "param_map": pm, "return_map": None,
+               "ret_types": None, "base_classes": None}
+        rows.append(tuple(rec.get(f.name) for f in API_CATALOG_SCHEMA.fields))
+    cat = spark.createDataFrame(rows, API_CATALOG_SCHEMA)
+    extra = [f"pkg{i}.Klass{i}" for i in range(100_000)]
+
+    from graph4code_spark.operators.patch_types import patch_type_slots
+
+    t0 = time.time()
+    out = patch_type_slots(cat, extra_classes=extra)
+    got = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("additions")).alias("hits"),
+    ).first()
+    elapsed = time.time() - t0
+    assert got["n"] == 5000
+    # each slot's token klass{i%997} equals exactly one class tail
+    assert got["hits"] == 5000
+    assert elapsed < 120, f"patch join degraded: {elapsed:.1f}s"
