@@ -1363,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "kg_canonical_triples": q_kg_canonical_triples,
         "media_frame_plan": q_media_frame_plan,
+        "kg_debug_posts": q_kg_debug_posts,
     }
 
 
@@ -1416,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": _oracle_sim_ivf_topk(),
         "kg_canonical_triples": _oracle_kg_canonical_triples(),
         "media_frame_plan": _oracle_media_frame_plan(),
+        "kg_debug_posts": _oracle_kg_debug_posts(),
     }
 
 
@@ -2176,3 +2178,91 @@ def _oracle_media_frame_plan() -> str:
         for ts in range(0, dur, 700):
             rows.append((f"m{i}", ts))
     return _values_table(rows, ["media_id", "frame_ts_ms"], ["VARCHAR", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# debug_stackoverflow.sparql end-to-end (round-2 addition)
+# ---------------------------------------------------------------------------
+
+_DEBUG_POSTS_ENTITIES = [
+    "sklearn.model_selection.train_test_split",
+    "sklearn.svm.SVC.fit",
+]
+_DEBUG_POSTS_PHRASE = "the right dtype"
+
+
+def q_kg_debug_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`usage_queries/debug_stackoverflow.sparql` over the full pipeline
+    output: questions about a VALUES list of entities scored by hit
+    count, joined to answers containing a phrase.  Contents are md5'd to
+    keep the compared payload compact.  Oracle: the straight-line
+    pipeline (`reference_impl.forum_pipeline_quads`) + a Python
+    re-execution of the graph pattern."""
+    from graph4code_spark.plans.queries import debug_posts
+
+    tri = q_kg_pipeline_forum(spark, sf_dir).select(
+        "subj", "pred", "obj", "is_literal", "graph"
+    ).dropDuplicates()
+    out = debug_posts(tri, _DEBUG_POSTS_ENTITIES, _DEBUG_POSTS_PHRASE)
+    return out.select(
+        "q", "t",
+        F.md5("q_content").alias("qc_md5"),
+        F.md5("a_content").alias("ac_md5"),
+        "c",
+    )
+
+
+def _oracle_kg_debug_posts() -> str:
+    import hashlib
+    from collections import Counter
+
+    from graph4code_spark.reference_impl.emitters import forum_pipeline_quads
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+    from graph4code_spark.uris import PREFIXES
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    pages_rows = [_page_record(pid, 42, names, hub, etypes) for pid in range(300)]
+    quads = forum_pipeline_quads(pages_rows, FIXED_CATALOG, PREFIXES["stackoverflow3"])
+
+    schema_p, sioc_p = PREFIXES["schema"], PREFIXES["sioc"]
+    rdf_type = PREFIXES["rdf"] + "type"
+    py = PREFIXES["py"]
+    vals = {py + n for n in _DEBUG_POSTS_ENTITIES}
+
+    qtype, atype = set(), set()
+    about, sugg = set(), set()
+    name, content = {}, {}
+    for s, p, o, _lit, _g in quads:
+        if p == rdf_type and o == schema_p + "Question":
+            qtype.add(s)
+        elif p == rdf_type and o == schema_p + "Answer":
+            atype.add(s)
+        elif p == schema_p + "about":
+            about.add((s, o))
+        elif p == schema_p + "suggestedAnswer":
+            sugg.add((s, o))
+        elif p == schema_p + "name":
+            name[s] = o
+        elif p == sioc_p + "content":
+            content[s] = o
+
+    counts = Counter(q for q, f in about if f in vals and q in qtype)
+    rows = []
+    for q, c in counts.items():
+        if q not in name or q not in content:
+            continue
+        qc = hashlib.md5(content[q].encode("utf-8")).hexdigest()
+        for qq, a in sugg:
+            if qq != q or a not in atype or a not in content:
+                continue
+            if _DEBUG_POSTS_PHRASE not in content[a]:
+                continue
+            ac = hashlib.md5(content[a].encode("utf-8")).hexdigest()
+            rows.append((q, name[q], qc, ac, c))
+    return _values_table(
+        sorted(rows),
+        ["q", "t", "qc_md5", "ac_md5", "c"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"],
+    )

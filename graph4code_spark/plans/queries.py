@@ -98,6 +98,75 @@ def next_steps_after(triples: DataFrame, entity_suffix: str, k: int = 3) -> Data
     )
 
 
+def debug_posts(
+    triples: DataFrame, entity_names: list[str], phrase: str
+) -> DataFrame:
+    """`usage_queries/debug_stackoverflow.sparql`: questions about a
+    VALUES list of entities, scored by hit count, joined to their
+    title/content and to suggested answers whose content contains a
+    phrase, ordered by score.
+
+    Restated as per-predicate self-joins over the quad table (each
+    single-predicate filter prunes to one (pred_name) partition):
+
+    - VALUES + `schema:about` semi-join + group-count → ?c per ?q
+    - rdf:type Question / schema:name / sioc:content on the question
+    - schema:suggestedAnswer → rdf:type Answer → sioc:content with a
+      `contains` filter (SPARQL `filter(contains(...))`)
+
+    The VALUES side is a tiny broadcast; the only wide op is the per-?q
+    count. sioc:content serves both questions and answers, so each use
+    is disambiguated through the rdf:type set, as the graph pattern does.
+    """
+    spark = triples.sparkSession
+    schema_p = PREFIXES["schema"]
+    sioc_p = PREFIXES["sioc"]
+    rdf_type = PREFIXES["rdf"] + "type"
+
+    vals = spark.createDataFrame([(_PY + n,) for n in entity_names], "f string")
+    qtype = (
+        _pred(triples, rdf_type).where(F.col("obj") == schema_p + "Question")
+        .select(F.col("subj").alias("q")).distinct()
+    )
+    atype = (
+        _pred(triples, rdf_type).where(F.col("obj") == schema_p + "Answer")
+        .select(F.col("subj").alias("a")).distinct()
+    )
+    about = _pred(triples, schema_p + "about").select(
+        F.col("subj").alias("q"), F.col("obj").alias("f")
+    ).distinct()
+    counts = (
+        about.join(F.broadcast(vals), "f")
+        .join(qtype, "q")
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = _pred(triples, schema_p + "name").select(
+        F.col("subj").alias("q"), F.col("obj").alias("t")
+    ).distinct()
+    content = _pred(triples, sioc_p + "content")
+    q_content = content.join(qtype, content["subj"] == qtype["q"]).select(
+        "q", F.col("obj").alias("q_content")
+    ).distinct()
+    a_content = (
+        content.join(atype, content["subj"] == atype["a"])
+        .where(F.col("obj").contains(phrase))
+        .select("a", F.col("obj").alias("a_content"))
+        .distinct()
+    )
+    sugg = _pred(triples, schema_p + "suggestedAnswer").select(
+        F.col("subj").alias("q"), F.col("obj").alias("a")
+    ).distinct()
+    return (
+        counts.join(name, "q")
+        .join(q_content, "q")
+        .join(sugg, "q")
+        .join(a_content, "a")
+        .select("q", "t", "q_content", "a_content", F.col("c").cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("q"), F.asc("a_content"))
+    )
+
+
 def flows_excluding(triples: DataFrame, exclude_label: str) -> DataFrame:
     """SPARQL `minus` → anti-join: flow sources whose label does NOT
     match the excluded classifier (`find_similar_flows.sparql:37-39`)."""

@@ -71,3 +71,46 @@ def test_salted_cap_equals_unsalted(spark):
     # cap actually binds for the hub entity
     hub_count = plain.where(F.col("entity") == HUB_ENTITY).count()
     assert hub_count == 10
+
+
+def test_debug_posts_values_count_and_phrase_filter(spark):
+    """debug_stackoverflow.sparql semantics on a handcrafted quad set:
+    hit-count per question over the VALUES list, answers filtered by
+    phrase, questions without matching answers absent."""
+    from graph4code_spark.plans.queries import debug_posts
+    from graph4code_spark.schemas import TRIPLES_SCHEMA
+    from graph4code_spark.uris import PREFIXES
+
+    S, SIOC, RDF, PY = (PREFIXES["schema"], PREFIXES["sioc"],
+                        PREFIXES["rdf"], PREFIXES["py"])
+    g = "http://f/"
+    rows = []
+
+    def q(s, p, o, lit=False):
+        rows.append((s, p, o, lit, None, None, g))
+
+    for qid, ents in [("q1", ["e1", "e2"]), ("q2", ["e1"]), ("q3", ["zz"])]:
+        q(qid := g + qid, RDF + "type", S + "Question")
+        for e in ents:
+            q(qid, S + "about", PY + e)
+        q(qid, S + "name", f"title {qid}", True)
+        q(qid, SIOC + "content", f"body {qid}", True)
+    for aid, parent, body in [
+        ("a1", g + "q1", "has the phrase inside"),
+        ("a2", g + "q1", "no match here"),
+        ("a3", g + "q2", "phrase again"),
+        ("a4", g + "q3", "phrase but q3 not in VALUES"),
+    ]:
+        q(parent, S + "suggestedAnswer", g + "a/" + aid)
+        q(g + "a/" + aid, RDF + "type", S + "Answer")
+        q(g + "a/" + aid, SIOC + "content", body, True)
+
+    tri = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    out = [(r.q, r.a_content, r.c)
+           for r in debug_posts(tri, ["e1", "e2"], "phrase").collect()]
+    assert set(out) == {
+        (g + "q1", "has the phrase inside", 2),  # two VALUES hits
+        (g + "q2", "phrase again", 1),
+    }
+    # ordered by count desc
+    assert out[0][2] == 2
