@@ -1364,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "media_frame_plan": q_media_frame_plan,
         "kg_debug_posts": q_kg_debug_posts,
+        "kg_hyperparam_dist": q_kg_hyperparam_dist,
     }
 
 
@@ -1418,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_triples": _oracle_kg_canonical_triples(),
         "media_frame_plan": _oracle_media_frame_plan(),
         "kg_debug_posts": _oracle_kg_debug_posts(),
+        "kg_hyperparam_dist": _oracle_kg_hyperparam_dist(),
     }
 
 
@@ -2265,4 +2267,102 @@ def _oracle_kg_debug_posts() -> str:
         sorted(rows),
         ["q", "t", "qc_md5", "ac_md5", "c"],
         ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# find_hyperparameter_distributions.sparql — cross-graph join (round-2)
+# ---------------------------------------------------------------------------
+
+_HYPER_BASE = "sklearn.base.ClassifierMixin"
+
+
+def q_kg_hyperparam_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cross-graph usage query: docstrings-graph
+    subClassOf* closure to ClassifierMixin → constructor nodes in the
+    analysis graphs by label → constant named-arg distribution.  Runs
+    over the union of the docstrings triples and the full pipeline's
+    flow triples; oracle recomputes both sides straight-line plus a
+    Python BFS closure."""
+    from graph4code_spark.plans.queries import hyperparameter_distributions
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
+    flow_t = q_kg_flow_triples(spark, sf_dir)
+    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    out = hyperparameter_distributions(tri, _HYPER_BASE)
+    return out.select("name", "param", "value", F.col("n").cast("long").alias("n"))
+
+
+def _oracle_kg_hyperparam_dist() -> str:
+    from collections import Counter, defaultdict
+
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+    from graph4code_spark.reference_impl.emitters import (
+        analysis_quads,
+        documentation_quads,
+    )
+    from graph4code_spark.reference_impl.qa_oracle import oracle_parse_qa_page
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+    from graph4code_spark.uris import PREFIXES
+
+    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
+    rdfs_label = PREFIXES["rdfs"] + "label"
+    sio_in = PREFIXES["sio"] + "SIO_000230"
+    py = PREFIXES["py"]
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    doc_quads = set()
+    for rec in FIXED_CATALOG:
+        doc_quads |= documentation_quads(rec, alias)
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    cat = build_flow_catalog(FIXED_CATALOG)
+    ana_quads = set()
+    for pid in range(300):
+        page = _page_record(pid, 42, names, hub, etypes)
+        rec = oracle_parse_qa_page(page["url"], page["html"].decode("utf-8"))
+        if rec is None:
+            continue
+        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
+            ana_quads |= analysis_quads(node)
+
+    # subClassOf* closure (docstrings graph), Python BFS
+    edges = defaultdict(set)
+    for s, p, o, _l, _g in doc_quads:
+        if p == rdfs_sub:
+            edges[s].add(o)
+    base_uri = py + _HYPER_BASE
+    classes = set()
+    for start in list(edges):
+        seen, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(edges.get(x, ()))
+        if base_uri in seen:
+            classes.add(start)
+
+    cls_names = {
+        o for s, p, o, _l, _g in doc_quads if p == rdfs_label and s in classes
+    }
+    ctor_nodes = {}
+    for s, p, o, _l, _pos, _nm, _g in ana_quads:
+        if p == rdfs_label and o.endswith(".") and o[:-1] in cls_names:
+            ctor_nodes[(s, _g)] = o[:-1]
+    counts: Counter = Counter()
+    for s, p, o, _l, _pos, nm, g in ana_quads:
+        if p == sio_in and nm is not None and (s, g) in ctor_nodes:
+            counts[(ctor_nodes[(s, g)], nm, o)] += 1
+    rows = sorted((n, prm, v, c) for (n, prm, v), c in counts.items())
+    return _values_table(
+        rows, ["name", "param", "value", "n"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"],
     )

@@ -167,6 +167,69 @@ def debug_posts(
     )
 
 
+def hyperparameter_distributions(
+    triples: DataFrame, base_class: str
+) -> DataFrame:
+    """`usage_queries/find_hyperparameter_distributions.sparql` (honest
+    subset): the CROSS-GRAPH join — classes reaching ``base_class`` via
+    ``rdfs:subClassOf*`` in the DOCSTRINGS graph, matched against
+    constructor-call nodes in the ANALYSIS graphs by label (the
+    reference's trailing-separator label quirk: a multi-part analysis
+    label is the class name + '.'), then their constant NAMED arguments
+    (sio:SIO_000230 with a name annotation — positional args are ignored,
+    as the reference query's comment says) aggregated into a per-(class,
+    param, value) distribution.
+
+    ``subClassOf*`` is the semi-naive closure operator reused from
+    flowsTo+; the class list is tiny → broadcast into the label match."""
+    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
+    sio_has_input = PREFIXES["sio"] + "SIO_000230"
+    base_uri = _PY + base_class
+
+    sub = _pred(triples, rdfs_sub).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"), "graph"
+    ).distinct()
+    from graph4code_spark.operators.closure import transitive_closure
+
+    closure = transitive_closure(sub)
+    classes = closure.where(F.col("dst") == base_uri).select(
+        F.col("src").alias("cls")
+    ).distinct()
+
+    # labels carry their named graph: analysis node URIs (se<n>) repeat
+    # across graphs, so every node-level join below is keyed
+    # (node, graph) — joining on the URI alone would cross-wire graphs
+    labels = _pred(triples, _RDFS_LABEL).select(
+        F.col("subj").alias("node"), F.col("obj").alias("lbl"), "graph"
+    )
+    cls_names = (
+        classes.join(labels, classes["cls"] == labels["node"])
+        .select(F.col("lbl").alias("name"))
+        .distinct()
+    )
+    ctor_nodes = labels.join(
+        F.broadcast(cls_names),
+        labels["lbl"] == F.concat(cls_names["name"], F.lit(".")),
+    ).select("node", "graph", "name")
+
+    named = (
+        _pred(triples, sio_has_input)
+        .where(F.col("arg_name").isNotNull())
+        .select(
+            F.col("subj").alias("node"),
+            "graph",
+            F.col("arg_name").alias("param"),
+            F.col("obj").alias("value"),
+        )
+    )
+    return (
+        ctor_nodes.join(named, ["node", "graph"])
+        .groupBy("name", "param", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "name", "param", "value")
+    )
+
+
 def flows_excluding(triples: DataFrame, exclude_label: str) -> DataFrame:
     """SPARQL `minus` → anti-join: flow sources whose label does NOT
     match the excluded classifier (`find_similar_flows.sparql:37-39`)."""

@@ -314,12 +314,16 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 # values (~half the snippets) so the G2 reads/writes
                 # subset is exercised end-to-end
                 klass, meth = ".".join(parts[:-1]), parts[-1]
+                kern = ["rbf", "linear", "poly"][_h(seed, page_id, "kern", a) % 3]
                 if _h(seed, page_id, "chain", a) % 4 == 0:
                     # chained form: ctor(...).method(...) — collapse path
                     body_code = "result = " + klass + "(data)." + meth + "(x, 3)\n"
                 else:
+                    # ctor with a constant named hyperparameter (varied) so
+                    # the hyperparameter-distribution query has a real
+                    # distribution to aggregate
                     body_code = (
-                        "obj = " + klass + "(data)\n"
+                        "obj = " + klass + "(data, kernel='" + kern + "')\n"
                         + "result = obj." + meth + "(x, 3)\n"
                     )
                 if _h(seed, page_id, "rw", a) % 2 == 0:
