@@ -1365,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": q_media_frame_plan,
         "kg_debug_posts": q_kg_debug_posts,
         "kg_hyperparam_dist": q_kg_hyperparam_dist,
+        "kg_single_model_fits": q_kg_single_model_fits,
     }
 
 
@@ -1420,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_plan": _oracle_media_frame_plan(),
         "kg_debug_posts": _oracle_kg_debug_posts(),
         "kg_hyperparam_dist": _oracle_kg_hyperparam_dist(),
+        "kg_single_model_fits": _oracle_kg_single_model_fits(),
     }
 
 
@@ -2365,4 +2367,128 @@ def _oracle_kg_hyperparam_dist() -> str:
     return _values_table(
         rows, ["name", "param", "value", "n"],
         ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"],
+    )
+
+
+def q_kg_single_model_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ensure_multiple_models.sparql` violation finder over the union of
+    docstrings + pipeline flow triples: fit calls whose flowsTo+
+    predecessors contain exactly one distinct classifier class, with
+    source lines pulled from the SIO_000061 JSON literal."""
+    from graph4code_spark.plans.queries import single_model_fits
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
+    flow_t = q_kg_flow_triples(spark, sf_dir)
+    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    return single_model_fits(tri, _HYPER_BASE)
+
+
+def _oracle_kg_single_model_fits() -> str:
+    import json as _json
+    from collections import defaultdict
+
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+    from graph4code_spark.reference_impl.emitters import (
+        analysis_quads,
+        documentation_quads,
+    )
+    from graph4code_spark.reference_impl.qa_oracle import oracle_parse_qa_page
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+    from graph4code_spark.uris import PREFIXES
+
+    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
+    rdfs_label = PREFIXES["rdfs"] + "label"
+    schema_p, sio_p, py = PREFIXES["schema"], PREFIXES["sio"], PREFIXES["py"]
+    # flowsTo lives under the BASE purl namespace, not /ontology/
+    # (PythonTurtleAnalysisEngine.java:377; closure.flows_to_edges)
+    flows_p = "http://purl.org/twc/graph4code/flowsTo"
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    doc_quads = set()
+    for rec in FIXED_CATALOG:
+        doc_quads |= documentation_quads(rec, alias)
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    cat = build_flow_catalog(FIXED_CATALOG)
+    ana_quads = set()
+    for pid in range(300):
+        page = _page_record(pid, 42, names, hub, etypes)
+        rec = oracle_parse_qa_page(page["url"], page["html"].decode("utf-8"))
+        if rec is None:
+            continue
+        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
+            ana_quads |= analysis_quads(node)
+
+    # classifier names via subClassOf* BFS over the docstrings graph
+    edges = defaultdict(set)
+    lbl = {}
+    for s, p, o, _l, _g in doc_quads:
+        if p == rdfs_sub:
+            edges[s].add(o)
+        elif p == rdfs_label:
+            lbl.setdefault(s, o)
+    base_uri = py + _HYPER_BASE
+    cls_names = set()
+    for start in list(edges):
+        seen, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(edges.get(x, ()))
+        if base_uri in seen and start in lbl:
+            cls_names.add(lbl[start])
+
+    flows = defaultdict(lambda: defaultdict(set))
+    fits = set()
+    ana_lbl, txts, locs = {}, {}, {}
+    for s, p, o, _l, _pos, _nm, g in ana_quads:
+        if p == flows_p:
+            flows[g][s].add(o)
+        elif p == schema_p + "about" and o == "fit":
+            fits.add((s, g))
+        elif p == rdfs_label:
+            ana_lbl[(s, g)] = o
+        elif p == schema_p + "text":
+            txts[(s, g)] = o
+        elif p == sio_p + "SIO_000061":
+            d = _json.loads(o)
+            locs[(s, g)] = (d.get("firstLine"), d.get("lastLine"))
+
+    # per-graph reverse reachability: which classifier classes flow into
+    # each fit node
+    rows = []
+    for fit, g in fits:
+        adj = flows[g]
+        # predecessors: nodes that reach `fit`
+        reach_cls = set()
+        for src in adj:
+            seen, stack = set(), [src]
+            hit = False
+            while stack:
+                x = stack.pop()
+                if x == fit and x != src:
+                    hit = True
+                if x in seen:
+                    continue
+                seen.add(x)
+                stack.extend(adj.get(x, ()))
+            if hit:
+                l = ana_lbl.get((src, g), "")
+                if l.endswith(".") and l[:-1] in cls_names:
+                    reach_cls.add(l[:-1])
+        if len(reach_cls) == 1 and (fit, g) in txts and (fit, g) in locs:
+            l1, l2 = locs[(fit, g)]
+            rows.append((g, fit, min(reach_cls), l1, l2, txts[(fit, g)]))
+    return _values_table(
+        sorted(rows),
+        ["graph", "fit", "cls_name", "l1", "l2", "txt"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "VARCHAR"],
     )

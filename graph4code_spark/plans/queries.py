@@ -182,30 +182,14 @@ def hyperparameter_distributions(
 
     ``subClassOf*`` is the semi-naive closure operator reused from
     flowsTo+; the class list is tiny → broadcast into the label match."""
-    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
     sio_has_input = PREFIXES["sio"] + "SIO_000230"
-    base_uri = _PY + base_class
-
-    sub = _pred(triples, rdfs_sub).select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst"), "graph"
-    ).distinct()
-    from graph4code_spark.operators.closure import transitive_closure
-
-    closure = transitive_closure(sub)
-    classes = closure.where(F.col("dst") == base_uri).select(
-        F.col("src").alias("cls")
-    ).distinct()
+    cls_names = classifier_class_names(triples, base_class)
 
     # labels carry their named graph: analysis node URIs (se<n>) repeat
     # across graphs, so every node-level join below is keyed
     # (node, graph) — joining on the URI alone would cross-wire graphs
     labels = _pred(triples, _RDFS_LABEL).select(
         F.col("subj").alias("node"), F.col("obj").alias("lbl"), "graph"
-    )
-    cls_names = (
-        classes.join(labels, classes["cls"] == labels["node"])
-        .select(F.col("lbl").alias("name"))
-        .distinct()
     )
     ctor_nodes = labels.join(
         F.broadcast(cls_names),
@@ -228,6 +212,84 @@ def hyperparameter_distributions(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "name", "param", "value")
     )
+
+
+def classifier_class_names(triples: DataFrame, base_class: str) -> DataFrame:
+    """(name) of every class reaching ``base_class`` via rdfs:subClassOf*
+    in the docstrings graph — the shared leg of the cross-graph usage
+    queries."""
+    from graph4code_spark.operators.closure import transitive_closure
+
+    sub = _pred(triples, PREFIXES["rdfs"] + "subClassOf").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"), "graph"
+    ).distinct()
+    classes = (
+        transitive_closure(sub)
+        .where(F.col("dst") == _PY + base_class)
+        .select(F.col("src").alias("cls"))
+        .distinct()
+    )
+    labels = _pred(triples, _RDFS_LABEL).select(
+        F.col("subj").alias("cls"), F.col("obj").alias("name")
+    )
+    return classes.join(labels, "cls").select("name").distinct()
+
+
+def single_model_fits(triples: DataFrame, base_class: str) -> DataFrame:
+    """`usage_queries/ensure_multiple_models.sparql` violation finder
+    (honest subset, minus the read_csv leg the corpus cannot bind): fit
+    calls (``schema:about "fit"``) whose flowsTo+ predecessors include
+    EXACTLY ONE distinct classifier class — the filter-not-exists
+    "?cls1 != ?cls2" pattern becomes a per-fit distinct count == 1.
+    Location lines are pulled out of the SIO_000061 JSON literal with
+    `get_json_object` (JVM-side), matching ?l1/?l2/?txt in the query."""
+    schema_p, sio_p = PREFIXES["schema"], PREFIXES["sio"]
+
+    fits = _pred(triples, schema_p + "about").where(F.col("obj") == "fit").select(
+        F.col("subj").alias("fit"), "graph"
+    ).distinct()
+    closure = transitive_closure_flows(triples)
+    preds = closure.select(
+        F.col("src").alias("pred"), F.col("dst").alias("fit"), "graph"
+    ).join(fits, ["fit", "graph"])
+
+    names = classifier_class_names(triples, base_class)
+    labels = _pred(triples, _RDFS_LABEL).select(
+        F.col("subj").alias("pred"), F.col("obj").alias("lbl"), "graph"
+    )
+    cls_preds = (
+        preds.join(labels, ["pred", "graph"])
+        .join(F.broadcast(names), labels["lbl"] == F.concat(names["name"], F.lit(".")))
+        .select("fit", "graph", "name")
+    )
+    single = (
+        cls_preds.groupBy("fit", "graph")
+        .agg(F.count_distinct("name").alias("n_models"), F.min("name").alias("cls_name"))
+        .where(F.col("n_models") == 1)
+    )
+    txt = _pred(triples, schema_p + "text").select(
+        F.col("subj").alias("fit"), "graph", F.col("obj").alias("txt")
+    ).distinct()
+    loc = _pred(triples, sio_p + "SIO_000061").select(
+        F.col("subj").alias("fit"), "graph",
+        F.get_json_object("obj", "$.firstLine").cast("long").alias("l1"),
+        F.get_json_object("obj", "$.lastLine").cast("long").alias("l2"),
+    ).distinct()
+    return (
+        single.join(txt, ["fit", "graph"])
+        .join(loc, ["fit", "graph"])
+        .select("graph", "fit", "cls_name", "l1", "l2", "txt")
+        .orderBy("graph", "fit")
+    )
+
+
+def transitive_closure_flows(triples: DataFrame) -> DataFrame:
+    from graph4code_spark.operators.closure import (
+        flows_to_edges,
+        transitive_closure,
+    )
+
+    return transitive_closure(flows_to_edges(triples))
 
 
 def flows_excluding(triples: DataFrame, exclude_label: str) -> DataFrame:
