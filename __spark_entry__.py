@@ -1366,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_debug_posts": q_kg_debug_posts,
         "kg_hyperparam_dist": q_kg_hyperparam_dist,
         "kg_single_model_fits": q_kg_single_model_fits,
+        "kg_fit_predict_pairs": q_kg_fit_predict_pairs,
     }
 
 
@@ -1422,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_debug_posts": _oracle_kg_debug_posts(),
         "kg_hyperparam_dist": _oracle_kg_hyperparam_dist(),
         "kg_single_model_fits": _oracle_kg_single_model_fits(),
+        "kg_fit_predict_pairs": _oracle_kg_fit_predict_pairs(),
     }
 
 
@@ -2491,4 +2493,113 @@ def _oracle_kg_single_model_fits() -> str:
         sorted(rows),
         ["graph", "fit", "cls_name", "l1", "l2", "txt"],
         ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "VARCHAR"],
+    )
+
+
+def q_kg_fit_predict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`train_test_different_data.sparql` core shape: classifier nodes
+    reaching BOTH a fit and a predict call through flowsTo+ in the same
+    graph."""
+    from graph4code_spark.plans.queries import fit_predict_pairs
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
+    flow_t = q_kg_flow_triples(spark, sf_dir)
+    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    return fit_predict_pairs(tri, _HYPER_BASE)
+
+
+def _oracle_kg_fit_predict_pairs() -> str:
+    from collections import defaultdict
+
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+    from graph4code_spark.reference_impl.emitters import (
+        analysis_quads,
+        documentation_quads,
+    )
+    from graph4code_spark.reference_impl.qa_oracle import oracle_parse_qa_page
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+    from graph4code_spark.uris import PREFIXES
+
+    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
+    rdfs_label = PREFIXES["rdfs"] + "label"
+    schema_p, py = PREFIXES["schema"], PREFIXES["py"]
+    flows_p = "http://purl.org/twc/graph4code/flowsTo"
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    doc_quads = set()
+    for rec in FIXED_CATALOG:
+        doc_quads |= documentation_quads(rec, alias)
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    cat = build_flow_catalog(FIXED_CATALOG)
+    ana_quads = set()
+    for pid in range(300):
+        page = _page_record(pid, 42, names, hub, etypes)
+        rec = oracle_parse_qa_page(page["url"], page["html"].decode("utf-8"))
+        if rec is None:
+            continue
+        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
+            ana_quads |= analysis_quads(node)
+
+    edges = defaultdict(set)
+    lbl = {}
+    for s, p, o, _l, _g in doc_quads:
+        if p == rdfs_sub:
+            edges[s].add(o)
+        elif p == rdfs_label:
+            lbl.setdefault(s, o)
+    base_uri = py + _HYPER_BASE
+    cls_names = set()
+    for start in list(edges):
+        seen, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(edges.get(x, ()))
+        if base_uri in seen and start in lbl:
+            cls_names.add(lbl[start])
+
+    flows = defaultdict(lambda: defaultdict(set))
+    about = defaultdict(set)  # (g, value) -> nodes
+    ana_lbl = {}
+    for s, p, o, _l, _pos, _nm, g in ana_quads:
+        if p == flows_p:
+            flows[g][s].add(o)
+        elif p == schema_p + "about":
+            about[(g, o)].add(s)
+        elif p == rdfs_label:
+            ana_lbl[(s, g)] = o
+
+    rows = []
+    for g, adj in flows.items():
+        fits = about.get((g, "fit"), set())
+        predicts = about.get((g, "predict"), set())
+        if not fits or not predicts:
+            continue
+        for src in adj:
+            l = ana_lbl.get((src, g), "")
+            if not (l.endswith(".") and l[:-1] in cls_names):
+                continue
+            seen, stack = set(), list(adj[src])
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                stack.extend(adj.get(x, ()))
+            for f in fits & seen:
+                for pr in predicts & seen:
+                    rows.append((g, src, l[:-1], f, pr))
+    return _values_table(
+        sorted(rows),
+        ["graph", "model", "name", "fit", "predict"],
+        ["VARCHAR"] * 5,
     )

@@ -283,6 +283,47 @@ def single_model_fits(triples: DataFrame, base_class: str) -> DataFrame:
     )
 
 
+def fit_predict_pairs(triples: DataFrame, base_class: str) -> DataFrame:
+    """`usage_queries/train_test_different_data.sparql` core shape
+    (honest subset): one classifier-producing node whose flowsTo+
+    closure reaches BOTH a ``schema:about "fit"`` call and a
+    ``schema:about "predict"`` call in the same graph — the multi-way
+    closure join (?pred1 flowsTo+ ?fit; ?pred1 flowsTo+ ?predict).
+    Output one row per (graph, model node, fit node, predict node)."""
+    schema_p = PREFIXES["schema"]
+
+    def about(v):
+        return _pred(triples, schema_p + "about").where(F.col("obj") == v).select(
+            F.col("subj").alias("node"), "graph"
+        ).distinct()
+
+    closure = transitive_closure_flows(triples)
+    names = classifier_class_names(triples, base_class)
+    labels = _pred(triples, _RDFS_LABEL).select(
+        F.col("subj").alias("model"), F.col("obj").alias("lbl"), "graph"
+    )
+    models = labels.join(
+        F.broadcast(names), labels["lbl"] == F.concat(names["name"], F.lit("."))
+    ).select("model", "graph", "name")
+
+    def reaches(target_df, alias):
+        return (
+            closure.select(
+                F.col("src").alias("model"), F.col("dst").alias(alias), "graph"
+            )
+            .join(target_df.withColumnRenamed("node", alias), [alias, "graph"])
+        )
+
+    to_fit = reaches(about("fit"), "fit")
+    to_predict = reaches(about("predict"), "predict")
+    return (
+        models.join(to_fit, ["model", "graph"])
+        .join(to_predict, ["model", "graph"])
+        .select("graph", "model", "name", "fit", "predict")
+        .orderBy("graph", "model", "fit", "predict")
+    )
+
+
 def transitive_closure_flows(triples: DataFrame) -> DataFrame:
     from graph4code_spark.operators.closure import (
         flows_to_edges,

@@ -326,6 +326,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                         "obj = " + klass + "(data, kernel='" + kern + "')\n"
                         + "result = obj." + meth + "(x, 3)\n"
                     )
+                    if meth == "fit" and _h(seed, page_id, "second", a) % 3 == 0:
+                        # fit AND predict on the same model (the
+                        # train_test_different_data.sparql shape)
+                        body_code += "pred = obj.predict(result)\n"
                 if _h(seed, page_id, "rw", a) % 2 == 0:
                     body_code += (
                         "print(result.shape)\n"
