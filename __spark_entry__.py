@@ -63,11 +63,14 @@ from graph4code_spark.synth import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # a small single-file table arrives as ONE partition; spread it so the
+    # a small single-file table arrives as ONE split; spread it so the
     # per-row operators actually parallelize (a real 100 TB table arrives
-    # with thousands of splits and never hits this path)
+    # with thousands of splits and never hits this path).  Split count is
+    # estimated from the file listing — touching df.rdd here would force a
+    # deserialization boundary on every table load.
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 4):
+    n_files = len(df.inputFiles())
+    if n_files and n_files < max(2, par // 4):
         df = df.repartition(par)
     return df
 
@@ -1072,25 +1075,7 @@ def _oracle_kg_flow_digest() -> str:
     import hashlib
     from collections import defaultdict
 
-    from graph4code_spark.operators.flows import build_flow_catalog, extract_page_flow_nodes
-    from graph4code_spark.reference_impl.emitters import analysis_quads
-    from graph4code_spark.reference_impl.qa_oracle import (
-        oracle_parse_qa_page as parse_qa_page,
-    )
-    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
-
-    names = sorted({entity_name(r) for r in FIXED_CATALOG})
-    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
-    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
-    cat = build_flow_catalog(FIXED_CATALOG)
-    quads = set()
-    for pid in range(300):
-        page = _page_record(pid, 42, names, hub, etypes)
-        rec = parse_qa_page(page["url"], page["html"].decode("utf-8"))
-        if rec is None:
-            continue
-        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
-            quads |= analysis_quads(node)
+    _doc, quads = _oracle_corpus()
 
     per_pred: dict[str, list[str]] = defaultdict(list)
     for subj, pred, obj, is_literal, arg_pos, arg_name, graph in quads:
@@ -1220,25 +1205,7 @@ def q_kg_next_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_kg_next_steps() -> str:
     from collections import Counter, defaultdict
 
-    from graph4code_spark.operators.flows import build_flow_catalog, extract_page_flow_nodes
-    from graph4code_spark.reference_impl.emitters import analysis_quads
-    from graph4code_spark.reference_impl.qa_oracle import (
-        oracle_parse_qa_page as parse_qa_page,
-    )
-    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
-
-    names = sorted({entity_name(r) for r in FIXED_CATALOG})
-    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
-    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
-    cat = build_flow_catalog(FIXED_CATALOG)
-    quads = set()
-    for pid in range(300):
-        page = _page_record(pid, 42, names, hub, etypes)
-        rec = parse_qa_page(page["url"], page["html"].decode("utf-8"))
-        if rec is None:
-            continue
-        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
-            quads |= analysis_quads(node)
+    _doc, quads = _oracle_corpus()
 
     label_p = "http://www.w3.org/2000/01/rdf-schema#label"
     flows_p = "http://purl.org/twc/graph4code/flowsTo"
@@ -2298,9 +2265,14 @@ def q_kg_hyperparam_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", "param", "value", F.col("n").cast("long").alias("n"))
 
 
-def _oracle_kg_hyperparam_dist() -> str:
-    from collections import Counter, defaultdict
-
+def _oracle_corpus() -> tuple[set, set]:
+    """(doc_quads, ana_quads) for the shared 300-page oracle corpus —
+    the straight-line reference_impl recomputation every cross-graph
+    usage-query oracle starts from.  Cached: oracle_sql() calls several
+    of them in one driver run."""
+    global _ORACLE_CORPUS_CACHE
+    if _ORACLE_CORPUS_CACHE is not None:
+        return _ORACLE_CORPUS_CACHE
     from graph4code_spark.operators.flows import (
         build_flow_catalog,
         extract_page_flow_nodes,
@@ -2311,12 +2283,6 @@ def _oracle_kg_hyperparam_dist() -> str:
     )
     from graph4code_spark.reference_impl.qa_oracle import oracle_parse_qa_page
     from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
-    from graph4code_spark.uris import PREFIXES
-
-    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
-    rdfs_label = PREFIXES["rdfs"] + "label"
-    sio_in = PREFIXES["sio"] + "SIO_000230"
-    py = PREFIXES["py"]
 
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_quads = set()
@@ -2335,14 +2301,33 @@ def _oracle_kg_hyperparam_dist() -> str:
             continue
         for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
             ana_quads |= analysis_quads(node)
+    _ORACLE_CORPUS_CACHE = (doc_quads, ana_quads)
+    return _ORACLE_CORPUS_CACHE
 
-    # subClassOf* closure (docstrings graph), Python BFS
+
+_ORACLE_CORPUS_CACHE: tuple[set, set] | None = None
+
+
+def _oracle_classifier_names(doc_quads: set, base_class: str) -> set[str]:
+    """Python restatement of `classifier_class_names`: labels of classes
+    reaching ``base_class`` via REFLEXIVE rdfs:subClassOf* (SPARQL `*`
+    includes the zero-length path, so the base class itself is always a
+    member — matching the seeded-closure + union impl)."""
+    from collections import defaultdict
+
+    from graph4code_spark.uris import PREFIXES
+
+    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
+    rdfs_label = PREFIXES["rdfs"] + "label"
     edges = defaultdict(set)
+    lbl: dict[str, str] = {}
     for s, p, o, _l, _g in doc_quads:
         if p == rdfs_sub:
             edges[s].add(o)
-    base_uri = py + _HYPER_BASE
-    classes = set()
+        elif p == rdfs_label:
+            lbl.setdefault(s, o)
+    base_uri = PREFIXES["py"] + base_class
+    classes = {base_uri}
     for start in list(edges):
         seen, stack = set(), [start]
         while stack:
@@ -2353,10 +2338,19 @@ def _oracle_kg_hyperparam_dist() -> str:
             stack.extend(edges.get(x, ()))
         if base_uri in seen:
             classes.add(start)
+    return {lbl[c] for c in classes if c in lbl}
 
-    cls_names = {
-        o for s, p, o, _l, _g in doc_quads if p == rdfs_label and s in classes
-    }
+
+def _oracle_kg_hyperparam_dist() -> str:
+    from collections import Counter
+
+    from graph4code_spark.uris import PREFIXES
+
+    rdfs_label = PREFIXES["rdfs"] + "label"
+    sio_in = PREFIXES["sio"] + "SIO_000230"
+
+    doc_quads, ana_quads = _oracle_corpus()
+    cls_names = _oracle_classifier_names(doc_quads, _HYPER_BASE)
     ctor_nodes = {}
     for s, p, o, _l, _pos, _nm, _g in ana_quads:
         if p == rdfs_label and o.endswith(".") and o[:-1] in cls_names:
@@ -2390,63 +2384,16 @@ def _oracle_kg_single_model_fits() -> str:
     import json as _json
     from collections import defaultdict
 
-    from graph4code_spark.operators.flows import (
-        build_flow_catalog,
-        extract_page_flow_nodes,
-    )
-    from graph4code_spark.reference_impl.emitters import (
-        analysis_quads,
-        documentation_quads,
-    )
-    from graph4code_spark.reference_impl.qa_oracle import oracle_parse_qa_page
-    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
     from graph4code_spark.uris import PREFIXES
 
-    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
     rdfs_label = PREFIXES["rdfs"] + "label"
-    schema_p, sio_p, py = PREFIXES["schema"], PREFIXES["sio"], PREFIXES["py"]
+    schema_p, sio_p = PREFIXES["schema"], PREFIXES["sio"]
     # flowsTo lives under the BASE purl namespace, not /ontology/
     # (PythonTurtleAnalysisEngine.java:377; closure.flows_to_edges)
     flows_p = "http://purl.org/twc/graph4code/flowsTo"
 
-    alias = build_class_alias_map(FIXED_CLASS_MAP)
-    doc_quads = set()
-    for rec in FIXED_CATALOG:
-        doc_quads |= documentation_quads(rec, alias)
-
-    names = sorted({entity_name(r) for r in FIXED_CATALOG})
-    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
-    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
-    cat = build_flow_catalog(FIXED_CATALOG)
-    ana_quads = set()
-    for pid in range(300):
-        page = _page_record(pid, 42, names, hub, etypes)
-        rec = oracle_parse_qa_page(page["url"], page["html"].decode("utf-8"))
-        if rec is None:
-            continue
-        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
-            ana_quads |= analysis_quads(node)
-
-    # classifier names via subClassOf* BFS over the docstrings graph
-    edges = defaultdict(set)
-    lbl = {}
-    for s, p, o, _l, _g in doc_quads:
-        if p == rdfs_sub:
-            edges[s].add(o)
-        elif p == rdfs_label:
-            lbl.setdefault(s, o)
-    base_uri = py + _HYPER_BASE
-    cls_names = set()
-    for start in list(edges):
-        seen, stack = set(), [start]
-        while stack:
-            x = stack.pop()
-            if x in seen:
-                continue
-            seen.add(x)
-            stack.extend(edges.get(x, ()))
-        if base_uri in seen and start in lbl:
-            cls_names.add(lbl[start])
+    doc_quads, ana_quads = _oracle_corpus()
+    cls_names = _oracle_classifier_names(doc_quads, _HYPER_BASE)
 
     flows = defaultdict(lambda: defaultdict(set))
     fits = set()
@@ -2512,60 +2459,14 @@ def q_kg_fit_predict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_kg_fit_predict_pairs() -> str:
     from collections import defaultdict
 
-    from graph4code_spark.operators.flows import (
-        build_flow_catalog,
-        extract_page_flow_nodes,
-    )
-    from graph4code_spark.reference_impl.emitters import (
-        analysis_quads,
-        documentation_quads,
-    )
-    from graph4code_spark.reference_impl.qa_oracle import oracle_parse_qa_page
-    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
     from graph4code_spark.uris import PREFIXES
 
-    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
     rdfs_label = PREFIXES["rdfs"] + "label"
-    schema_p, py = PREFIXES["schema"], PREFIXES["py"]
+    schema_p = PREFIXES["schema"]
     flows_p = "http://purl.org/twc/graph4code/flowsTo"
 
-    alias = build_class_alias_map(FIXED_CLASS_MAP)
-    doc_quads = set()
-    for rec in FIXED_CATALOG:
-        doc_quads |= documentation_quads(rec, alias)
-
-    names = sorted({entity_name(r) for r in FIXED_CATALOG})
-    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
-    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
-    cat = build_flow_catalog(FIXED_CATALOG)
-    ana_quads = set()
-    for pid in range(300):
-        page = _page_record(pid, 42, names, hub, etypes)
-        rec = oracle_parse_qa_page(page["url"], page["html"].decode("utf-8"))
-        if rec is None:
-            continue
-        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
-            ana_quads |= analysis_quads(node)
-
-    edges = defaultdict(set)
-    lbl = {}
-    for s, p, o, _l, _g in doc_quads:
-        if p == rdfs_sub:
-            edges[s].add(o)
-        elif p == rdfs_label:
-            lbl.setdefault(s, o)
-    base_uri = py + _HYPER_BASE
-    cls_names = set()
-    for start in list(edges):
-        seen, stack = set(), [start]
-        while stack:
-            x = stack.pop()
-            if x in seen:
-                continue
-            seen.add(x)
-            stack.extend(edges.get(x, ()))
-        if base_uri in seen and start in lbl:
-            cls_names.add(lbl[start])
+    doc_quads, ana_quads = _oracle_corpus()
+    cls_names = _oracle_classifier_names(doc_quads, _HYPER_BASE)
 
     flows = defaultdict(lambda: defaultdict(set))
     about = defaultdict(set)  # (g, value) -> nodes

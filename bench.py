@@ -18,7 +18,7 @@ therefore runs the pipeline at local[1,2,4,8,32] as INTERLEAVED ladders
 per level — the VM bursts 2-4× in multi-minute windows, so contiguous
 per-level windows would let one burst clobber one level; interleaving
 spreads bursts across all levels and min drops them) and reports BOTH
-disclosed 4× pairs, 1→4 and 2→8; `efficiency` is the better of the two.
+disclosed 4× pairs, 1→4 and 2→8; `efficiency` is the WORSE of the two.
 local[32] is reported as max-parallelism headline throughput.
 See BENCH.md.
 """
@@ -143,7 +143,9 @@ def _run_scaling() -> dict:
         "efficiency_1v4": eff(1, 4),
         "efficiency_2v8": eff(2, 8),
     }
-    out["efficiency"] = max(out["efficiency_1v4"], out["efficiency_2v8"])
+    # headline = the WORSE of the two disclosed pairs (ADVICE r2: taking
+    # the better one is favorable selection even with both disclosed)
+    out["efficiency"] = min(out["efficiency_1v4"], out["efficiency_2v8"])
     return out
 
 
@@ -221,7 +223,7 @@ def _write_bench_md(result: dict) -> None:
         "",
         f"- efficiency 1→4 cores: **{s['efficiency_1v4']}**",
         f"- efficiency 2→8 cores: **{s['efficiency_2v8']}**",
-        f"- headline `efficiency` = max of the two = **{s['efficiency']}**"
+        f"- headline `efficiency` = min of the two = **{s['efficiency']}**"
         " (target ≥ 0.8).",
         "",
         "Machine-state caveat: identical code measured 0.93 (r1,",

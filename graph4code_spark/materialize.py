@@ -125,10 +125,13 @@ def materialize_triples_iceberg(
         # schema/IO/permission errors re-raise untouched so the real
         # diagnosis isn't masked.
         msg = str(e)
+        # only catalog-RESOLUTION error classes/codes — deliberately no
+        # bare "iceberg" substring, which would also match schema/missing-
+        # table/permission errors that merely name the catalog or format
         catalog_markers = (
             "CATALOG_NOT_FOUND", "Catalog not found", "is not a valid Spark catalog",
             "Cannot find catalog plugin", "NoSuchCatalogException",
-            "Multi-catalog support", "iceberg", "Iceberg",
+            "Multi-catalog support",
             # an unregistered catalog name falls through to spark_catalog,
             # which then rejects the multi-part identifier
             "REQUIRES_SINGLE_PART_NAMESPACE",

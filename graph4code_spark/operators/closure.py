@@ -6,8 +6,20 @@ The reference answers `graph4code:flowsTo+` path queries in SPARQL
 semi-naive iteration — each round joins only the **frontier** (paths
 discovered last round) against the base edges, unions into the closure,
 and stops when the frontier empties.  localCheckpoint per round bounds
-lineage; max_hops bounds pathological graphs (cycles are handled by the
-distinct-against-closure subtraction).
+lineage; cycles are handled by the distinct-against-closure subtraction,
+so iteration always converges (the frontier is strictly new pairs and the
+pair space is finite).
+
+Seeding (the 100×-scale path).  The reference usage queries always bind
+at least one endpoint of the path (`ensure_multiple_models.sparql`,
+`train_test_different_data.sparql`, `find_next_step.sparql:22-27`), so
+materializing the FULL closure of every named graph — typically 10-100×
+the edge count — just to filter it down afterwards is the one plan that
+cannot survive the reference's 1.3M-graph corpus.  ``seeds`` restricts
+the iteration to paths that start (``direction="forward"``) or end
+(``direction="backward"``) at a seed node, and the base edge set is first
+semi-joined down to graphs containing at least one seed, so graphs with
+no fit/predict/start node contribute zero join work.
 """
 
 from __future__ import annotations
@@ -25,36 +37,97 @@ def flows_to_edges(triples: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def transitive_closure(edges: DataFrame, max_hops: int = 12) -> DataFrame:
+def transitive_closure(
+    edges: DataFrame,
+    max_hops: int | None = None,
+    seeds: DataFrame | None = None,
+    direction: str = "forward",
+) -> DataFrame:
     """(src, dst, graph, min_hops) for every reachable pair within the
-    same named graph."""
+    same named graph.
+
+    Iterates to CONVERGENCE (empty frontier) by default.  ``max_hops`` is
+    a safety valve only: when given and the frontier is still non-empty
+    after that many rounds, raises RuntimeError instead of silently
+    truncating (a truncated closure would quietly disagree with the
+    unbounded SPARQL `+` semantics and its oracles).
+
+    ``seeds`` — optional (node, graph) DataFrame.  When provided, only
+    pairs whose ``src`` (direction="forward") or ``dst``
+    (direction="backward") is a seed are computed; base edges are
+    pre-filtered to graphs containing at least one seed.  The result is
+    identical to computing the full closure and filtering that endpoint,
+    at a fraction of the join work.
+    """
+    if direction not in ("forward", "backward"):
+        raise ValueError(f"direction must be forward|backward, got {direction!r}")
     base = edges.select("src", "dst", "graph").distinct()
-    closure = base.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
-    frontier = closure
-    for _ in range(max_hops - 1):
-        hop = (
-            frontier.select(
-                F.col("src").alias("f_src"), F.col("dst").alias("f_dst"),
-                F.col("graph").alias("graph"), F.col("hops").alias("f_hops"),
-            )
-            .join(
-                base.select(
-                    F.col("src").alias("e_src"), F.col("dst").alias("e_dst"),
-                    F.col("graph").alias("e_graph"),
-                ),
-                on=[F.col("f_dst") == F.col("e_src"), F.col("graph") == F.col("e_graph")],
-            )
-            .select(
-                F.col("f_src").alias("src"), F.col("e_dst").alias("dst"),
-                F.col("graph"), (F.col("f_hops") + 1).alias("hops"),
-            )
+    if seeds is not None:
+        seed_nodes = seeds.select("node", "graph").distinct()
+        # graphs with no seed contribute nothing — drop their edges before
+        # any iteration (semi-join, no shuffle of the seed side: tiny)
+        base = base.join(seed_nodes.select("graph").distinct(), "graph", "left_semi")
+        anchor = "src" if direction == "forward" else "dst"
+        first = base.join(
+            seed_nodes.withColumnRenamed("node", anchor), [anchor, "graph"], "left_semi"
         )
+    else:
+        first = base
+    base = base.localCheckpoint(eager=True)
+    closure = first.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
+    frontier = closure
+    rounds = 1
+    while True:
+        if direction == "forward":
+            # extend paths at the dst end: (seed..f_dst) + (f_dst -> e_dst)
+            hop = (
+                frontier.select(
+                    F.col("src").alias("f_src"), F.col("dst").alias("f_dst"),
+                    F.col("graph").alias("graph"), F.col("hops").alias("f_hops"),
+                )
+                .join(
+                    base.select(
+                        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"),
+                        F.col("graph").alias("e_graph"),
+                    ),
+                    on=[F.col("f_dst") == F.col("e_src"), F.col("graph") == F.col("e_graph")],
+                )
+                .select(
+                    F.col("f_src").alias("src"), F.col("e_dst").alias("dst"),
+                    F.col("graph"), (F.col("f_hops") + 1).alias("hops"),
+                )
+            )
+        else:
+            # extend paths at the src end: (e_src -> e_dst) + (e_dst..seed)
+            hop = (
+                frontier.select(
+                    F.col("src").alias("f_src"), F.col("dst").alias("f_dst"),
+                    F.col("graph").alias("graph"), F.col("hops").alias("f_hops"),
+                )
+                .join(
+                    base.select(
+                        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"),
+                        F.col("graph").alias("e_graph"),
+                    ),
+                    on=[F.col("e_dst") == F.col("f_src"), F.col("graph") == F.col("e_graph")],
+                )
+                .select(
+                    F.col("e_src").alias("src"), F.col("f_dst").alias("dst"),
+                    F.col("graph"), (F.col("f_hops") + 1).alias("hops"),
+                )
+            )
         nxt = hop.join(
             closure.select("src", "dst", "graph"), ["src", "dst", "graph"], "left_anti"
         ).distinct()
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
+        rounds += 1
+        if max_hops is not None and rounds > max_hops:
+            raise RuntimeError(
+                f"transitive_closure: frontier still non-empty after max_hops="
+                f"{max_hops} rounds — refusing to truncate silently"
+            )
         closure = closure.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return closure.groupBy("src", "dst", "graph").agg(F.min("hops").alias("min_hops"))

@@ -77,14 +77,21 @@ def entity_params(triples: DataFrame, entity_name: str) -> DataFrame:
 
 def next_steps_after(triples: DataFrame, entity_suffix: str, k: int = 3) -> DataFrame:
     """`find_next_step.sparql`: from nodes labeled with the given API,
-    follow flowsTo+ and rank the most common downstream labels."""
+    follow flowsTo+ and rank the most common downstream labels.
+
+    The query binds the path's START (`find_next_step.sparql:22-27` binds
+    ?n1 through its label), so the closure is seeded FORWARD from the
+    labeled nodes — graphs without a matching label contribute no join
+    work and the reachability relation is only materialized from the
+    bound endpoints."""
     labels = _pred(triples, _RDFS_LABEL).select(
         F.col("subj").alias("node"), F.col("obj").alias("label"), "graph"
     )
     starts = labels.where(F.col("label").contains(entity_suffix))
-    closure = transitive_closure(flows_to_edges(triples))
-    reached = closure.join(
-        starts.select(F.col("node").alias("src"), "graph"), ["src", "graph"]
+    reached = transitive_closure(
+        flows_to_edges(triples),
+        seeds=starts.select("node", "graph"),
+        direction="forward",
     )
     return (
         reached.join(
@@ -217,16 +224,24 @@ def hyperparameter_distributions(
 def classifier_class_names(triples: DataFrame, base_class: str) -> DataFrame:
     """(name) of every class reaching ``base_class`` via rdfs:subClassOf*
     in the docstrings graph — the shared leg of the cross-graph usage
-    queries."""
-    from graph4code_spark.operators.closure import transitive_closure
+    queries.
 
+    SPARQL ``*`` is REFLEXIVE: the base class itself matches through the
+    zero-length path, so it is unioned in alongside the ``+`` closure
+    (which is seeded BACKWARD from the base class — only chains that
+    actually reach it are materialized)."""
+    base_uri = _PY + base_class
     sub = _pred(triples, PREFIXES["rdfs"] + "subClassOf").select(
         F.col("subj").alias("src"), F.col("obj").alias("dst"), "graph"
     ).distinct()
+    seeds = sub.select("graph").distinct().select(
+        F.lit(base_uri).alias("node"), "graph"
+    )
     classes = (
-        transitive_closure(sub)
-        .where(F.col("dst") == _PY + base_class)
+        transitive_closure(sub, seeds=seeds, direction="backward")
+        .where(F.col("dst") == base_uri)
         .select(F.col("src").alias("cls"))
+        .union(sub.sparkSession.createDataFrame([(base_uri,)], "cls string"))
         .distinct()
     )
     labels = _pred(triples, _RDFS_LABEL).select(
@@ -248,7 +263,14 @@ def single_model_fits(triples: DataFrame, base_class: str) -> DataFrame:
     fits = _pred(triples, schema_p + "about").where(F.col("obj") == "fit").select(
         F.col("subj").alias("fit"), "graph"
     ).distinct()
-    closure = transitive_closure_flows(triples)
+    # the query binds the path's END (the fit call), so seed the closure
+    # BACKWARD from the fit nodes: only graphs containing a fit node are
+    # iterated, and only (predecessor → fit) pairs are materialized
+    closure = transitive_closure(
+        flows_to_edges(triples),
+        seeds=fits.select(F.col("fit").alias("node"), "graph"),
+        direction="backward",
+    )
     preds = closure.select(
         F.col("src").alias("pred"), F.col("dst").alias("fit"), "graph"
     ).join(fits, ["fit", "graph"])
@@ -297,7 +319,14 @@ def fit_predict_pairs(triples: DataFrame, base_class: str) -> DataFrame:
             F.col("subj").alias("node"), "graph"
         ).distinct()
 
-    closure = transitive_closure_flows(triples)
+    # both path targets are bound (fit and predict calls) — seed the
+    # closure backward from their union; graphs containing neither are
+    # never touched
+    closure = transitive_closure(
+        flows_to_edges(triples),
+        seeds=about("fit").unionByName(about("predict")),
+        direction="backward",
+    )
     names = classifier_class_names(triples, base_class)
     labels = _pred(triples, _RDFS_LABEL).select(
         F.col("subj").alias("model"), F.col("obj").alias("lbl"), "graph"

@@ -39,6 +39,13 @@ class _OffsetParser(HTMLParser):
         self._stack: list[tuple[str, dict, int]] = []
         # results: list of (kind, attrs, inner_html) in document order
         self.spans: list[tuple[str, dict, str]] = []
+        # abody inner html keyed by the ENCLOSING answer div's inner_start
+        # (first abody per answer wins) — positional zipping of two
+        # independently collected span lists would silently mis-pair every
+        # subsequent body once one answer lacks an abody child
+        self._abody_of: dict[int, str] = {}
+        # (attrs, abody_html) per closed answer div, document order
+        self.answers: list[tuple[dict, str]] = []
         # open <code> bookkeeping: (inner_start, nested_flag_index)
         self._code_open: list[list] = []
         self.code_spans: list[tuple[int, str]] = []  # (start, text) doc order
@@ -70,6 +77,17 @@ class _OffsetParser(HTMLParser):
                 cls = attrs.get("class", "")
                 if tag == "div" and cls in ("question", "answer", "qbody", "abody"):
                     self.spans.append((cls, attrs, inner))
+                    if cls == "abody":
+                        # pair with the ENCLOSING answer div, still open on
+                        # the stack, via its unique inner_start offset
+                        for ptag, pattrs, pstart in reversed(self._stack):
+                            if ptag == "div" and pattrs.get("class", "") == "answer":
+                                self._abody_of.setdefault(pstart, inner)
+                                break
+                    elif cls == "answer":
+                        self.answers.append(
+                            (attrs, self._abody_of.pop(inner_start, ""))
+                        )
                 elif tag == "h1":
                     self.spans.append(("h1", attrs, inner))
                 break
@@ -101,13 +119,13 @@ def oracle_parse_qa_page(url: str, html_src: str) -> dict | None:
     qattrs, _q_inner = by_kind["question"][0]
     title = by_kind["h1"][0][1] if by_kind.get("h1") else ""
     q_body = by_kind["qbody"][0][1] if by_kind.get("qbody") else ""
-    answers = []
-    # answer divs and their abody children appear in document order; zip
-    # the answer attrs with the matching abody inner html
-    abodies = [inner for _, inner in by_kind.get("abody", [])]
-    for i, (attrs, _) in enumerate(by_kind.get("answer", [])):
-        body = abodies[i] if i < len(abodies) else ""
-        answers.append((attrs.get("data-aid", ""), body, attrs.get("data-votes", "")))
+    # each abody was associated with its ENCLOSING answer div by the
+    # parser's open-element stack; an answer without an abody child gets
+    # "" without shifting its siblings' bodies
+    answers = [
+        (attrs.get("data-aid", ""), body, attrs.get("data-votes", ""))
+        for attrs, body in p.answers
+    ]
     tags = qattrs.get("data-tags", "")
     content = title + " " + q_body + " " + tags + "".join(a[1] for a in answers)
 
