@@ -970,9 +970,9 @@ ORDER BY cnt DESC, event_type LIMIT 3
 # rows-only entries (non-SQL-expressible; semantics covered by tests/)
 # ---------------------------------------------------------------------------
 
-def q_kg_pipeline_forum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pipeline_forum_triples(spark: SparkSession) -> DataFrame:
     """Full webtext path on synthesized pages: QA → analyzer linking →
-    E4/E5 forum triples (ES-analyzer semantics aren't ANSI SQL)."""
+    E4/E5 forum triples."""
     from graph4code_spark.emitters.forum import forum_triples
     from graph4code_spark.operators.linking import link_entities
     from graph4code_spark.sources.qa import extract_qa
@@ -983,13 +983,57 @@ def q_kg_pipeline_forum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forum_triples(links, qa, FIXED_CATALOG).dropDuplicates()
 
 
+def q_kg_pipeline_forum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full forum pipeline, projected to ONE md5 per emitted quad so
+    the straight-line reference pipeline can serve as a strict VALUES
+    oracle (full quad text — raw html content literals — would bloat the
+    oracle SQL; the md5 projection keeps the row-per-quad comparison
+    exact).  The per-predicate digest twin (kg_pipeline_digest) remains
+    the human-readable view."""
+    tri = _pipeline_forum_triples(spark).select(
+        "subj", "pred", "obj", "is_literal", "graph"
+    ).dropDuplicates()
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", "subj", "pred", "obj",
+            F.col("is_literal").cast("string"), "graph",
+        )
+    )
+    return tri.select(h.alias("quad_md5"))
+
+
+def _oracle_kg_pipeline_forum() -> str:
+    import hashlib
+
+    from graph4code_spark.reference_impl.emitters import forum_pipeline_quads
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+    from graph4code_spark.uris import PREFIXES
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    pages_rows = [_page_record(pid, 42, names, hub, etypes) for pid in range(300)]
+    quads = forum_pipeline_quads(pages_rows, FIXED_CATALOG, PREFIXES["stackoverflow3"])
+    rows = sorted(
+        (
+            hashlib.md5(
+                "\x1f".join(
+                    [s, p, o, "true" if lit else "false", g]
+                ).encode("utf-8")
+            ).hexdigest(),
+        )
+        for s, p, o, lit, g in set(quads)
+    )
+    return _values_table(rows, ["quad_md5"], ["VARCHAR"])
+
+
 def q_kg_pipeline_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-sensitive digest of the FULL forum pipeline output, per
     predicate: row count + md5 over the sorted per-quad md5s.  The oracle
     side recomputes the same digests from the straight-line reference
     pipeline (`reference_impl.forum_pipeline_quads`) — a compact but
     complete equality check of every emitted quad."""
-    tri = q_kg_pipeline_forum(spark, sf_dir).select(
+    tri = _pipeline_forum_triples(spark).select(
         "subj", "pred", "obj", "is_literal", "graph"
     ).dropDuplicates()
     h = F.md5(
@@ -1034,7 +1078,7 @@ def _oracle_kg_pipeline_digest() -> str:
                          ["VARCHAR", "BIGINT", "VARCHAR"])
 
 
-def q_kg_flow_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _flow_triples(spark: SparkSession) -> DataFrame:
     from graph4code_spark.emitters.analysis import analysis_triples
     from graph4code_spark.operators.flows import extract_flow_nodes
     from graph4code_spark.sources.qa import extract_qa
@@ -1044,6 +1088,45 @@ def q_kg_flow_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analysis_triples(extract_flow_nodes(qa, FIXED_CATALOG)).dropDuplicates()
 
 
+def q_kg_flow_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/E7 analysis triples projected to ONE md5 per annotated quad —
+    strict row-per-quad comparison against the independent
+    `reference_impl.analysis_quads` recomputation (the per-predicate
+    digest twin kg_flow_digest remains the human-readable view)."""
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", "subj", "pred", "obj",
+            F.col("is_literal").cast("string"),
+            F.coalesce(F.col("arg_pos").cast("string"), F.lit("")),
+            F.coalesce(F.col("arg_name"), F.lit("")),
+            "graph",
+        )
+    )
+    return _flow_triples(spark).select(h.alias("quad_md5"))
+
+
+def _oracle_kg_flow_triples() -> str:
+    import hashlib
+
+    _doc, quads = _oracle_corpus()
+    rows = sorted(
+        (
+            hashlib.md5(
+                "\x1f".join(
+                    [
+                        s, p, o, "true" if lit else "false",
+                        "" if pos is None else str(pos),
+                        "" if nm is None else nm,
+                        g,
+                    ]
+                ).encode("utf-8")
+            ).hexdigest(),
+        )
+        for s, p, o, lit, pos, nm, g in quads
+    )
+    return _values_table(rows, ["quad_md5"], ["VARCHAR"])
+
+
 def q_kg_flow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate digest of the E6/E7 analysis triples (same compaction
     as kg_pipeline_digest, over the 7-column annotated-quad shape).  The
@@ -1051,7 +1134,7 @@ def q_kg_flow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     `reference_impl.analysis_quads` (independent emitter; the per-page
     extraction worker is shared — its semantics are covered separately by
     tests/test_analysis_emitter)."""
-    tri = q_kg_flow_triples(spark, sf_dir)
+    tri = _flow_triples(spark)
     h = F.md5(
         F.concat_ws(
             "\x1f", "subj", "pred", "obj",
@@ -1198,7 +1281,7 @@ def q_kg_next_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight-line pipeline + Python BFS closure computes the same top-3."""
     from graph4code_spark.plans.queries import next_steps_after
 
-    tri = q_kg_flow_triples(spark, sf_dir)
+    tri = _flow_triples(spark)
     return next_steps_after(tri, "SVC", k=3)
 
 
@@ -1239,19 +1322,74 @@ def _oracle_kg_next_steps() -> str:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction with a REAL decode path: image rows are
+    binary PPMs decoded by the vendored parser (grid sums + histogram —
+    integer-valued features, exact in float32); audio/video stay on the
+    declared fake path.  `feat_checksum`/`f0` expose the decoded values
+    for the image rows so the oracle checks real pixel arithmetic."""
     media = synth_media(spark, 60)
     feats = extract_media_features(media, fake=True)
-    return feats.select("media_id", "media_type", "n_bytes")
+    is_img = F.col("media_type") == "image"
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.when(
+            is_img,
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x).cast("long"),
+        ).alias("feat_checksum"),
+        F.when(is_img, F.element_at("features", 1).cast("long")).alias("f0"),
+    )
 
 
-# expected independently from the synth-media spec: payload is always the
-# 16-byte md5 digest repeated 4x (64 bytes), types cycle image/audio/video
-_ORACLE_MEDIA_FEATURES = """
-SELECT 'm' || CAST(i AS VARCHAR) AS media_id,
-       ['image', 'audio', 'video'][(i % 3) + 1] AS media_type,
-       CAST(64 AS INTEGER) AS n_bytes
-FROM range(60) t(i)
-"""
+def _oracle_media_features() -> str:
+    """Independent recomputation: the PPM payload bytes come from the
+    fixture generator (shared by design — it IS the input), but the
+    decode arithmetic is re-derived from the format spec with plain
+    Python: total checksum = sum of all pixel bytes + w*h (the 48 block
+    sums partition the image; the 16 histogram bins count every pixel),
+    f0 = R-channel sum of the top-left 2×2 block at row-major offsets."""
+    from graph4code_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        synth_ppm_payload,
+    )
+
+    rows = []
+    for i in range(60):
+        mtype = ["image", "audio", "video"][i % 3]
+        if mtype == "image":
+            payload = synth_ppm_payload(42, i)
+            # independent header scan: after the 3rd whitespace-separated
+            # numeric token and ONE whitespace byte, raw RGB follows
+            j, tokens = 2, []
+            while len(tokens) < 3:
+                while payload[j : j + 1].isspace():
+                    j += 1
+                t = b""
+                while not payload[j : j + 1].isspace():
+                    t += payload[j : j + 1]
+                    j += 1
+                tokens.append(int(t))
+            j += 1  # the single whitespace after maxval
+            w, h = tokens[0], tokens[1]
+            pix = payload[j:]
+            assert len(pix) == w * h * 3
+            checksum = sum(pix) + w * h
+            f0 = sum(
+                pix[3 * (r * w + c)]
+                for r in range(round(h / 4))
+                for c in range(round(w / 4))
+            )
+            rows.append((f"m{i}", mtype, len(payload), checksum, f0))
+        else:
+            rows.append((f"m{i}", mtype, 64, None, None))
+    assert PPM_W == 8 and PPM_H == 8
+    return _values_table(
+        rows,
+        ["media_id", "media_type", "n_bytes", "feat_checksum", "f0"],
+        ["VARCHAR", "VARCHAR", "INTEGER", "BIGINT", "BIGINT"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1334,6 +1472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hyperparam_dist": q_kg_hyperparam_dist,
         "kg_single_model_fits": q_kg_single_model_fits,
         "kg_fit_predict_pairs": q_kg_fit_predict_pairs,
+        # round-3 additions: the remaining reference usage queries
+        "kg_type_inference": q_kg_type_inference,
+        "kg_hyperparam_violations": q_kg_hyperparam_violations,
+        "kg_similar_flows": q_kg_similar_flows,
+        "top_modules_volume": q_top_modules_volume,
     }
 
 
@@ -1358,7 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": _ORACLE_COSINE_TOPK,
         "sim_lsh_topk": _oracle_sim_lsh_topk(),
         "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
-        "media_features": _ORACLE_MEDIA_FEATURES,
+        "media_features": _oracle_media_features(),
         "text_token_counts": _ORACLE_TOKEN_COUNTS,
         "text_language": _oracle_text_language(),
         "text_quality": _ORACLE_TEXT_QUALITY,
@@ -1391,6 +1534,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_hyperparam_dist": _oracle_kg_hyperparam_dist(),
         "kg_single_model_fits": _oracle_kg_single_model_fits(),
         "kg_fit_predict_pairs": _oracle_kg_fit_predict_pairs(),
+        "kg_type_inference": _oracle_kg_type_inference(),
+        "kg_hyperparam_violations": _oracle_kg_hyperparam_violations(),
+        "kg_similar_flows": _oracle_kg_similar_flows(),
+        "kg_pipeline_forum": _oracle_kg_pipeline_forum(),
+        "kg_flow_triples": _oracle_kg_flow_triples(),
+        "top_modules_volume": _oracle_top_modules_volume(),
     }
 
 
@@ -2173,7 +2322,7 @@ def q_kg_debug_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-execution of the graph pattern."""
     from graph4code_spark.plans.queries import debug_posts
 
-    tri = q_kg_pipeline_forum(spark, sf_dir).select(
+    tri = _pipeline_forum_triples(spark).select(
         "subj", "pred", "obj", "is_literal", "graph"
     ).dropDuplicates()
     out = debug_posts(tri, _DEBUG_POSTS_ENTITIES, _DEBUG_POSTS_PHRASE)
@@ -2259,7 +2408,7 @@ def q_kg_hyperparam_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
-    flow_t = q_kg_flow_triples(spark, sf_dir)
+    flow_t = _flow_triples(spark)
     tri = doc_t.unionByName(flow_t).dropDuplicates()
     out = hyperparameter_distributions(tri, _HYPER_BASE)
     return out.select("name", "param", "value", F.col("n").cast("long").alias("n"))
@@ -2375,7 +2524,7 @@ def q_kg_single_model_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
-    flow_t = q_kg_flow_triples(spark, sf_dir)
+    flow_t = _flow_triples(spark)
     tri = doc_t.unionByName(flow_t).dropDuplicates()
     return single_model_fits(tri, _HYPER_BASE)
 
@@ -2451,7 +2600,7 @@ def q_kg_fit_predict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
-    flow_t = q_kg_flow_triples(spark, sf_dir)
+    flow_t = _flow_triples(spark)
     tri = doc_t.unionByName(flow_t).dropDuplicates()
     return fit_predict_pairs(tri, _HYPER_BASE)
 
@@ -2504,3 +2653,330 @@ def _oracle_kg_fit_predict_pairs() -> str:
         ["graph", "model", "name", "fit", "predict"],
         ["VARCHAR"] * 5,
     )
+
+
+def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`type_inference.sparql` (duck-typed receiver-type inference) over
+    the union of docstrings + pipeline flow triples — see
+    `plans/queries.type_inference` for the restatement notes."""
+    from graph4code_spark.plans.queries import type_inference
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
+    flow_t = _flow_triples(spark)
+    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    return type_inference(tri)
+
+
+def _oracle_kg_type_inference() -> str:
+    import json as _json
+    from collections import defaultdict
+
+    from graph4code_spark.uris import PREFIXES
+
+    g4c, dct = PREFIXES["graph4code"], PREFIXES["dcterms"]
+    rdfs_label = PREFIXES["rdfs"] + "label"
+    rdfs_sub = PREFIXES["rdfs"] + "subClassOf"
+    rdf_type = PREFIXES["rdf"] + "type"
+    schema_p, sio_p = PREFIXES["schema"], PREFIXES["sio"]
+    flows_p = "http://purl.org/twc/graph4code/flowsTo"
+    imported_t = "http://purl.org/twc/graph4code/Imported"
+
+    doc_quads, ana_quads = _oracle_corpus()
+
+    # docstrings side: method tail -> classes, isPartOf, labels, subClassOf
+    m_p2: dict[str, str] = {}
+    m_cls = defaultdict(set)
+    ipo = defaultdict(set)
+    dlabels: dict[str, str] = {}
+    subc = defaultdict(set)
+    for s, p, o, _l, _g in doc_quads:
+        if p == g4c + "name_end":
+            m_p2[s] = o
+        elif p == g4c + "classMember":
+            m_cls[s].add(o)
+        elif p == dct + "isPartOf":
+            ipo[s].add(o)
+        elif p == rdfs_label:
+            dlabels.setdefault(s, o)
+        elif p == rdfs_sub:
+            subc[s].add(o)
+    methods = defaultdict(set)  # p2 -> {cls}
+    for m, p2 in m_p2.items():
+        for c in m_cls.get(m, ()):
+            methods[p2].add(c)
+
+    # analysis side
+    edges0 = defaultdict(set)   # g -> {(n1, n2)} at receiver position 0
+    about: dict[tuple, str] = {}
+    labels: dict[tuple, str] = {}
+    locs: dict[tuple, tuple] = {}
+    txts: dict[tuple, str] = {}
+    imports = defaultdict(set)  # g -> {import labels}
+    imp_nodes = defaultdict(set)
+    for s, p, o, _l, pos, _nm, g in ana_quads:
+        if p == flows_p and pos == 0:
+            edges0[g].add((s, o))
+        elif p == schema_p + "about":
+            about[(g, s)] = o
+        elif p == rdfs_label:
+            labels[(g, s)] = o
+        elif p == sio_p + "SIO_000061":
+            d = _json.loads(o)
+            locs[(g, s)] = (d.get("lastLine"), d.get("firstLine"))
+        elif p == schema_p + "text":
+            txts[(g, s)] = o
+        elif p == rdf_type and o == imported_t:
+            imp_nodes[g].add(s)
+    for g, nodes in imp_nodes.items():
+        for n in nodes:
+            if (g, n) in labels:
+                imports[g].add(labels[(g, n)])
+
+    def bfs(adj: dict, start: str) -> set:
+        seen, stack = set(), list(adj.get(start, ()))
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(adj.get(x, ()))
+        return seen
+
+    rows = []
+    for g, pairs in edges0.items():
+        per_n1 = defaultdict(set)
+        for n1, n2 in pairs:
+            per_n1[n1].add(n2)
+        for n1, n2s in per_n1.items():
+            per_cls = defaultdict(set)
+            for n2 in n2s:
+                p2 = about.get((g, n2))
+                if p2 is None:
+                    continue
+                for c in methods.get(p2, ()):
+                    per_cls[c].add(n2)
+            for cls, ok in per_cls.items():
+                if len(ok) != len(n2s):
+                    continue
+                # honest import-exists subset: some isPartOf* ancestor
+                # label of cls is imported in this graph
+                anc = {cls} | bfs(ipo, cls)
+                if not any(dlabels.get(a) in imports[g] for a in anc if a in dlabels):
+                    continue
+                if (g, n1) not in labels or (g, n1) not in locs:
+                    continue
+                l1, l2 = locs[(g, n1)]
+                txt = txts.get((g, n1))
+                for sup in bfs(subc, cls):
+                    rows.append(
+                        (g, n1, labels[(g, n1)], cls, sup, l1, l2, txt)
+                    )
+    return _values_table(
+        sorted(rows, key=lambda r: tuple(str(x) for x in r)),
+        ["graph", "n1", "label", "cls", "super", "l1", "l2", "txt"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR",
+         "BIGINT", "BIGINT", "VARCHAR"],
+    )
+
+
+def q_kg_hyperparam_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`must_not_set_hyperparameters.sparql` incl. the RegressorMixin
+    UNION leg and the optimizer NOT-EXISTS leg — see
+    `plans/queries.hyperparam_violations` for the restatement notes."""
+    from graph4code_spark.plans.queries import hyperparam_violations
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
+    flow_t = _flow_triples(spark)
+    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    return hyperparam_violations(tri)
+
+
+def _oracle_kg_hyperparam_violations() -> str:
+    import json as _json
+    from collections import defaultdict
+
+    from graph4code_spark.uris import PREFIXES
+
+    rdfs_label = PREFIXES["rdfs"] + "label"
+    schema_p, sio_p = PREFIXES["schema"], PREFIXES["sio"]
+    flows_p = "http://purl.org/twc/graph4code/flowsTo"
+
+    doc_quads, ana_quads = _oracle_corpus()
+    cls_names = _oracle_classifier_names(
+        doc_quads, "sklearn.base.ClassifierMixin"
+    ) | _oracle_classifier_names(doc_quads, "sklearn.base.RegressorMixin")
+
+    labels: dict[tuple, str] = {}
+    consts = defaultdict(int)   # (g, node) -> n constant non-receiver args
+    flows = defaultdict(lambda: defaultdict(set))
+    locs: dict[tuple, tuple] = {}
+    txts: dict[tuple, str] = {}
+    for s, p, o, _l, pos, nm, g in ana_quads:
+        if p == rdfs_label:
+            labels[(g, s)] = o
+        elif p == sio_p + "SIO_000230" and (
+            (pos is not None and pos > 0) or nm is not None
+        ):
+            consts[(g, s)] += 1
+        elif p == flows_p:
+            flows[g][s].add(o)
+        elif p == sio_p + "SIO_000061":
+            d = _json.loads(o)
+            locs[(g, s)] = (d.get("lastLine"), d.get("firstLine"))
+        elif p == schema_p + "text":
+            txts[(g, s)] = o
+
+    # forward reach from optimizer nodes, per graph
+    optimized = set()
+    for (g, s), l in labels.items():
+        if l == "hyperopt.fmin.":
+            stack = list(flows[g].get(s, ()))
+            while stack:
+                x = stack.pop()
+                if (g, x) in optimized:
+                    continue
+                optimized.add((g, x))
+                stack.extend(flows[g].get(x, ()))
+
+    rows = []
+    for (g, node), l in labels.items():
+        if not (l.endswith(".") and l[:-1] in cls_names):
+            continue
+        if (g, node) not in consts or (g, node) in optimized:
+            continue
+        if (g, node) not in locs or (g, node) not in txts:
+            continue
+        l1, l2 = locs[(g, node)]
+        rows.append(
+            (g, node, l[:-1], consts[(g, node)], l1, l2, txts[(g, node)])
+        )
+    return _values_table(
+        sorted(rows),
+        ["graph", "clf", "name", "n_hyper", "l1", "l2", "txt"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT",
+         "VARCHAR"],
+    )
+
+
+def q_kg_similar_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`find_similar_flows.sparql` end-to-end over the pipeline's flow
+    triples — see `plans/queries.similar_flows` for the restatement
+    notes (anchor classifier = RandomForestClassifier, as the reference
+    query binds)."""
+    from graph4code_spark.plans.queries import similar_flows
+
+    return similar_flows(_flow_triples(spark)).select(
+        "classifierName", F.col("c").cast("long").alias("c")
+    )
+
+
+def _oracle_kg_similar_flows() -> str:
+    from collections import defaultdict
+
+    from graph4code_spark.uris import PREFIXES
+
+    rdfs_label = PREFIXES["rdfs"] + "label"
+    schema_p = PREFIXES["schema"]
+    flows_p = "http://purl.org/twc/graph4code/flowsTo"
+    anchor = "sklearn.ensemble.RandomForestClassifier."
+
+    _doc, ana_quads = _oracle_corpus()
+    labels: dict[tuple, str] = {}
+    flows = defaultdict(lambda: defaultdict(set))
+    edges0 = defaultdict(set)
+    fits = defaultdict(set)
+    for s, p, o, _l, pos, _nm, g in ana_quads:
+        if p == rdfs_label:
+            labels[(g, s)] = o
+        elif p == flows_p:
+            flows[g][s].add(o)
+            if pos == 0:
+                edges0[g].add((s, o))
+        elif p == schema_p + "about" and o == "fit":
+            fits[g].add(s)
+
+    per_name_graphs = defaultdict(set)
+    for g, adj in flows.items():
+        reads = [s for (gg, s), l in labels.items() if gg == g and l == "pandas.read_csv."]
+        if not reads or not fits.get(g):
+            continue
+        reached = set()
+        for r in reads:
+            stack = list(adj.get(r, ()))
+            while stack:
+                x = stack.pop()
+                if x in reached:
+                    continue
+                reached.add(x)
+                stack.extend(adj.get(x, ()))
+        fed_lbls = {
+            labels.get((g, ctor))
+            for ctor, fit in edges0.get(g, ())
+            if fit in reached and fit in fits[g] and (g, ctor) in labels
+        }
+        fed_lbls.discard(None)
+        if anchor not in fed_lbls:
+            continue
+        for l in fed_lbls:
+            if l != anchor:
+                # strip ONE trailing separator (the label quirk), matching
+                # the Spark side's regexp_replace(lbl, r'\.$', '')
+                per_name_graphs[l[:-1] if l.endswith(".") else l].add(g)
+    rows = sorted(
+        ((n, len(gs)) for n, gs in per_name_graphs.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return _values_table(rows, ["classifierName", "c"], ["VARCHAR", "BIGINT"])
+
+
+def q_top_modules_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 at volume (VERDICT r2 #9): import counting over the flow
+    nodes of an 8000-page corpus — the full distributed extraction runs
+    (synthesis → QA parse → flow extraction are all Arrow-batched over
+    every page), while the strict oracle compare is on the deterministic
+    1-in-40 page subset (page_id % 40 == 0), which the straight-line
+    oracle regenerates exactly (the posts_xml_volume sampling pattern)."""
+    from graph4code_spark.operators.flows import extract_flow_nodes
+    from graph4code_spark.operators.topmodules import top_modules
+    from graph4code_spark.sources.qa import extract_qa
+
+    pages = synth_pages(spark, 8000, seed=42)
+    nodes = extract_flow_nodes(extract_qa(pages), FIXED_CATALOG)
+    qid = F.element_at(F.split(F.col("graph_uri"), "/"), -1).cast("long")
+    sampled = nodes.where(qid % 40 == 0)
+    return top_modules(sampled, k=10, parity=True).select(
+        "module", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def _oracle_top_modules_volume() -> str:
+    from collections import Counter
+
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+    from graph4code_spark.operators.topmodules import BUILTIN_MODULES
+    from graph4code_spark.reference_impl.qa_oracle import (
+        oracle_parse_qa_page as parse_qa_page,
+    )
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    cat = build_flow_catalog(FIXED_CATALOG)
+    counts: Counter = Counter()
+    for pid in range(0, 8000, 40):
+        page = _page_record(pid, 42, names, hub, etypes)
+        rec = parse_qa_page(page["url"], page["html"].decode("utf-8"))
+        if rec is None:
+            continue
+        for node in extract_page_flow_nodes(page["url"], rec["codes"], cat):
+            if node["is_import"] and node["path_end"] not in BUILTIN_MODULES:
+                counts[node["path_end"]] += 1
+    top = sorted(((m, c - 1) for m, c in counts.items()),
+                 key=lambda mc: (-mc[1], mc[0]))[:10]
+    return _values_table(top, ["module", "cnt"], ["VARCHAR", "BIGINT"])

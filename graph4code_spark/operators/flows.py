@@ -24,6 +24,14 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
 - container def-use chaining: ``v = [a, b]`` then ``f(v)`` flows a's and
   b's producers into f (`…Engine.java:1905-1920`'s dict/tuple/list
   recursion, scoped to literal containers of tracked variables)
+- interprocedural G3 subset: single-level ``def f(params):`` blocks —
+  a call-site arg's producer flows to the body nodes that consume the
+  matching parameter (at their recorded positions), and a ``return v``
+  value's producer becomes the caller's assigned-variable producer, so
+  receiver calls on the returned value chain through the function
+  boundary (the arg/return turtle-flow shapes of
+  `PythonTurtleAnalysisEngine.java:1970-2025`, context-insensitive like
+  WALA's default; defs must precede their call sites in the snippet)
 
 Runs as one Arrow-batched pass over (url, codes); node numbers are
 sequential per page so URIs are unique within the page's named graph.
@@ -56,6 +64,8 @@ _ATTR_READ_RE = re.compile(
 _CONTAINER_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*[\[\({](.*)[\]\)}]\s*$", re.S
 )
+_DEF_RE = re.compile(r"^def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$")
+_RETURN_RE = re.compile(r"^\s+return\s+([A-Za-z_]\w*)\s*$")
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -202,6 +212,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
             var_klass: dict[str, str] = {}      # var -> class name
             var_members: dict[str, list] = {}   # var -> producer node numbers inside a container literal
             prev_in_snippet: int | None = None
+            # interprocedural G3 subset: name -> {params, param_uses
+            # (param -> [(node_number, use_pos)]), ret producer, ret class}
+            local_defs: dict[str, dict] = {}
+            cur_def: dict | None = None
+            outer_env: tuple | None = None
 
             def new_node(path, line_no, phys, text, is_import=False):
                 nonlocal counter, prev_in_snippet
@@ -240,6 +255,37 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 return n
 
             for ln, phys, line in _logical_lines(lines):
+                if cur_def is not None:
+                    first = line[:1]
+                    if first in (" ", "\t"):
+                        rm = _RETURN_RE.match(line)
+                        if rm:
+                            # `return v`: v's producer becomes the def's
+                            # return producer (direct-return of a call is
+                            # outside the honest subset)
+                            cur_def["ret"] = var_producer.get(rm.group(1))
+                            cur_def["ret_klass"] = var_klass.get(rm.group(1))
+                            continue
+                        # body line: processed below under the def-local env
+                    else:
+                        # dedent ends the def block; restore the outer env
+                        local_defs[cur_def["name"]] = cur_def
+                        var_producer, var_klass, var_members, prev_in_snippet = outer_env
+                        cur_def, outer_env = None, None
+                dm = _DEF_RE.match(line)
+                if dm:
+                    cur_def = {
+                        "name": dm.group(1),
+                        "params": [p.strip() for p in dm.group(2).split(",") if p.strip()],
+                        "param_uses": {},
+                        "ret": None,
+                        "ret_klass": None,
+                    }
+                    # def body gets its own variable environment and its
+                    # own control-flow chain (a separate method in WALA)
+                    outer_env = (var_producer, var_klass, var_members, prev_in_snippet)
+                    var_producer, var_klass, var_members, prev_in_snippet = {}, {}, {}, None
+                    continue
                 im = _IMPORT_RE.match(line)
                 if im and im.group(1).split(".")[0] in modules:
                     new_node([im.group(1)], ln, phys, im.group(1), is_import=True)
@@ -252,6 +298,35 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 last_chain = None  # (index after ')', node_number, produced_klass)
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
+                    if cname in local_defs and cur_def is None:
+                        # call of a user-defined function: wire call-site
+                        # arg producers to the body's parameter uses and
+                        # propagate the return producer to the assigned
+                        # variable (no turtle node of its own — matching
+                        # the reference, where only library calls become
+                        # turtles and user code is flowed through)
+                        d = local_defs[cname]
+                        upos = 0
+                        for a in _split_args(_call_args(line, m)):
+                            if _NAMED_ARG.match(a):
+                                continue  # positional wiring only
+                            upos += 1
+                            if a in var_producer and upos <= len(d["params"]):
+                                param = d["params"][upos - 1]
+                                for nnum, use_pos in d["param_uses"].get(param, ()):
+                                    src = nodes[idx_of[var_producer[a]]]
+                                    src["flows_to"] = _append_flow(
+                                        src["flows_to"], str(use_pos), nnum
+                                    )
+                        if lhs_vars and d["ret"] is not None:
+                            for v in lhs_vars:
+                                var_producer[v] = d["ret"]
+                                var_members.pop(v, None)
+                                if d["ret_klass"]:
+                                    var_klass[v] = d["ret_klass"]
+                                else:
+                                    var_klass.pop(v, None)
+                        continue
                     path = None
                     produced_klass = None
                     recv_node = None
@@ -333,6 +408,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             for src_num in var_members[a]:
                                 src = nodes[idx_of[src_num]]
                                 src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
+                        elif cur_def is not None and a in cur_def["params"]:
+                            # inside a def body: a parameter consumed here
+                            # is a flow target for every call site's arg
+                            cur_def["param_uses"].setdefault(a, []).append(
+                                (node["node_number"], pos)
+                            )
                     if lhs_vars:
                         node["value_names"] = lhs_vars
                         for v in lhs_vars:
@@ -381,6 +462,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     if rm.group(1) in var_producer:
                         src = nodes[idx_of[var_producer[rm.group(1)]]]
                         src["reads"] = src["reads"] + [{"container": None, "field": rm.group(2)}]
+            if cur_def is not None:
+                # def block runs to the end of the snippet
+                local_defs[cur_def["name"]] = cur_def
+                var_producer, var_klass, var_members, prev_in_snippet = outer_env
+                cur_def, outer_env = None, None
         return nodes
 
 

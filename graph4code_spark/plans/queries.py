@@ -362,6 +362,271 @@ def transitive_closure_flows(triples: DataFrame) -> DataFrame:
     return transitive_closure(flows_to_edges(triples))
 
 
+def type_inference(triples: DataFrame, base_modules_check: bool = True) -> DataFrame:
+    """`usage_queries/type_inference.sparql:15-46` restated: duck-typed
+    receiver-type inference.
+
+    The reference's RDF* receiver linkage (?n1 flowsTo/flowsTo ?n2 with
+    an anonymous input node at ordinal 0 that isSpecializationOf ?n2) is
+    exactly what the flattened quad table encodes as a ``flowsTo`` row
+    with ``arg_pos = 0`` — n1's value is the receiver of call n2.  Per
+    flow source ?n1:
+
+    - ``?all``  = distinct receiver-calls n2 made on n1,
+    - ``?ok``   = per candidate class ?cls, the subset of those calls
+      whose ``schema:about`` method name is a member of ?cls in the
+      docstrings graph (the query's `name_end ⋈ dc:isPartOf` leg — the
+      member edge for METHOD entities is emitted as ``g4c:classMember``,
+      mirroring `create_docstrings_graph.py:315-321`),
+    - ``filter(?ok = ?all)`` keeps classes supporting EVERY call (duck
+      typing), then source location / label / optional text attach and
+      ``?cls rdfs:subClassOf+ ?super`` fans out per superclass.
+
+    The reference's `filter exists` import leg walks a module-dependency
+    graph this corpus does not model; the honest subset checks that some
+    ``dc:isPartOf*`` ancestor label of ?cls matches an ``Imported`` node
+    label in the same analysis graph (softwareRequirements* admits the
+    zero-length path, so the module itself is the minimal witness)."""
+    schema_p, g4c, dct = PREFIXES["schema"], PREFIXES["graph4code"], PREFIXES["dcterms"]
+    rdf_type = PREFIXES["rdf"] + "type"
+
+    edges0 = (
+        triples.where(
+            (F.col("pred") == "http://purl.org/twc/graph4code/flowsTo")
+            & (F.col("arg_pos") == 0)
+        )
+        .select(F.col("subj").alias("n1"), F.col("obj").alias("n2"), "graph")
+        .distinct()
+    )
+    about = _pred(triples, schema_p + "about").select(
+        F.col("subj").alias("n2"), F.col("obj").alias("p2"), "graph"
+    ).distinct()
+    all_cnt = edges0.groupBy("n1", "graph").agg(
+        F.count_distinct("n2").alias("n_all")
+    )
+
+    # docstrings leg: method tail → owning class (tiny → broadcast)
+    name_end = _pred(triples, g4c + "name_end").select(
+        F.col("subj").alias("m"), F.col("obj").alias("p2")
+    )
+    member = _pred(triples, g4c + "classMember").select(
+        F.col("subj").alias("m"), F.col("obj").alias("cls")
+    )
+    methods = name_end.join(member, "m").select("p2", "cls").distinct()
+
+    ok_cnt = (
+        edges0.join(about, ["n2", "graph"])
+        .join(F.broadcast(methods), "p2")
+        .groupBy("n1", "graph", "cls")
+        .agg(F.count_distinct("n2").alias("n_ok"))
+    )
+    cand = ok_cnt.join(all_cnt, ["n1", "graph"]).where(
+        F.col("n_ok") == F.col("n_all")
+    ).select("n1", "graph", "cls")
+
+    if base_modules_check:
+        # honest import-exists subset: an isPartOf* ancestor label of cls
+        # appears as an Imported node label in the same analysis graph
+        labels_all = _pred(triples, PREFIXES["rdfs"] + "label").select(
+            F.col("subj").alias("node"), F.col("obj").alias("lbl"), "graph"
+        )
+        imported = _pred(triples, rdf_type).where(
+            F.col("obj") == "http://purl.org/twc/graph4code/Imported"
+        ).select(F.col("subj").alias("node"), "graph")
+        imp_labels = imported.join(labels_all, ["node", "graph"]).select(
+            "graph", F.col("lbl").alias("anc_lbl")
+        ).distinct()
+
+        ipo = _pred(triples, dct + "isPartOf").select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), "graph"
+        ).distinct()
+        anc = transitive_closure(ipo).select(
+            F.col("src").alias("cls"), F.col("dst").alias("anc")
+        )
+        anc = anc.unionByName(
+            cand.select("cls").distinct().withColumn("anc", F.col("cls"))
+        )
+        cls_labels = _pred(triples, PREFIXES["rdfs"] + "label").select(
+            F.col("subj").alias("anc"), F.col("obj").alias("anc_lbl")
+        ).distinct()
+        anc_lbls = anc.join(cls_labels, "anc").select("cls", "anc_lbl").distinct()
+        cand = cand.join(F.broadcast(anc_lbls), "cls").join(
+            imp_labels, ["graph", "anc_lbl"], "left_semi"
+        ).select("n1", "graph", "cls").distinct()
+
+    labels = _pred(triples, _RDFS_LABEL).select(
+        F.col("subj").alias("n1"), F.col("obj").alias("label"), "graph"
+    ).distinct()
+    loc = _pred(triples, PREFIXES["sio"] + "SIO_000061").select(
+        F.col("subj").alias("n1"), "graph",
+        # the SPARQL binds ?l1 to lastLine and ?l2 to firstLine
+        F.get_json_object("obj", "$.lastLine").cast("long").alias("l1"),
+        F.get_json_object("obj", "$.firstLine").cast("long").alias("l2"),
+    ).distinct()
+    txt = _pred(triples, PREFIXES["schema"] + "text").select(
+        F.col("subj").alias("n1"), "graph", F.col("obj").alias("txt")
+    ).distinct()
+    supers = _pred(triples, PREFIXES["rdfs"] + "subClassOf").select(
+        F.col("subj").alias("cls"), F.col("obj").alias("s_dst"), "graph"
+    ).distinct()
+    super_pairs = (
+        transitive_closure(
+            supers.select(F.col("cls").alias("src"), F.col("s_dst").alias("dst"), "graph")
+        )
+        .select(F.col("src").alias("cls"), F.col("dst").alias("super"))
+        .distinct()
+    )
+    return (
+        cand.join(labels, ["n1", "graph"])
+        .join(loc, ["n1", "graph"])
+        .join(txt, ["n1", "graph"], "left")
+        .join(F.broadcast(super_pairs), "cls")
+        .select("graph", "n1", "label", "cls", "super", "l1", "l2", "txt")
+        .orderBy("graph", "n1", "cls", "super")
+    )
+
+
+def hyperparam_violations(
+    triples: DataFrame,
+    bases: tuple[str, ...] = (
+        "sklearn.base.ClassifierMixin",
+        "sklearn.base.RegressorMixin",
+    ),
+    optimizer_label: str = "hyperopt.fmin",
+) -> DataFrame:
+    """`usage_queries/must_not_set_hyperparameters.sparql` restated:
+    constructor calls of any ClassifierMixin/RegressorMixin subclass
+    (the UNION leg, `:14-22`) that receive explicit hyper-parameter
+    constants, excluding constructors fed by a hyper-parameter optimizer
+    (the `filter not exists` leg, `:40-44`).
+
+    Restatement decisions (documented, both sides agree):
+    - the reference's anon-node constant-arg pattern (SIO_000230 +
+      SIO_000613 ordinal ?v > 0) is the flattened SIO_000230 row with
+      ``arg_pos > 0`` OR ``arg_name`` set — a named constant is by
+      definition not the position-0 receiver, so it is a passed
+      hyper-parameter the same way;
+    - constructor labels carry the reference's trailing-separator quirk
+      (multi-part label = name + '.'), same as
+      `hyperparameter_distributions`;
+    - the optimizer match uses the quirked label
+      ``optimizer_label + '.'`` and the exclusion is a seeded FORWARD
+      closure from optimizer nodes anti-joined against the candidates.
+    Output: one row per violating constructor with the count of constant
+    hyper-parameters."""
+    schema_p, sio_p = PREFIXES["schema"], PREFIXES["sio"]
+
+    names = None
+    for b in bases:
+        nb = classifier_class_names(triples, b)
+        names = nb if names is None else names.unionByName(nb)
+    names = names.distinct()
+
+    labels = _pred(triples, _RDFS_LABEL).select(
+        F.col("subj").alias("node"), F.col("obj").alias("lbl"), "graph"
+    )
+    ctor_nodes = labels.join(
+        F.broadcast(names), labels["lbl"] == F.concat(names["name"], F.lit("."))
+    ).select("node", "graph", "name")
+
+    consts = (
+        _pred(triples, sio_p + "SIO_000230")
+        .where((F.col("arg_pos") > 0) | F.col("arg_name").isNotNull())
+        .select(F.col("subj").alias("node"), "graph")
+    )
+    n_hyper = consts.groupBy("node", "graph").agg(
+        F.count(F.lit(1)).alias("n_hyper")
+    )
+
+    opt_nodes = labels.where(F.col("lbl") == optimizer_label + ".").select(
+        "node", "graph"
+    )
+    optimized = transitive_closure(
+        flows_to_edges(triples), seeds=opt_nodes, direction="forward"
+    ).select(F.col("dst").alias("node"), "graph").distinct()
+
+    loc = _pred(triples, sio_p + "SIO_000061").select(
+        F.col("subj").alias("node"), "graph",
+        F.get_json_object("obj", "$.lastLine").cast("long").alias("l1"),
+        F.get_json_object("obj", "$.firstLine").cast("long").alias("l2"),
+    ).distinct()
+    txt = _pred(triples, schema_p + "text").select(
+        F.col("subj").alias("node"), "graph", F.col("obj").alias("txt")
+    ).distinct()
+    return (
+        ctor_nodes.join(n_hyper, ["node", "graph"])
+        .join(optimized, ["node", "graph"], "left_anti")
+        .join(loc, ["node", "graph"])
+        .join(txt, ["node", "graph"])
+        .select(
+            "graph", F.col("node").alias("clf"), "name",
+            F.col("n_hyper").cast("long").alias("n_hyper"), "l1", "l2", "txt",
+        )
+        .orderBy("graph", "clf")
+    )
+
+
+def similar_flows(
+    triples: DataFrame,
+    anchor: str = "sklearn.ensemble.RandomForestClassifier",
+    read_label: str = "pandas.read_csv",
+) -> DataFrame:
+    """`usage_queries/find_similar_flows.sparql:11-39` end-to-end: in
+    graphs where ``read_label`` data flows (flowsTo+) into a fit call
+    whose receiver constructor is the ANCHOR classifier, find which OTHER
+    classifiers are fit from the same source, counted per classifier.
+
+    Restatements (both sides agree):
+    - the receiver linkage (?classifier flowsTo/flowsTo ?fit + anon
+      ordinal-0 isSpecializationOf) is the flattened ``flowsTo`` row with
+      ``arg_pos = 0``;
+    - analysis labels carry the trailing-separator quirk, stripped in the
+      output column (`?classifierName`);
+    - SPARQL ``count(?g)`` (which would count join multiplicities over
+      fit1/fit2 bindings) is restated as count(DISTINCT ?g) — "in how
+      many graphs does this similar flow occur";
+    - the flowsTo+ legs are one closure seeded FORWARD from the
+      read-labeled nodes, so graphs without the read call are never
+      iterated (the `minus` leg is a plain label filter)."""
+    labels = _pred(triples, _RDFS_LABEL).select(
+        F.col("subj").alias("node"), F.col("obj").alias("lbl"), "graph"
+    )
+    reads = labels.where(F.col("lbl") == read_label + ".").select("node", "graph")
+    closure = transitive_closure(
+        flows_to_edges(triples), seeds=reads, direction="forward"
+    )
+    fits = _pred(triples, PREFIXES["schema"] + "about").where(
+        F.col("obj") == "fit"
+    ).select(F.col("subj").alias("fit"), "graph").distinct()
+    read_to_fit = (
+        closure.select(F.col("dst").alias("fit"), "graph")
+        .join(fits, ["fit", "graph"])
+        .distinct()
+    )
+    edges0 = (
+        triples.where(
+            (F.col("pred") == "http://purl.org/twc/graph4code/flowsTo")
+            & (F.col("arg_pos") == 0)
+        )
+        .select(F.col("subj").alias("ctor"), F.col("obj").alias("fit"), "graph")
+        .distinct()
+    )
+    ctor_of_fit = edges0.join(
+        labels.withColumnRenamed("node", "ctor"), ["ctor", "graph"]
+    ).select("fit", "graph", "lbl")
+    fed = read_to_fit.join(ctor_of_fit, ["fit", "graph"])
+    anchored_graphs = fed.where(F.col("lbl") == anchor + ".").select("graph").distinct()
+    others = fed.where(F.col("lbl") != anchor + ".").select(
+        "graph", F.regexp_replace("lbl", r"\.$", "").alias("classifierName")
+    )
+    return (
+        others.join(anchored_graphs, "graph", "left_semi")
+        .groupBy("classifierName")
+        .agg(F.count_distinct("graph").alias("c"))
+        .orderBy(F.desc("c"), F.asc("classifierName"))
+    )
+
+
 def flows_excluding(triples: DataFrame, exclude_label: str) -> DataFrame:
     """SPARQL `minus` → anti-join: flow sources whose label does NOT
     match the excluded classifier (`find_similar_flows.sparql:37-39`)."""

@@ -165,6 +165,48 @@ FIXED_CATALOG: list[dict] = [
          fdoc="Plot y versus x as lines and/or markers.",
          param_names=["args"],
          param_map={}),
+    # round-3 additions (appended: tail_first is insertion-ordered, so
+    # `fit` still resolves to SVC.fit).  A second ClassifierMixin subclass
+    # and a RegressorMixin subclass give the find_similar_flows /
+    # must_not_set_hyperparameters restatements real data to bind; the
+    # hyperparameter-optimizer function exercises their NOT-EXISTS leg.
+    _rec("sklearn", klass="sklearn.ensemble.RandomForestClassifier",
+         cdoc="A random forest classifier.",
+         param_names=["n_estimators", "max_depth"],
+         param_map={
+             "n_estimators": _p("n_estimators", " The number of trees in the forest.", " int, optional", True, ["int"]),
+             "max_depth": _p("max_depth", " The maximum depth of the tree.", " int, optional", True, ["int"]),
+         },
+         base_classes=["sklearn.ensemble.BaseForest", "sklearn.base.ClassifierMixin"]),
+    _rec("sklearn", klass="sklearn.ensemble.RandomForestClassifier", function="fit",
+         fdoc="Build a forest of trees from the training set (X, y).",
+         param_names=["X", "y"],
+         param_map={
+             "X": _p("X", " The training input samples.", " array-like", None, ["numpy.ndarray"]),
+             "y": _p("y", " The target values.", " array-like", None, None),
+         },
+         return_map={"doc": " **self** -- Fitted estimator.", "type": " object", "inferred_type": ["object"]}),
+    _rec("sklearn", klass="sklearn.ensemble.RandomForestClassifier", function="predict",
+         fdoc="Predict class for X.",
+         param_names=["X"],
+         param_map={"X": _p("X", " The input samples.", " array-like", None, None)},
+         return_map={"doc": " **y** -- The predicted classes.", "type": " numpy.ndarray",
+                     "inferred_type": ["numpy.ndarray"]}),
+    _rec("sklearn", klass="sklearn.linear_model.LinearRegression",
+         cdoc="Ordinary least squares Linear Regression.",
+         param_names=["fit_intercept"],
+         param_map={"fit_intercept": _p("fit_intercept", " Whether to calculate the intercept.", " bool, optional", True, ["bool"])},
+         base_classes=["sklearn.base.RegressorMixin"]),
+    _rec("sklearn", klass="sklearn.linear_model.LinearRegression", function="fit",
+         fdoc="Fit linear model.",
+         param_names=["X", "y"],
+         param_map={"X": _p("X", " Training data.", " array-like", None, None)},
+         return_map={"doc": " **self** -- Fitted Estimator.", "type": " object",
+                     "inferred_type": ["object"]}),
+    _rec("hyperopt", function="hyperopt.fmin",
+         fdoc="Minimize a function over a hyperparameter space.",
+         param_names=["fn", "space", "algo"],
+         param_map={"space": _p("space", " The search space.", " object", None, None)}),
 ]
 
 #: alias pairs for canonicalization (symmetric on load, with a chain a-b-c
@@ -297,12 +339,82 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
 
     n_answers = 1 + _h(seed, page_id, "na") % 3
     answers = []
+    # 5/12 of non-decoy pages carry a "special" first snippet exercising
+    # the cross-graph usage-query shapes: read_csv feeding classifier
+    # fits (find_similar_flows), a hyperparameter-optimizer flowing into
+    # a constructor (must_not_set_hyperparameters NOT-EXISTS leg), a
+    # constructor with positional constant args (its v>0 leg), and
+    # user-defined-def flows (the interprocedural G3 subset)
+    special = -1 if decoy else _h(seed, page_id, "special") % 12
     for a in range(n_answers):
         aid = str(900000 + page_id * 10 + a)
         votes = str(_h(seed, page_id, "av", a) % 40)
         e = ents[_h(seed, page_id, "ae", a) % len(ents)]
         tmpl = _ANSWER_SENTENCES[_h(seed, page_id, "as", a) % len(_ANSWER_SENTENCES)]
         abody = "<p>" + tmpl.format(e=mention(e, a)) + "</p>"
+        if a == 0 and special in (0, 1, 2):
+            if special == 0:
+                # read-then-fit: which models sit downstream of read_csv
+                shape = _h(seed, page_id, "both") % 3
+                body_code = "df = pandas.read_csv('train.csv')\n"
+                if shape in (0, 1):
+                    body_code += (
+                        "m1 = sklearn.ensemble.RandomForestClassifier(df)\n"
+                        "r1 = m1.fit(df, 3)\n"
+                    )
+                if shape in (0, 2):
+                    body_code += (
+                        "m2 = sklearn.svm.SVC(df)\n"
+                        "r2 = m2.fit(df, 5)\n"
+                    )
+                abody += (
+                    "<pre><code>import pandas\nimport sklearn\n"
+                    + body_code + "</code></pre>"
+                )
+            elif special == 1:
+                # optimizer-driven constructor args: fmin's result flows
+                # into the constructor, so the NOT-EXISTS leg must drop it
+                abody += (
+                    "<pre><code>import hyperopt\nimport sklearn\n"
+                    "best = hyperopt.fmin(space)\n"
+                    "obj = sklearn.svm.SVC(best, kernel='linear')\n"
+                    "result = obj.fit(x, 3)\n</code></pre>"
+                )
+            else:
+                # positional constant hyperparameters (ordinal > 0)
+                abody += (
+                    "<pre><code>import sklearn\n"
+                    "obj = sklearn.svm.SVC(1.5, 'rbf')\n"
+                    "result = obj.fit(x, 3)\n</code></pre>"
+                )
+            answers.append((aid, abody, votes))
+            continue
+        if a == 0 and special in (3, 4):
+            # interprocedural G3 subset: flows through a user-defined def
+            if special == 3:
+                # tracked arg INTO the body + returned ctor OUT of it
+                abody += (
+                    "<pre><code>import pandas\nimport sklearn\n"
+                    "df = pandas.read_csv('t.csv')\n"
+                    "def train(d):\n"
+                    "    m = sklearn.svm.SVC(d)\n"
+                    "    return m\n"
+                    "clf = train(df)\n"
+                    "p = clf.predict(df)\n</code></pre>"
+                )
+            else:
+                # returned library value used by later calls
+                abody += (
+                    "<pre><code>import pandas\nimport sklearn\n"
+                    "def load(path):\n"
+                    "    d = pandas.read_csv(path)\n"
+                    "    return d\n"
+                    "x = load('data.csv')\n"
+                    "m = sklearn.svm.SVC(x)\n"
+                    "r = m.fit(x, 2)\n</code></pre>"
+                )
+            answers.append((aid, abody, votes))
+            continue
         if _h(seed, page_id, "code", a) % 2 == 0:
             parts = e.split(".")
             mod = parts[0]

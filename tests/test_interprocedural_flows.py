@@ -1,0 +1,128 @@
+"""Interprocedural G3 subset (VERDICT r2 #7): flows through single-level
+user-defined ``def`` blocks — call-site args into body parameter uses,
+return values back to the caller — per the arg/return turtle-flow shapes
+of `PythonTurtleAnalysisEngine.java:1970-2025` (honest subset: defs
+precede call sites, positional wiring, `return <var>` only)."""
+
+from graph4code_spark.operators.flows import (
+    build_flow_catalog,
+    extract_page_flow_nodes,
+)
+from graph4code_spark.synth import FIXED_CATALOG
+
+CAT = build_flow_catalog(FIXED_CATALOG)
+
+
+def _by_path(nodes):
+    return {tuple(n["path"]): n for n in nodes}
+
+
+def _flows(nodes):
+    out = set()
+    for n in nodes:
+        for pos, dsts in n["flows_to"].items():
+            for d in dsts:
+                out.add((n["node_number"], pos, d))
+    return out
+
+
+def test_arg_into_body_and_returned_ctor_out():
+    code = (
+        "import pandas\nimport sklearn\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "def train(d):\n"
+        "    m = sklearn.svm.SVC(d)\n"
+        "    return m\n"
+        "clf = train(df)\n"
+        "p = clf.predict(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/1", [code], CAT)
+    by = _by_path(nodes)
+    read = by[("pandas", "read_csv")]["node_number"]
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    pred = by[("sklearn", "svm", "SVC", "predict")]["node_number"]
+    fl = _flows(nodes)
+    # call-site arg df flows into the body's SVC(d) at position 1
+    assert (read, "1", svc) in fl
+    # returned ctor becomes clf -> receiver of .predict at position 0
+    assert (svc, "0", pred) in fl
+    # df also feeds predict's positional arg
+    assert (read, "1", pred) in fl
+
+
+def test_returned_library_value_chains_through():
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def load(path):\n"
+        "    d = pandas.read_csv(path)\n"
+        "    return d\n"
+        "x = load('data.csv')\n"
+        "m = sklearn.svm.SVC(x)\n"
+        "r = m.fit(x, 2)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/2", [code], CAT)
+    by = _by_path(nodes)
+    read = by[("pandas", "read_csv")]["node_number"]
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    fit = by[("sklearn", "svm", "SVC", "fit")]["node_number"]
+    fl = _flows(nodes)
+    assert (read, "1", svc) in fl and (read, "1", fit) in fl
+    assert (svc, "0", fit) in fl
+
+
+def test_body_chain_is_separate_from_top_level():
+    code = (
+        "import pandas\n"
+        "a = pandas.read_csv('x.csv')\n"
+        "def f(q):\n"
+        "    b = pandas.read_csv(q)\n"
+        "    return b\n"
+        "c = pandas.read_csv('y.csv')\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/3", [code], CAT)
+    nums = {n["node_number"]: n for n in nodes}
+    # top-level chain: import -> a -> c skips the def body node
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    assert len(reads) == 3
+    a_node, body_node, c_node = reads
+    assert c_node["node_number"] in a_node["immediately_precedes"]
+    assert body_node["node_number"] not in a_node["immediately_precedes"]
+    assert body_node["immediately_precedes"] == []
+    # body-local variables do not leak into the top level
+    assert nums[c_node["node_number"]]["flows_to"] == {}
+
+
+def test_def_without_recognized_calls_is_inert():
+    code = (
+        "import pandas\n"
+        "def helper(z):\n"
+        "    w = z + 1\n"
+        "    return w\n"
+        "out = helper(3)\n"
+        "df = pandas.read_csv('a.csv')\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/4", [code], CAT)
+    assert [tuple(n["path"]) for n in nodes] == [("pandas",), ("pandas", "read_csv")]
+    assert all(n["flows_to"] == {} for n in nodes)
+
+
+def test_multiple_call_sites_fan_in_context_insensitively():
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def train(d):\n"
+        "    m = sklearn.svm.SVC(d)\n"
+        "    return m\n"
+        "a = pandas.read_csv('a.csv')\n"
+        "b = pandas.read_csv('b.csv')\n"
+        "c1 = train(a)\n"
+        "c2 = train(b)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/5", [code], CAT)
+    by = _by_path(nodes)
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    reads = [n["node_number"] for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    fl = _flows(nodes)
+    # both call sites' args reach the single body node (WALA-default
+    # context insensitivity: one node per body instruction)
+    for r in reads:
+        assert (r, "1", svc) in fl
