@@ -1281,7 +1281,7 @@ def q_kg_next_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight-line pipeline + Python BFS closure computes the same top-3."""
     from graph4code_spark.plans.queries import next_steps_after
 
-    tri = _flow_triples(spark)
+    tri = _materialized(_flow_triples(spark))
     return next_steps_after(tri, "SVC", k=3)
 
 
@@ -2322,9 +2322,11 @@ def q_kg_debug_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-execution of the graph pattern."""
     from graph4code_spark.plans.queries import debug_posts
 
-    tri = _pipeline_forum_triples(spark).select(
-        "subj", "pred", "obj", "is_literal", "graph"
-    ).dropDuplicates()
+    tri = _materialized(
+        _pipeline_forum_triples(spark)
+        .select("subj", "pred", "obj", "is_literal", "graph")
+        .dropDuplicates()
+    )
     out = debug_posts(tri, _DEBUG_POSTS_ENTITIES, _DEBUG_POSTS_PHRASE)
     return out.select(
         "q", "t",
@@ -2409,7 +2411,7 @@ def q_kg_hyperparam_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
     flow_t = _flow_triples(spark)
-    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
     out = hyperparameter_distributions(tri, _HYPER_BASE)
     return out.select("name", "param", "value", F.col("n").cast("long").alias("n"))
 
@@ -2525,7 +2527,7 @@ def q_kg_single_model_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
     flow_t = _flow_triples(spark)
-    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
     return single_model_fits(tri, _HYPER_BASE)
 
 
@@ -2601,7 +2603,7 @@ def q_kg_fit_predict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
     flow_t = _flow_triples(spark)
-    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
     return fit_predict_pairs(tri, _HYPER_BASE)
 
 
@@ -2655,6 +2657,16 @@ def _oracle_kg_fit_predict_pairs() -> str:
     )
 
 
+
+def _materialized(df):
+    """One eager materialization for multi-leg quad-table queries: the
+    per-predicate legs re-scan this buffer instead of re-executing the
+    extraction pipeline once per leg (a 300-page mapInPandas chain).  At
+    production scale the quad table is a parquet read with (pred_name)
+    partition pruning — this stands in for that read."""
+    return df.localCheckpoint(eager=True)
+
+
 def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`type_inference.sparql` (duck-typed receiver-type inference) over
     the union of docstrings + pipeline flow triples — see
@@ -2664,7 +2676,7 @@ def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
     flow_t = _flow_triples(spark)
-    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
     return type_inference(tri)
 
 
@@ -2789,7 +2801,7 @@ def q_kg_hyperparam_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias = build_class_alias_map(FIXED_CLASS_MAP)
     doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
     flow_t = _flow_triples(spark)
-    tri = doc_t.unionByName(flow_t).dropDuplicates()
+    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
     return hyperparam_violations(tri)
 
 
@@ -2867,7 +2879,7 @@ def q_kg_similar_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     query binds)."""
     from graph4code_spark.plans.queries import similar_flows
 
-    return similar_flows(_flow_triples(spark)).select(
+    return similar_flows(_materialized(_flow_triples(spark))).select(
         "classifierName", F.col("c").cast("long").alias("c")
     )
 

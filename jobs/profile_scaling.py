@@ -17,7 +17,7 @@ steal contention, not a Spark-plan problem.  If run_s is flat but
 occupancy drops, the pipeline has scheduling gaps / barriers.
 
 Variants (--variant): cache (bench default, MEMORY_AND_DISK deserialized),
-ser (StorageLevel.MEMORY_AND_DISK_SER for both materializations),
+ser (StorageLevel.MEMORY_AND_DISK, serialized in Spark 4, for both),
 nocache (recompute qa/links instead of caching).
 
 Usage:  python jobs/profile_scaling.py [cores ...] [--pages N]
@@ -56,6 +56,8 @@ def run_level(cores: int, n_pages: int, variant: str) -> dict:
             "spark.sql.shuffle.partitions": str(max(cores, 8)),
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     t0 = time.time()
@@ -64,12 +66,12 @@ def run_level(cores: int, n_pages: int, variant: str) -> dict:
     if variant == "cache":
         qa = qa.cache()
     elif variant == "ser":
-        qa = qa.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        qa = qa.persist(StorageLevel.MEMORY_AND_DISK)  # serialized in Spark 4
     links = link_entities(qa, FIXED_CATALOG)
     if variant == "cache":
         links = links.cache()
     elif variant == "ser":
-        links = links.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        links = links.persist(StorageLevel.MEMORY_AND_DISK)  # serialized
     n = dedup_quads(forum_triples(links, qa, FIXED_CATALOG)).count()
     wall = time.time() - t0
     spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
@@ -77,17 +79,35 @@ def run_level(cores: int, n_pages: int, variant: str) -> dict:
 
     agg = {"run_ms": 0, "gc_ms": 0, "deser_ms": 0, "ser_ms": 0,
            "sched_ms": 0, "tasks": 0, "shuf_w_ms": 0, "fetch_ms": 0}
-    for fn in os.listdir(evdir):
-        with open(os.path.join(evdir, fn)) as f:
+    stage_names: dict[int, str] = {}
+    stage_run: dict[int, int] = {}
+    ev_files = [
+        os.path.join(root, fn)
+        for root, _dirs, fns in os.walk(evdir)
+        for fn in fns
+        if not fn.startswith("appstatus_")
+    ]
+    for path in ev_files:
+        with open(path) as f:
             for line in f:
                 try:
                     ev = json.loads(line)
                 except ValueError:
                     continue
+                if ev.get("Event") == "SparkListenerStageCompleted":
+                    si = ev.get("Stage Info") or {}
+                    stage_names[si.get("Stage ID", -1)] = (
+                        si.get("Stage Name", "?").split("\n")[0][:70]
+                    )
+                    continue
                 if ev.get("Event") != "SparkListenerTaskEnd":
                     continue
                 tm = ev.get("Task Metrics") or {}
                 ti = ev.get("Task Info") or {}
+                stage_run[ev.get("Stage ID", -1)] = (
+                    stage_run.get(ev.get("Stage ID", -1), 0)
+                    + tm.get("Executor Run Time", 0)
+                )
                 run = tm.get("Executor Run Time", 0)
                 deser = tm.get("Executor Deserialize Time", 0)
                 ser = tm.get("Result Serialization Time", 0)
@@ -118,6 +138,11 @@ def run_level(cores: int, n_pages: int, variant: str) -> dict:
         "fetch_s": round(agg["fetch_ms"] / 1000, 1),
         "tasks": agg["tasks"],
         "occupancy": round(agg["run_ms"] / 1000 / (wall * cores), 3),
+        "top_stages": [
+            {"stage": sid, "name": stage_names.get(sid, "?"),
+             "run_s": round(ms / 1000, 1)}
+            for sid, ms in sorted(stage_run.items(), key=lambda kv: -kv[1])[:5]
+        ],
     }
     print(json.dumps(out), flush=True)
     return out
