@@ -28,6 +28,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_closure(edge_rows, seed_rows, direction: str):
+    """Driver-side min-hop closure (the small-graph fast path): BFS per
+    graph, per start node — same (src, dst, graph, min_hops) contract as
+    the distributed iteration, seeds/direction honored identically."""
+    from collections import defaultdict, deque
+
+    fwd: dict = defaultdict(lambda: defaultdict(set))
+    for s, d, g in edge_rows:
+        fwd[g][s].add(d)
+    out = []
+    for g, a in fwd.items():
+        if direction == "forward":
+            graph_adj = a
+        else:
+            rev: dict = defaultdict(set)
+            for s, ds in a.items():
+                for d in ds:
+                    rev[d].add(s)
+            graph_adj = rev
+        if seed_rows is None:
+            starts = set(graph_adj)
+        else:
+            starts = {n for n, gg in seed_rows if gg == g}
+        for s0 in starts:
+            dist: dict = {}
+            dq = deque((n, 1) for n in graph_adj.get(s0, ()))
+            while dq:
+                n, h = dq.popleft()
+                if n in dist:
+                    continue
+                dist[n] = h
+                dq.extend((m, h + 1) for m in graph_adj.get(n, ()) if m not in dist)
+            for n, h in dist.items():
+                out.append(
+                    (s0, n, g, h) if direction == "forward" else (n, s0, g, h)
+                )
+    return out
+
+
 def flows_to_edges(triples: DataFrame) -> DataFrame:
     """Extract (src, dst, graph) flowsTo edges from the quad table."""
     return triples.where(
@@ -37,11 +76,20 @@ def flows_to_edges(triples: DataFrame) -> DataFrame:
     ).distinct()
 
 
+#: below this edge count the closure is computed driver-side (same
+#: pattern and rationale as `canonicalize.SMALL_GRAPH_EDGES`: each
+#: distributed round costs 2-3 Spark jobs of fixed overhead, which for
+#: a catalog-sized subClassOf/isPartOf hierarchy dwarfs the actual work)
+SMALL_GRAPH_EDGES = 200_000
+
+
 def transitive_closure(
     edges: DataFrame,
     max_hops: int | None = None,
     seeds: DataFrame | None = None,
     direction: str = "forward",
+    small_graph_threshold: int = SMALL_GRAPH_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst, graph, min_hops) for every reachable pair within the
     same named graph.
@@ -58,22 +106,47 @@ def transitive_closure(
     pre-filtered to graphs containing at least one seed.  The result is
     identical to computing the full closure and filtering that endpoint,
     at a fraction of the join work.
+
+    ``small_graph_threshold`` — when the (seed-pruned) edge set is at
+    most this many rows, the closure runs driver-side (BFS) and the
+    result is parallelized back: a docstrings-hierarchy closure is a few
+    hundred edges, and 3-5 distributed rounds of fixed job overhead cost
+    more than the entire BFS.  Pass 0 to force the distributed path
+    (the scale tests do).  ``stats`` (optional dict) records which path
+    ran, like `canonicalize.connected_components`.
     """
     if direction not in ("forward", "backward"):
         raise ValueError(f"direction must be forward|backward, got {direction!r}")
     base = edges.select("src", "dst", "graph").distinct()
+    seed_nodes = None
     if seeds is not None:
         seed_nodes = seeds.select("node", "graph").distinct()
         # graphs with no seed contribute nothing — drop their edges before
         # any iteration (semi-join, no shuffle of the seed side: tiny)
         base = base.join(seed_nodes.select("graph").distinct(), "graph", "left_semi")
+    base = base.localCheckpoint(eager=True)
+    if small_graph_threshold and base.count() <= small_graph_threshold:
+        rows = _driver_closure(
+            [(r["src"], r["dst"], r["graph"]) for r in base.collect()],
+            None if seed_nodes is None
+            else [(r["node"], r["graph"]) for r in seed_nodes.collect()],
+            direction,
+        )
+        if stats is not None:
+            stats.update(path="driver", rounds=0)
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            rows or [], "src string, dst string, graph string, min_hops int"
+        )
+    if stats is not None:
+        stats.update(path="distributed")
+    if seed_nodes is not None:
         anchor = "src" if direction == "forward" else "dst"
         first = base.join(
             seed_nodes.withColumnRenamed("node", anchor), [anchor, "graph"], "left_semi"
         )
     else:
         first = base
-    base = base.localCheckpoint(eager=True)
     closure = first.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
     frontier = closure
     rounds = 1

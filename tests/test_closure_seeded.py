@@ -39,35 +39,43 @@ _COLS = ["src", "dst", "graph", "min_hops"]
 
 
 def test_backward_seeded_matches_filtered_full_closure(spark):
+    # force the distributed iteration: the seeded-pruning property is
+    # what's under test, not the small-graph driver fast path
     edges, seeds = _edges(spark), _seeds(spark)
-    full = transitive_closure(edges)
+    full = transitive_closure(edges, small_graph_threshold=0)
     expected = sorted(
         full.join(
             seeds.withColumnRenamed("node", "dst"), ["dst", "graph"], "left_semi"
         ).select(*_COLS).collect()
     )
     got = sorted(
-        transitive_closure(edges, seeds=seeds, direction="backward")
+        transitive_closure(
+            edges, seeds=seeds, direction="backward", small_graph_threshold=0
+        )
         .join(seeds.withColumnRenamed("node", "dst"), ["dst", "graph"], "left_semi")
         .select(*_COLS).collect()
     )
     assert got == expected
     # and the seeded closure materializes far less than the full closure
-    n_seeded = transitive_closure(edges, seeds=seeds, direction="backward").count()
+    n_seeded = transitive_closure(
+        edges, seeds=seeds, direction="backward", small_graph_threshold=0
+    ).count()
     n_full = full.count()
     assert n_seeded < n_full * 0.10, (n_seeded, n_full)
 
 
 def test_forward_seeded_matches_filtered_full_closure(spark):
     edges, seeds = _edges(spark), _seeds(spark)
-    full = transitive_closure(edges)
+    full = transitive_closure(edges, small_graph_threshold=0)
     expected = sorted(
         full.join(
             seeds.withColumnRenamed("node", "src"), ["src", "graph"], "left_semi"
         ).select(*_COLS).collect()
     )
     got = sorted(
-        transitive_closure(edges, seeds=seeds, direction="forward")
+        transitive_closure(
+            edges, seeds=seeds, direction="forward", small_graph_threshold=0
+        )
         .select(*_COLS).collect()
     )
     assert got == expected
@@ -79,7 +87,7 @@ def test_convergence_handles_cycles_without_cap(spark):
         [("a", "b", "g"), ("b", "c", "g"), ("c", "a", "g")],
         "src string, dst string, graph string",
     )
-    rows = transitive_closure(edges).collect()
+    rows = transitive_closure(edges, small_graph_threshold=0).collect()
     assert len(rows) == 9  # every ordered pair incl. self-loops via the cycle
     hops = {(r.src, r.dst): r.min_hops for r in rows}
     assert hops[("a", "a")] == 3 and hops[("a", "b")] == 1 and hops[("a", "c")] == 2
@@ -91,6 +99,34 @@ def test_max_hops_raises_instead_of_truncating(spark):
         "src string, dst string, graph string",
     )
     with pytest.raises(RuntimeError, match="max_hops"):
-        transitive_closure(edges, max_hops=2)
+        transitive_closure(edges, max_hops=2, small_graph_threshold=0)
     # a sufficient cap converges normally
-    assert transitive_closure(edges, max_hops=10).count() == 6 * 7 // 2
+    assert (
+        transitive_closure(edges, max_hops=10, small_graph_threshold=0).count()
+        == 6 * 7 // 2
+    )
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    # same inputs through both paths (seeded and unseeded): identical
+    # (src, dst, graph, min_hops) sets
+    edges, seeds = _edges(spark), _seeds(spark)
+    for kwargs in (
+        {},
+        {"seeds": seeds, "direction": "backward"},
+        {"seeds": seeds, "direction": "forward"},
+    ):
+        stats_d: dict = {}
+        via_driver = sorted(
+            transitive_closure(edges, stats=stats_d, **kwargs)
+            .select(*_COLS).collect()
+        )
+        assert stats_d["path"] == "driver"
+        stats_x: dict = {}
+        via_dist = sorted(
+            transitive_closure(
+                edges, small_graph_threshold=0, stats=stats_x, **kwargs
+            ).select(*_COLS).collect()
+        )
+        assert stats_x["path"] == "distributed"
+        assert via_driver == via_dist
