@@ -24,6 +24,9 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
 - container def-use chaining: ``v = [a, b]`` then ``f(v)`` flows a's and
   b's producers into f (`…Engine.java:1905-1920`'s dict/tuple/list
   recursion, scoped to literal containers of tracked variables)
+- G7 subset: binary-operator propagation — ``c = a + b`` carries both
+  operands' producers into later uses of ``c`` (the …/expr turtle types
+  of `…Engine.java:596-674`), plus plain-copy aliasing ``d = c``
 - interprocedural G3 subset: single-level ``def f(params):`` blocks —
   a call-site arg's producer flows to the body nodes that consume the
   matching parameter (at their recorded positions), and a ``return v``
@@ -66,6 +69,11 @@ _CONTAINER_RE = re.compile(
 )
 _DEF_RE = re.compile(r"^def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$")
 _RETURN_RE = re.compile(r"^\s+return\s+([A-Za-z_]\w*)\s*$")
+_ALIAS_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$")
+_BINOP_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*"
+    r"([A-Za-z_]\w*(?:\s*[-+*/%&|]\s*[A-Za-z_0-9.]+)+)\s*$"
+)
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -426,6 +434,8 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 # the container so a later call taking v sees them
                 if not made_call_node:
                     cm = _CONTAINER_RE.match(line)
+                    am = None if cm else _ALIAS_RE.match(line)
+                    bm = None if (cm or am) else _BINOP_RE.match(line)
                     if cm:
                         members = []
                         for part in _split_args(cm.group(2)):
@@ -436,6 +446,37 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             var_members[cm.group(1)] = members
                             var_producer.pop(cm.group(1), None)
                             var_klass.pop(cm.group(1), None)
+                    elif am and (am.group(2) in var_producer or am.group(2) in var_members):
+                        # copy propagation: `d = c` aliases c's producer(s)
+                        # (the reference's SSA value flow makes this free)
+                        v, rhs = am.group(1), am.group(2)
+                        if rhs in var_producer:
+                            var_producer[v] = var_producer[rhs]
+                            var_members.pop(v, None)
+                            if rhs in var_klass:
+                                var_klass[v] = var_klass[rhs]
+                            else:
+                                var_klass.pop(v, None)
+                        else:
+                            var_members[v] = list(var_members[rhs])
+                            var_producer.pop(v, None)
+                            var_klass.pop(v, None)
+                    elif bm:
+                        # G7 subset: turtle-ness propagates through binary
+                        # operators (`…Engine.java:596-674`'s …/expr
+                        # types) — `c = a + b` makes c carry a's and b's
+                        # producers, so a later call taking c sees both
+                        members = []
+                        for operand in re.split(r"[-+*/%&|]", bm.group(2)):
+                            operand = operand.strip()
+                            if operand in var_producer:
+                                members.append(var_producer[operand])
+                            elif operand in var_members:
+                                members.extend(var_members[operand])
+                        if members:
+                            var_members[bm.group(1)] = members
+                            var_producer.pop(bm.group(1), None)
+                            var_klass.pop(bm.group(1), None)
                 # reads/writes on values produced by recognized calls
                 # (honest G2 subset of `PythonTurtleAnalysisEngine.java:
                 # 1892-1954`'s AstPropertyRead/Write handling): an

@@ -100,6 +100,23 @@ def running_page_totals(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_flow_triples(pages_stream: DataFrame, catalog_records: list[dict]) -> DataFrame:
+    """The E6/E7 analysis-triple pipeline as a STREAMING stage: pages →
+    QA parse → flow extraction → quad emission.  Every step is a narrow
+    Arrow-batched map (no window, no global dedup), so the exact batch
+    operators compose unchanged onto a stream — each micro-batch emits
+    the quads of its pages and the availableNow checkpoint gives
+    incremental, exactly-once KG construction over a landing directory.
+    (The forum path's per-entity relevance cap is a global window and is
+    deliberately NOT streamed; it belongs to the batch/compaction tier.)
+    """
+    from graph4code_spark.emitters.analysis import analysis_triples
+    from graph4code_spark.operators.flows import extract_flow_nodes
+    from graph4code_spark.sources.qa import extract_qa
+
+    return analysis_triples(extract_flow_nodes(extract_qa(pages_stream), catalog_records))
+
+
 def run_available_now(
     pages_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):

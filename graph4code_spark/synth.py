@@ -339,12 +339,13 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
 
     n_answers = 1 + _h(seed, page_id, "na") % 3
     answers = []
-    # 5/12 of non-decoy pages carry a "special" first snippet exercising
+    # 6/12 of non-decoy pages carry a "special" first snippet exercising
     # the cross-graph usage-query shapes: read_csv feeding classifier
     # fits (find_similar_flows), a hyperparameter-optimizer flowing into
     # a constructor (must_not_set_hyperparameters NOT-EXISTS leg), a
-    # constructor with positional constant args (its v>0 leg), and
-    # user-defined-def flows (the interprocedural G3 subset)
+    # constructor with positional constant args (its v>0 leg),
+    # user-defined-def flows (the interprocedural G3 subset), and
+    # binary-op/alias propagation (the G7 subset)
     special = -1 if decoy else _h(seed, page_id, "special") % 12
     for a in range(n_answers):
         aid = str(900000 + page_id * 10 + a)
@@ -387,6 +388,19 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "obj = sklearn.svm.SVC(1.5, 'rbf')\n"
                     "result = obj.fit(x, 3)\n</code></pre>"
                 )
+            answers.append((aid, abody, votes))
+            continue
+        if a == 0 and special == 5:
+            # G7 subset: binary-op propagation + copy aliasing — both
+            # read_csv producers must reach the DataFrame ctor through c
+            abody += (
+                "<pre><code>import pandas\n"
+                "a = pandas.read_csv('x.csv')\n"
+                "b = pandas.read_csv('y.csv')\n"
+                "c = a + b\n"
+                "d = c\n"
+                "out = pandas.DataFrame(d)\n</code></pre>"
+            )
             answers.append((aid, abody, votes))
             continue
         if a == 0 and special in (3, 4):

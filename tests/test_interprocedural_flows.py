@@ -126,3 +126,47 @@ def test_multiple_call_sites_fan_in_context_insensitively():
     # context insensitivity: one node per body instruction)
     for r in reads:
         assert (r, "1", svc) in fl
+
+
+def test_binop_propagation_and_alias():
+    # G7 subset: c = a + b then d = c — both producers reach the ctor
+    code = (
+        "import pandas\n"
+        "a = pandas.read_csv('x.csv')\n"
+        "b = pandas.read_csv('y.csv')\n"
+        "c = a + b\n"
+        "d = c\n"
+        "out = pandas.DataFrame(d)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/6", [code], CAT)
+    reads = [n["node_number"] for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    ctor = [n["node_number"] for n in nodes if n["path"] == ["pandas", "DataFrame"]][0]
+    fl = _flows(nodes)
+    assert len(reads) == 2
+    for r in reads:
+        assert (r, "1", ctor) in fl
+
+
+def test_plain_alias_keeps_class_tracking():
+    # d = obj aliasing keeps the receiver-class link for method calls
+    code = (
+        "import sklearn\n"
+        "obj = sklearn.svm.SVC(x)\n"
+        "clf = obj\n"
+        "r = clf.fit(y, 2)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/7", [code], CAT)
+    by = _by_path(nodes)
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    fit = by[("sklearn", "svm", "SVC", "fit")]["node_number"]
+    assert (svc, "0", fit) in _flows(nodes)
+
+
+def test_binop_of_untracked_vars_is_inert():
+    code = (
+        "import pandas\n"
+        "c = x + y\n"
+        "out = pandas.DataFrame(c)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/8", [code], CAT)
+    assert all(n["flows_to"] == {} for n in nodes)

@@ -121,3 +121,59 @@ def test_stateful_running_totals(spark, tmp_path):
     for r in rows:
         sums[r["lang"]] += r["batch_pages"]
     assert dict(sums) == want
+
+
+def test_streaming_kg_pipeline_matches_batch(spark, tmp_path):
+    """The full E6/E7 analysis-triple pipeline runs as a stream: two
+    incremental AvailableNow drains over a landing directory produce
+    exactly the batch pipeline's quads for the union of the waves."""
+    from graph4code_spark.emitters.analysis import analysis_triples
+    from graph4code_spark.operators.flows import extract_flow_nodes
+    from graph4code_spark.sources.qa import extract_qa
+    from graph4code_spark.streaming.ingest import stream_flow_triples
+    from graph4code_spark.synth import FIXED_CATALOG
+
+    in_dir = str(tmp_path / "kg_in")
+    out_dir = str(tmp_path / "kg_out")
+    ckpt = str(tmp_path / "kg_ckpt")
+
+    synth_pages(spark, 30, seed=1).write.parquet(in_dir)
+
+    def drain():
+        q = (
+            stream_flow_triples(read_page_stream(spark, in_dir), FIXED_CATALOG)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n_wave1 = spark.read.parquet(out_dir).count()
+    assert n_wave1 > 0
+
+    # second wave: only the new files are processed (incremental)
+    synth_pages(spark, 20, seed=2).write.mode("append").parquet(in_dir)
+    drain()
+
+    streamed = spark.read.parquet(out_dir)
+    batch = analysis_triples(
+        extract_flow_nodes(
+            extract_qa(
+                synth_pages(spark, 30, seed=1).unionByName(
+                    synth_pages(spark, 20, seed=2)
+                )
+            ),
+            FIXED_CATALOG,
+        )
+    )
+    cols = ["subj", "pred", "obj", "is_literal", "arg_pos", "arg_name", "graph"]
+
+    def canon(df):
+        return sorted(
+            (tuple("" if v is None else str(v) for v in r) for r in df.select(*cols).collect())
+        )
+
+    assert canon(streamed) == canon(batch)
