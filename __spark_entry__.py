@@ -1477,6 +1477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hyperparam_violations": q_kg_hyperparam_violations,
         "kg_similar_flows": q_kg_similar_flows,
         "top_modules_volume": q_top_modules_volume,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_sample_topk": q_doc_sample_topk,
     }
 
 
@@ -1540,6 +1542,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_forum": _oracle_kg_pipeline_forum(),
         "kg_flow_triples": _oracle_kg_flow_triples(),
         "top_modules_volume": _oracle_top_modules_volume(),
+        "doc_sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
+        "doc_sample_topk": _ORACLE_SAMPLE_TOPK,
     }
 
 
@@ -2992,3 +2996,59 @@ def _oracle_top_modules_volume() -> str:
     top = sorted(((m, c - 1) for m, c in counts.items()),
                  key=lambda mc: (-mc[1], mc[0]))[:10]
     return _values_table(top, ["module", "cnt"], ["VARCHAR", "BIGINT"])
+
+
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: per-source keep rates
+    decided by an md5-prefix threshold — a pure map-side filter (no RNG
+    state, no shuffle), identical at any parallelism/retry."""
+    from graph4code_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.regexp_replace("source", "src", "").cast("int")
+    thr = F.when(idx < 5, "80").when(idx < 15, "40").otherwise("10")
+    out = stratified_hash_sample(docs, "doc_id", "source", thr)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source", "h2")
+
+
+_ORACLE_SAMPLE_STRATIFIED = """
+WITH d AS (
+  SELECT doc_id, source,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+         CAST(replace(source, 'src', '') AS INTEGER) AS idx
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, h2 FROM d
+WHERE h2 < (CASE WHEN idx < 5 THEN '80'
+                 WHEN idx < 15 THEN '40'
+                 ELSE '10' END)
+"""
+
+
+def q_doc_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source deterministic sample (k smallest key hashes
+    — uniform without replacement with a reproducible witness set); the
+    rank predicate pushes into WindowGroupLimit so hub strata never
+    materialize beyond k rows per partition."""
+    from graph4code_spark.operators.sampling import deterministic_topk_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_topk_sample(docs, "doc_id", "source", k=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+_ORACLE_SAMPLE_TOPK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+"""
