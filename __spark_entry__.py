@@ -1479,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_modules_volume": q_top_modules_volume,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_sample_topk": q_doc_sample_topk,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1544,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         "top_modules_volume": _oracle_top_modules_volume(),
         "doc_sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
         "doc_sample_topk": _ORACLE_SAMPLE_TOPK,
+        "corpus_curation": _oracle_corpus_curation(),
     }
 
 
@@ -3051,4 +3053,91 @@ FROM (
   FROM documents
 )
 WHERE rk <= 5
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data curation recipe COMPOSED end-to-end
+    from the individually oracle-checked operators: language-ID filter
+    (en) → quality gates (min words, max punctuation ratio) → exact
+    dedup (min doc_id per identical text wins) → stratified hash sample
+    → per-source survivor counts + token totals.  Everything is JVM
+    column expressions; the only shuffles are the dedup window and the
+    final aggregate."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = whitespace_token_count(t)
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    punct_ratio = punct / F.greatest(F.length(t), F.lit(1))
+    base = docs.where(detect_language(t) == "en").where(
+        (n_words >= 10) & (punct_ratio <= 0.3)
+    )
+    wdd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    base = base.withColumn("rn", F.row_number().over(wdd)).where(F.col("rn") == 1)
+    idx = F.regexp_replace("source", "src", "").cast("int")
+    thr = F.when(idx < 5, "80").when(idx < 15, "40").otherwise("10")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        base.where(h2 < thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n_words).cast("long").alias("total_ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_corpus_curation() -> str:
+    def ratio(lg):
+        words = ", ".join(_sql_quote(w) for w in _STOPWORDS[lg])
+        return (
+            f"CAST(len(list_filter(w, x -> x IN ({words}))) AS DOUBLE)"
+            f" / greatest(len(w), 1)"
+        )
+
+    scores = " UNION ALL ".join(
+        f"SELECT doc_id, {_sql_quote(lg)} AS lang, {ratio(lg)} AS score FROM words"
+        for lg in _STOPWORDS
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, text, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS w,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw
+  FROM documents
+), scores AS ({scores}),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+),
+en_docs AS (
+  SELECT wd.* FROM words wd JOIN best b USING (doc_id)
+  WHERE b.rn = 1 AND b.score > 0 AND b.lang = 'en'
+),
+qual AS (
+  SELECT * FROM en_docs
+  WHERE nw >= 10
+    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+        / greatest(length(text), 1) <= 0.3
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dd
+  FROM qual
+),
+sampled AS (
+  SELECT * FROM dedup
+  WHERE dd = 1
+    AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        (CASE WHEN CAST(replace(source, 'src', '') AS INTEGER) < 5 THEN '80'
+              WHEN CAST(replace(source, 'src', '') AS INTEGER) < 15 THEN '40'
+              ELSE '10' END)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS total_ws_tokens
+FROM sampled GROUP BY source ORDER BY source
 """
