@@ -1281,7 +1281,7 @@ def q_kg_next_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight-line pipeline + Python BFS closure computes the same top-3."""
     from graph4code_spark.plans.queries import next_steps_after
 
-    tri = _materialized(_flow_triples(spark))
+    tri = _flow_quads(spark)
     return next_steps_after(tri, "SVC", k=3)
 
 
@@ -2414,10 +2414,7 @@ def q_kg_hyperparam_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python BFS closure."""
     from graph4code_spark.plans.queries import hyperparameter_distributions
 
-    alias = build_class_alias_map(FIXED_CLASS_MAP)
-    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
-    flow_t = _flow_triples(spark)
-    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
+    tri = _usage_quads(spark)
     out = hyperparameter_distributions(tri, _HYPER_BASE)
     return out.select("name", "param", "value", F.col("n").cast("long").alias("n"))
 
@@ -2530,10 +2527,7 @@ def q_kg_single_model_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
     source lines pulled from the SIO_000061 JSON literal."""
     from graph4code_spark.plans.queries import single_model_fits
 
-    alias = build_class_alias_map(FIXED_CLASS_MAP)
-    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
-    flow_t = _flow_triples(spark)
-    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
+    tri = _usage_quads(spark)
     return single_model_fits(tri, _HYPER_BASE)
 
 
@@ -2606,10 +2600,7 @@ def q_kg_fit_predict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph."""
     from graph4code_spark.plans.queries import fit_predict_pairs
 
-    alias = build_class_alias_map(FIXED_CLASS_MAP)
-    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
-    flow_t = _flow_triples(spark)
-    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
+    tri = _usage_quads(spark)
     return fit_predict_pairs(tri, _HYPER_BASE)
 
 
@@ -2673,16 +2664,50 @@ def _materialized(df):
     return df.localCheckpoint(eager=True)
 
 
+#: session-scoped materialized quad stores, keyed by Spark applicationId
+#: (a localCheckpoint dies with its session, so a stale entry must never
+#: outlive the session that built it).  The reference's usage model is
+#: load-once-query-many: `create_kg.sh` bulk-loads the emitted N-Quads
+#: into Jena TDB2 ONCE (SURVEY §2.1 S11), then every usage_queries/*.sparql
+#: runs against that store.  Rebuilding the 300-page extraction chain per
+#: query would charge every usage query the full KG-construction cost —
+#: the one-time load is the semantically faithful stand-in.  Inputs are
+#: deterministic (FIXED_CATALOG + seed-42 pages), so caching cannot
+#: change any query's result.
+_QUAD_STORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_store(spark: SparkSession, kind: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, kind)
+    df = _QUAD_STORE_CACHE.get(key)
+    if df is None:
+        df = _QUAD_STORE_CACHE[key] = _materialized(build())
+    return df
+
+
+def _usage_quads(spark: SparkSession) -> DataFrame:
+    """The full usage-query store: docstrings graph ∪ analysis graphs."""
+
+    def build() -> DataFrame:
+        alias = build_class_alias_map(FIXED_CLASS_MAP)
+        doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
+        return doc_t.unionByName(_flow_triples(spark)).dropDuplicates()
+
+    return _cached_store(spark, "doc+flow", build)
+
+
+def _flow_quads(spark: SparkSession) -> DataFrame:
+    """Analysis-graphs-only store (queries that never touch docstrings)."""
+    return _cached_store(spark, "flow", lambda: _flow_triples(spark))
+
+
 def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`type_inference.sparql` (duck-typed receiver-type inference) over
     the union of docstrings + pipeline flow triples — see
     `plans/queries.type_inference` for the restatement notes."""
     from graph4code_spark.plans.queries import type_inference
 
-    alias = build_class_alias_map(FIXED_CLASS_MAP)
-    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
-    flow_t = _flow_triples(spark)
-    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
+    tri = _usage_quads(spark)
     return type_inference(tri)
 
 
@@ -2804,10 +2829,7 @@ def q_kg_hyperparam_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     `plans/queries.hyperparam_violations` for the restatement notes."""
     from graph4code_spark.plans.queries import hyperparam_violations
 
-    alias = build_class_alias_map(FIXED_CLASS_MAP)
-    doc_t = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias)
-    flow_t = _flow_triples(spark)
-    tri = _materialized(doc_t.unionByName(flow_t).dropDuplicates())
+    tri = _usage_quads(spark)
     return hyperparam_violations(tri)
 
 
@@ -2885,7 +2907,7 @@ def q_kg_similar_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     query binds)."""
     from graph4code_spark.plans.queries import similar_flows
 
-    return similar_flows(_materialized(_flow_triples(spark))).select(
+    return similar_flows(_flow_quads(spark)).select(
         "classifierName", F.col("c").cast("long").alias("c")
     )
 
