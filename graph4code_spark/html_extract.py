@@ -73,8 +73,8 @@ class _TextAndCode(HTMLParser):
             entry[0].append(data)
 
 
-def parse_html(html: str) -> tuple[str, list[str]]:
-    """Return (full_text, multiline_code_blocks) for one document."""
+def _parse_html_canonical(html: str) -> tuple[str, list[str]]:
+    """The reference-semantics parser (html.parser event stream)."""
     p = _TextAndCode()
     try:
         p.feed(html)
@@ -85,6 +85,108 @@ def parse_html(html: str) -> tuple[str, list[str]]:
     text = "".join(p.parts)
     codes = [c for c in p.codes if "\n" in c]
     return text, codes
+
+
+# ---------------------------------------------------------------------------
+# Fast path.  html.parser is ~77% of the whole per-page CPU budget
+# (cProfile over the synth+extract chain), and forum/template HTML is
+# overwhelmingly "simple markup": no comments, doctypes, PIs, CDATA
+# elements, or stray '<'.  For exactly that subset a compiled-regex
+# tokenizer reproduces the html.parser event stream — BYTE-IDENTICAL
+# output — at a fraction of the cost.  Any construct whose handling we
+# cannot guarantee to match (markup declarations, script/style CDATA
+# modes, '<' that is not a clean tag, '<' inside a quoted attribute)
+# bails to the canonical parser above; a Hypothesis property test pins
+# fast == canonical wherever the fast path engages.
+# ---------------------------------------------------------------------------
+
+import re as _re
+from html import unescape as _unescape
+
+# constructs the fast tokenizer refuses to reason about
+_FAST_UNSAFE = _re.compile(r"<[!?]|</?(?:script|style)\b", _re.I)
+
+# one token = a text run (never contains '<') or a complete tag whose
+# attribute section may contain quoted '>'/'<' but no bare '<'/'>'
+_FAST_TOKEN = _re.compile(
+    r"([^<]+)"                                    # 1: text run
+    r"|<(/?)"                                     # 2: end-tag slash
+    r"([a-zA-Z][a-zA-Z0-9.\-_:]*)"                # 3: tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*?)"        # 4: attrs (quoted <> ok; lazy so the self-closing '/' stays in group 5)
+    r"(/?)>"                                      # 5: self-closing slash
+)
+
+
+def _parse_html_fast(html: str) -> tuple[str, list[str]] | None:
+    """Regex tokenizer for simple markup; None = cannot guarantee
+    identity with the canonical parser, caller must fall back."""
+    if _FAST_UNSAFE.search(html):
+        return None
+    pos = 0
+    parts: list[str] = []
+    codes: list[str] = []
+    stack: list[list] = []  # open <code> collectors: [chunks, saw_nested]
+    for m in _FAST_TOKEN.finditer(html):
+        if m.start() != pos:  # stray '<' the tokenizer skipped
+            return None
+        pos = m.end()
+        text_run = m.group(1)
+        if text_run is not None:
+            if "&" in text_run:
+                # html.parser (convert_charrefs=True) decodes each text
+                # run with html.unescape — same function, same result
+                text_run = _unescape(text_run)
+            parts.append(text_run)
+            for entry in stack:
+                entry[0].append(text_run)
+            continue
+        closing, tag, attrs, selfclose = (
+            m.group(2), m.group(3).lower(), m.group(4), m.group(5))
+        # NOTE: '<'/'>' inside QUOTED attribute values are fine — the
+        # quoted alternates above consume them exactly like html.parser's
+        # quoted-value regex, and only tag names affect this extractor's
+        # output.  A bare '<' in the attr section fails the token match
+        # and bails via the coverage check instead.
+        if attrs and not (attrs[0] in " \t\n\r\f/" ):
+            # html.parser's tag-name charset is broader than this
+            # tokenizer's ('<code@x>' is ONE name there, not name+attrs)
+            # — only a clean separator proves the name ended where ours did
+            return None
+        if closing:
+            if selfclose or attrs.strip():
+                return None  # '</x/>' or junk in an end tag: quirk zone
+            # handle_endtag
+            if tag == "code" and stack:
+                chunks, saw_nested = stack.pop()
+                text = "".join(chunks)
+                if not saw_nested and text:
+                    codes.append(text)
+        elif selfclose:
+            # handle_startendtag (overridden: marks nesting only)
+            for entry in stack:
+                entry[1] = True
+        else:
+            # handle_starttag
+            if stack and tag not in _VOID:
+                for entry in stack:
+                    entry[1] = True
+            if tag == "code":
+                stack.append([[], False])
+    if pos != len(html):  # trailing stray '<'
+        return None
+    return "".join(parts), [c for c in codes if "\n" in c]
+
+
+def parse_html(html: str) -> tuple[str, list[str]]:
+    """Return (full_text, multiline_code_blocks) for one document.
+
+    Dispatches to the regex fast path when the markup is simple enough
+    that identity with the canonical html.parser semantics is
+    guaranteed; everything else takes the canonical path."""
+    fast = _parse_html_fast(html)
+    if fast is not None:
+        return fast
+    return _parse_html_canonical(html)
 
 
 def extract_text(html: str) -> str:

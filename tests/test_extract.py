@@ -65,3 +65,66 @@ def test_independent_qa_parser_agrees_with_worker():
     # non-QA page -> both None
     assert parse_qa_page("u", "<html><body>hi</body></html>") is None
     assert oracle_parse_qa_page("u", "<html><body>hi</body></html>") is None
+
+
+# ---------------------------------------------------------------------------
+# Fast-path equivalence: the regex tokenizer must be indistinguishable
+# from the canonical html.parser semantics wherever it engages.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graph4code_spark.html_extract import _parse_html_canonical, _parse_html_fast
+
+_ATOMS = [
+    "<code>", "</code>", "<pre>", "</pre>", "<code/>", "<code />",
+    "<code a>", "<code a=>", "<code a='b'>", '<code a=">">', "<code a='<'>",
+    '<div a="<code>">', "x\ny", "&amp;", "&", "&#38;", "&#x26;", "&quot;",
+    "&bogus", "&bogus;", ";", "<", ">", "</", "/>", "<>", "< code>",
+    "<CODE A='1'/>", "</CoDe>", "<br>", "<BR/>", "<img/>", "<input >",
+    "<a b=c/d>", "<a b=c/>", "<a/ >", "<a /b>", "<a\tb='c'>", "<a\nb>",
+    "text&#65;more", "&#xZZ;", "&#999999999;", "<em><code>x</em></code>",
+    "<code><br></code>", "<code><br/></code>", "<code>a<b</code>",
+    "<code a='</code>'>", "tag attr='>'", "<-", "<a", "a>", "<1>", "<a=b>",
+    "</a b>", "</a >", "<a'>", '<a">', "<code\n>", "</code\n>",
+    "<code@x>", "</code/>", "<!-- c -->", "<!doctype html>", "<?pi?>",
+    "<script>x</script>", "<style>y</style>", "\x00", "<a b\x00>",
+]
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(st.sampled_from(_ATOMS), min_size=1, max_size=14))
+def test_fast_path_matches_canonical(parts):
+    html = "".join(parts)
+    fast = _parse_html_fast(html)
+    if fast is not None:
+        assert fast == _parse_html_canonical(html)
+
+
+def test_fast_path_engages_on_synth_corpus():
+    """The fast path must actually run on the benchmarked page shape
+    (quoted '<' in data-tags attrs must not bail) AND agree with the
+    canonical parser there — this is the hot 77% of pipeline CPU."""
+    from graph4code_spark.synth import (
+        FIXED_CATALOG, HUB_ENTITY, _page_record, entity_name, entity_type)
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    for pid in range(200):
+        h = _page_record(pid, 42, names, HUB_ENTITY, etypes)["html"].decode()
+        fast = _parse_html_fast(h)
+        assert fast is not None, "fast path bailed on a synth page"
+        assert fast == _parse_html_canonical(h)
+
+
+def test_fast_path_bails_on_quirk_constructs():
+    """Constructs whose html.parser handling the tokenizer does not
+    model must fall back (None), never guess."""
+    for h in ["<!-- x --><code>a\nb</code>", "<!doctype html><p>t</p>",
+              "<?pi?>", "<script>var x=1;</script>", "<style>.c{}</style>",
+              "<a b=x<y>", "<code@x>a\nb</code@x>", "</code/>", "a < b"]:
+        assert _parse_html_fast(h) is None
+    # and the public function still gets those right via the fallback
+    assert parse_html("<!-- c --><code>a\nb</code>")[1] == ["a\nb"]
+    assert parse_html("a < b")[0] == _parse_html_canonical("a < b")[0]
