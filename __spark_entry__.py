@@ -1322,23 +1322,25 @@ def _oracle_kg_next_steps() -> str:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media feature extraction with a REAL decode path: image rows are
-    binary PPMs decoded by the vendored parser (grid sums + histogram —
-    integer-valued features, exact in float32); audio/video stay on the
-    declared fake path.  `feat_checksum`/`f0` expose the decoded values
-    for the image rows so the oracle checks real pixel arithmetic."""
+    """Media feature extraction with REAL decode paths: image rows are
+    binary PPMs (grid sums + histogram) and audio rows RIFF/PCM16 WAVs
+    (envelope sums + histogram + zero crossings) decoded by the vendored
+    parsers — integer-valued features, exact in float32; video stays on
+    the declared fake path.  `feat_checksum`/`f0` expose the decoded
+    values for image+audio rows so the oracle checks real pixel/sample
+    arithmetic."""
     media = synth_media(spark, 60)
     feats = extract_media_features(media, fake=True)
-    is_img = F.col("media_type") == "image"
+    is_real = F.col("media_type") != "video"
     return feats.select(
         "media_id",
         "media_type",
         "n_bytes",
         F.when(
-            is_img,
+            is_real,
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x).cast("long"),
         ).alias("feat_checksum"),
-        F.when(is_img, F.element_at("features", 1).cast("long")).alias("f0"),
+        F.when(is_real, F.element_at("features", 1).cast("long")).alias("f0"),
     )
 
 
@@ -1348,12 +1350,31 @@ def _oracle_media_features() -> str:
     decode arithmetic is re-derived from the format spec with plain
     Python: total checksum = sum of all pixel bytes + w*h (the 48 block
     sums partition the image; the 16 histogram bins count every pixel),
-    f0 = R-channel sum of the top-left 2×2 block at row-major offsets."""
+    f0 = R-channel sum of the top-left 2×2 block at row-major offsets.
+    Audio: checksum = Σ|sample| (the 32 envelope windows partition the
+    clip) + n (the 16 histogram bins count every sample) + total
+    sign-change count over the 16 zero-crossing windows; f0 = Σ|sample|
+    of the first 1/32 window.  The WAV chunk walk + sample decode here
+    is struct-based plain Python, independent of the numpy parser."""
+    import struct as _struct
+
     from graph4code_spark.operators.multimodal import (
         PPM_H,
         PPM_W,
         synth_ppm_payload,
+        synth_wav_payload,
     )
+
+    def _wav_samples(payload: bytes) -> list[int]:
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        off = 12
+        while True:
+            cid, sz = _struct.unpack_from("<4sI", payload, off)
+            if cid == b"data":
+                return list(
+                    _struct.unpack_from(f"<{sz // 2}h", payload, off + 8)
+                )
+            off += 8 + sz + (sz & 1)
 
     rows = []
     for i in range(60):
@@ -1381,6 +1402,19 @@ def _oracle_media_features() -> str:
                 for r in range(round(h / 4))
                 for c in range(round(w / 4))
             )
+            rows.append((f"m{i}", mtype, len(payload), checksum, f0))
+        elif mtype == "audio":
+            payload = synth_wav_payload(42, i)
+            s = _wav_samples(payload)
+            n = len(s)
+            zc = 0
+            for w in range(16):
+                a, b = round(w * n / 16), round((w + 1) * n / 16)
+                zc += sum(
+                    1 for j in range(a + 1, b) if (s[j] < 0) != (s[j - 1] < 0)
+                )
+            checksum = sum(abs(v) for v in s) + n + zc
+            f0 = sum(abs(v) for v in s[: round(n / 32)])
             rows.append((f"m{i}", mtype, len(payload), checksum, f0))
         else:
             rows.append((f"m{i}", mtype, 64, None, None))

@@ -4,14 +4,16 @@ Images/audio/video ride through the engine as `binary` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched UDFs over `mapInPandas`.
 
-Decode status: binary **PPM (P6)** images are decoded for REAL by a
-vendored dependency-free parser (`_decode_ppm`) — header parse, raw RGB
-plane, 4×4-grid per-channel sums + 16-bin grayscale histogram as the
-feature vector (integer-valued, so float32 carries them exactly).  Other
-formats still need PIL/torchaudio (absent in this container): they raise
-`NotImplementedError` unless `fake=True`, in which case a deterministic
-hash-derived vector stands in.  The Spark-side plumbing (schema, batch
-shape, partitioning, UDF signature) is identical for both paths.
+Decode status: binary **PPM (P6)** images and **WAV (RIFF/PCM16)**
+audio are decoded for REAL by vendored dependency-free parsers
+(`_decode_ppm`, `_decode_wav`) — header/chunk parse, raw sample plane,
+integer-valued feature vectors (grid/window sums + histograms + zero
+crossings) that float32 carries exactly.  Remaining formats (JPEG, MP3,
+video codecs) still need PIL/torchaudio/ffmpeg (absent in this
+container): they raise `NotImplementedError` unless `fake=True`, in
+which case a deterministic hash-derived vector stands in.  The
+Spark-side plumbing (schema, batch shape, partitioning, UDF signature)
+is identical for both paths.
 """
 
 from __future__ import annotations
@@ -95,13 +97,60 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     return feats
 
 
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """Real decode of a RIFF/WAVE PCM16 payload: 64 integer-valued
+    features = 32-window sums of |sample| (envelope) + 16-bin |sample|
+    histogram (bin = |s|//2048, clipped) + 16-window zero-crossing
+    counts.  Pure numpy chunk walk, no audio library."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    x = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+        np.int64
+    )
+    n = len(x)
+    if n == 0:
+        raise ValueError("empty WAV data chunk")
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    absx = np.abs(x)
+    b32 = [round(i * n / 32) for i in range(33)]
+    for i in range(32):
+        feats[i] = absx[b32[i] : b32[i + 1]].sum()
+    hist = np.bincount(np.minimum(absx // 2048, 15), minlength=16)[:16]
+    feats[32:48] = hist
+    neg = x < 0
+    b16 = [round(i * n / 16) for i in range(17)]
+    for i in range(16):
+        seg = neg[b16[i] : b16[i + 1]]
+        feats[48 + i] = int((seg[1:] != seg[:-1]).sum()) if len(seg) > 1 else 0
+    return feats
+
+
 def _decode_one(payload: bytes, media_type: str, fake: bool) -> np.ndarray:
     if media_type == "image" and payload[:2] == b"P6":
         return _decode_ppm(payload)  # real decode, no stub
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        return _decode_wav(payload)  # real decode, no stub
     if not fake:
         raise NotImplementedError(
-            "real decode beyond PPM requires PIL/torchaudio — not available "
-            "in this container; pass fake=True for the deterministic stand-in"
+            "real decode beyond PPM/WAV requires PIL/torchaudio/ffmpeg — not "
+            "available in this container; pass fake=True for the "
+            "deterministic stand-in"
         )
     # deterministic fake: hash-expanded pseudo-features
     h = hashlib.sha256(payload or b"").digest()
@@ -163,10 +212,40 @@ def synth_ppm_payload(seed: int, i: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (PPM_W, PPM_H) + pix
 
 
+#: samples per synthetic WAV clip (and its sample rate)
+WAV_N, WAV_RATE = 320, 8000
+
+
+def synth_wav_payload(seed: int, i: int) -> bytes:
+    """Deterministic RIFF/PCM16 mono WAV: md5-stream sample bytes."""
+    pcm = b""
+    k = 0
+    while len(pcm) < WAV_N * 2:
+        pcm += hashlib.md5(f"{seed}|wav|{i}|{k}".encode()).digest()
+        k += 1
+    pcm = pcm[: WAV_N * 2]
+    hdr = (
+        b"RIFF"
+        + (36 + len(pcm)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")          # mono
+        + WAV_RATE.to_bytes(4, "little")
+        + (WAV_RATE * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")          # block align
+        + (16).to_bytes(2, "little")         # bits
+        + b"data"
+        + len(pcm).to_bytes(4, "little")
+    )
+    return hdr + pcm
+
+
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks.  Image rows
-    carry REAL binary-PPM payloads (decoded for real by `_decode_ppm`);
-    audio/video payloads stay opaque hash bytes behind the fake path."""
+    carry REAL binary-PPM payloads and audio rows REAL RIFF/PCM16 WAV
+    payloads (both decoded for real); video payloads stay opaque hash
+    bytes behind the fake path."""
     rows = []
     for i in range(n):
         h = hashlib.md5(f"{seed}|media|{i}".encode()).digest()
@@ -174,6 +253,9 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
         if mtype == "image":
             meta = (PPM_W, PPM_H, None, "image/x-portable-pixmap")
             payload = synth_ppm_payload(seed, i)
+        elif mtype == "audio":
+            meta = (None, None, WAV_N * 1000 // WAV_RATE, "audio/wav")
+            payload = synth_wav_payload(seed, i)
         else:
             meta = (None, None, 1000 * (1 + h[2] % 10), f"{mtype}/bin")
             payload = h * 4

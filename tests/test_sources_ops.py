@@ -84,6 +84,47 @@ def test_multimodal_features_and_frames(spark):
         extract_media_features(media, fake=False).collect()
 
 
+def test_wav_decode_real():
+    """The vendored RIFF/PCM16 parser against a hand-built 4-sample clip
+    with hand-computed features, plus malformed-payload errors."""
+    import struct
+
+    from graph4code_spark.operators.multimodal import _decode_wav, synth_wav_payload
+
+    pcm = struct.pack("<4h", 1000, -2000, 3000, -4096)
+    hdr = (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + len(pcm).to_bytes(4, "little")
+    )
+    feats = _decode_wav(hdr + pcm)
+    assert len(feats) == 64
+    # 32 envelope windows over n=4: each 1/8 window is empty or one sample
+    assert [f for f in feats[:32] if f] == [1000, 2000, 3000, 4096]
+    # histogram: |s|//2048 -> bins 0,0,1,2
+    assert feats[32] == 2 and feats[33] == 1 and feats[34] == 1
+    # zero crossings: 16 windows over n=4 -> sign flips land in-window only
+    # when a window holds >=2 samples; with n=4 every window has <=1 sample
+    assert feats[48:].sum() == 0
+    # 32 alternating samples -> 2 per zc-window -> exactly 1 flip each
+    one = _decode_wav(
+        b"RIFF" + (36 + 64).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + (64).to_bytes(4, "little") + struct.pack("<32h", *([100, -100] * 16))
+    )
+    assert list(one[48:]) == [1.0] * 16
+
+    with pytest.raises(ValueError):
+        _decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+
+    # synthetic payloads round-trip through the parser deterministically
+    a = _decode_wav(synth_wav_payload(42, 1))
+    b = _decode_wav(synth_wav_payload(42, 1))
+    assert (a == b).all() and a[:32].sum() > 0
+
+
 def test_transitive_closure(spark):
     edges = spark.createDataFrame(
         [("a", "b", "g"), ("b", "c", "g"), ("c", "a", "g"),  # cycle
