@@ -1503,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "media_frame_plan": q_media_frame_plan,
         "kg_debug_posts": q_kg_debug_posts,
+        "kg_find_posts": q_kg_find_posts,
         "kg_hyperparam_dist": q_kg_hyperparam_dist,
         "kg_single_model_fits": q_kg_single_model_fits,
         "kg_fit_predict_pairs": q_kg_fit_predict_pairs,
@@ -1568,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_triples": _oracle_kg_canonical_triples(),
         "media_frame_plan": _oracle_media_frame_plan(),
         "kg_debug_posts": _oracle_kg_debug_posts(),
+        "kg_find_posts": _oracle_kg_find_posts(),
         "kg_hyperparam_dist": _oracle_kg_hyperparam_dist(),
         "kg_single_model_fits": _oracle_kg_single_model_fits(),
         "kg_fit_predict_pairs": _oracle_kg_fit_predict_pairs(),
@@ -2422,6 +2424,82 @@ def _oracle_kg_debug_posts() -> str:
             if qq != q or a not in atype or a not in content:
                 continue
             if _DEBUG_POSTS_PHRASE not in content[a]:
+                continue
+            ac = hashlib.md5(content[a].encode("utf-8")).hexdigest()
+            rows.append((q, name[q], qc, ac, c))
+    return _values_table(
+        sorted(rows),
+        ["q", "t", "qc_md5", "ac_md5", "c"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"],
+    )
+
+
+def q_kg_find_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`usage_queries/find_stack_overflow_posts.sparql` over the full
+    pipeline output: questions scored by how many of the calling-context
+    functions they are about, with title + content + every suggested
+    answer (no phrase filter — the one delta vs `kg_debug_posts`).
+    Contents are md5'd to keep the compared payload compact."""
+    from graph4code_spark.plans.queries import find_so_posts
+
+    tri = _materialized(
+        _pipeline_forum_triples(spark)
+        .select("subj", "pred", "obj", "is_literal", "graph")
+        .dropDuplicates()
+    )
+    out = find_so_posts(tri, _DEBUG_POSTS_ENTITIES)
+    return out.select(
+        "q", "t",
+        F.md5("q_content").alias("qc_md5"),
+        F.md5("a_content").alias("ac_md5"),
+        "c",
+    )
+
+
+def _oracle_kg_find_posts() -> str:
+    import hashlib
+    from collections import Counter
+
+    from graph4code_spark.reference_impl.emitters import forum_pipeline_quads
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+    from graph4code_spark.uris import PREFIXES
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    pages_rows = [_page_record(pid, 42, names, hub, etypes) for pid in range(300)]
+    quads = forum_pipeline_quads(pages_rows, FIXED_CATALOG, PREFIXES["stackoverflow3"])
+
+    schema_p, sioc_p = PREFIXES["schema"], PREFIXES["sioc"]
+    rdf_type = PREFIXES["rdf"] + "type"
+    py = PREFIXES["py"]
+    vals = {py + n for n in _DEBUG_POSTS_ENTITIES}
+
+    qtype, atype = set(), set()
+    about, sugg = set(), set()
+    name, content = {}, {}
+    for s, p, o, _lit, _g in quads:
+        if p == rdf_type and o == schema_p + "Question":
+            qtype.add(s)
+        elif p == rdf_type and o == schema_p + "Answer":
+            atype.add(s)
+        elif p == schema_p + "about":
+            about.add((s, o))
+        elif p == schema_p + "suggestedAnswer":
+            sugg.add((s, o))
+        elif p == schema_p + "name":
+            name[s] = o
+        elif p == sioc_p + "content":
+            content[s] = o
+
+    counts = Counter(q for q, f in about if f in vals and q in qtype)
+    rows = []
+    for q, c in counts.items():
+        if q not in name or q not in content:
+            continue
+        qc = hashlib.md5(content[q].encode("utf-8")).hexdigest()
+        for qq, a in sugg:
+            if qq != q or a not in atype or a not in content:
                 continue
             ac = hashlib.md5(content[a].encode("utf-8")).hexdigest()
             rows.append((q, name[q], qc, ac, c))

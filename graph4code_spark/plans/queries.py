@@ -106,7 +106,7 @@ def next_steps_after(triples: DataFrame, entity_suffix: str, k: int = 3) -> Data
 
 
 def debug_posts(
-    triples: DataFrame, entity_names: list[str], phrase: str
+    triples: DataFrame, entity_names: list[str], phrase: str | None
 ) -> DataFrame:
     """`usage_queries/debug_stackoverflow.sparql`: questions about a
     VALUES list of entities, scored by hit count, joined to their
@@ -155,12 +155,10 @@ def debug_posts(
     q_content = content.join(qtype, content["subj"] == qtype["q"]).select(
         "q", F.col("obj").alias("q_content")
     ).distinct()
-    a_content = (
-        content.join(atype, content["subj"] == atype["a"])
-        .where(F.col("obj").contains(phrase))
-        .select("a", F.col("obj").alias("a_content"))
-        .distinct()
-    )
+    a_content = content.join(atype, content["subj"] == atype["a"])
+    if phrase is not None:
+        a_content = a_content.where(F.col("obj").contains(phrase))
+    a_content = a_content.select("a", F.col("obj").alias("a_content")).distinct()
     sugg = _pred(triples, schema_p + "suggestedAnswer").select(
         F.col("subj").alias("q"), F.col("obj").alias("a")
     ).distinct()
@@ -172,6 +170,21 @@ def debug_posts(
         .select("q", "t", "q_content", "a_content", F.col("c").cast("long").alias("c"))
         .orderBy(F.desc("c"), F.asc("q"), F.asc("a_content"))
     )
+
+
+def find_so_posts(triples: DataFrame, entity_names: list[str]) -> DataFrame:
+    """`usage_queries/find_stack_overflow_posts.sparql:31-55`: given a
+    calling context (?f bound through VALUES — the reference binds
+    `python:sklearn.model_selection.train_test_split` and
+    `python:sklearn.svm.SVC.fit`), score each Question by how many of
+    the context functions it is `schema:about`, then attach its title,
+    content and every suggested Answer's content, ordered by score.
+
+    Same graph pattern as `debug_stackoverflow.sparql` MINUS the
+    answer-phrase filter (the reference file mentions the phrase check in
+    a comment but its `where` block applies none), so the restatement
+    delegates to :func:`debug_posts` with ``phrase=None``."""
+    return debug_posts(triples, entity_names, phrase=None)
 
 
 def hyperparameter_distributions(

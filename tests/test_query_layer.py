@@ -114,3 +114,16 @@ def test_debug_posts_values_count_and_phrase_filter(spark):
     }
     # ordered by count desc
     assert out[0][2] == 2
+
+    # find_stack_overflow_posts.sparql = same pattern, NO phrase filter:
+    # every suggested answer of a VALUES-matched question comes back
+    from graph4code_spark.plans.queries import find_so_posts
+
+    all_out = [(r.q, r.a_content, r.c)
+               for r in find_so_posts(tri, ["e1", "e2"]).collect()]
+    assert set(all_out) == {
+        (g + "q1", "has the phrase inside", 2),
+        (g + "q1", "no match here", 2),
+        (g + "q2", "phrase again", 1),
+    }
+    assert all_out[0][2] == 2
