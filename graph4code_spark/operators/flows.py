@@ -27,6 +27,18 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
 - G7 subset: binary-operator propagation — ``c = a + b`` carries both
   operands' producers into later uses of ``c`` (the …/expr turtle types
   of `…Engine.java:596-674`), plus plain-copy aliasing ``d = c``
+- tuple unpack: ``a, b = call(...)`` creates one element node per output
+  with an ordinal path extension (path+['0'], path+['1']), fed by the
+  call node at DATA-0 and carrying the variable name — the turtle shape
+  `sample_graph/example2.json` nodes 87/89/90 show for train_test_split
+- read nodes: ``x = v.attr`` / ``x = v['k']`` on a tracked value becomes
+  a node of its own with path = producer.path + [field] and a
+  reads-entry pointing back at the producer (container), fed at DATA-0
+  (`example2.json` nodes 95/100); ``x`` tracks the new node
+- slice nodes: ``x = v.attr[a:b]`` / ``x = v[a:b]`` adds an ``is_slice``
+  node (the wala/builtin/slice probe, `…Engine.java:1697-1704`) fed by
+  the sliced value at position 1, path unchanged-or-attr-extended
+  (`example2.json` nodes 92/93)
 - interprocedural G3 subset: single-level ``def f(params):`` blocks —
   a call-site arg's producer flows to the body nodes that consume the
   matching parameter (at their recorded positions), and a ``return v``
@@ -68,6 +80,16 @@ _CONTAINER_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*[\[\({](.*)[\]\)}]\s*$", re.S
 )
 _DEF_RE = re.compile(r"^def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$")
+_ATTR_ASSIGN_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+_SUBSCR_READ_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\[\s*(?:'([^']*)'|\"([^\"]*)\")\s*\]\s*$"
+)
+_SLICE_ASSIGN_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)(?:\.([A-Za-z_]\w*))?"
+    r"\[([^\]]*:[^\]]*)\]\s*$"
+)
 _RETURN_RE = re.compile(r"^\s+return\s+([A-Za-z_]\w*)\s*$")
 _ALIAS_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$")
 _BINOP_RE = re.compile(
@@ -422,7 +444,24 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             cur_def["param_uses"].setdefault(a, []).append(
                                 (node["node_number"], pos)
                             )
-                    if lhs_vars:
+                    if len(lhs_vars) > 1:
+                        # tuple unpack of a recognized call: one element
+                        # node per output with an ORDINAL path extension —
+                        # `train, test = train_test_split(...)` yields
+                        # nodes path+['0'] / path+['1'] fed by the call at
+                        # DATA-0, each carrying its variable name (the
+                        # reference shape: `sample_graph/example2.json`
+                        # nodes 87/89/90)
+                        for i, v in enumerate(lhs_vars):
+                            elem = new_node(list(path) + [str(i)], ln, phys, v)
+                            elem["value_names"] = [v]
+                            node["flows_to"] = _append_flow(
+                                node["flows_to"], "0", elem["node_number"]
+                            )
+                            var_producer[v] = elem["node_number"]
+                            var_members.pop(v, None)
+                            var_klass.pop(v, None)
+                    elif lhs_vars:
                         node["value_names"] = lhs_vars
                         for v in lhs_vars:
                             var_producer[v] = node["node_number"]
@@ -433,6 +472,68 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 # {'k': a} — remember which tracked producers flow into
                 # the container so a later call taking v sees them
                 if not made_call_node:
+                    # G2 read/slice NODES (reference shapes evidenced by
+                    # `sample_graph/example2.json` nodes 91-100 and the
+                    # wala/builtin/slice probe `…Engine.java:1697-1704`):
+                    # an assignment whose rhs reads an attribute or a
+                    # string subscript of a tracked value becomes a node
+                    # of its own, path = producer.path + [field], fed by
+                    # the producer at DATA-0; a [a:b] slice adds an
+                    # is_slice node fed by the sliced value at position 1
+                    # (the slice builtin's container argument).  One read
+                    # node per statement — the reference's per-occurrence
+                    # duplicate read nodes are outside the honest subset.
+                    srm = _SLICE_ASSIGN_RE.match(line)
+                    if srm and srm.group(2) in var_producer:
+                        x, v, attr = srm.group(1), srm.group(2), srm.group(3)
+                        p = var_producer[v]
+                        base = list(nodes[idx_of[p]]["path"])
+                        src_num = p
+                        if attr:
+                            rnode = new_node(base + [attr], ln, phys, f"{v}.{attr}")
+                            rnode["reads"] = [{"container": [p], "field": attr}]
+                            psrc = nodes[idx_of[p]]
+                            psrc["flows_to"] = _append_flow(
+                                psrc["flows_to"], "0", rnode["node_number"]
+                            )
+                            base = base + [attr]
+                            src_num = rnode["node_number"]
+                        snode = new_node(list(base), ln, phys,
+                                         line.split("=", 1)[1].strip())
+                        snode["is_slice"] = True
+                        snode["value_names"] = [x]
+                        ssrc = nodes[idx_of[src_num]]
+                        ssrc["flows_to"] = _append_flow(
+                            ssrc["flows_to"], "1", snode["node_number"]
+                        )
+                        var_producer[x] = snode["node_number"]
+                        var_members.pop(x, None)
+                        var_klass.pop(x, None)
+                        continue
+                    arm = _ATTR_ASSIGN_RE.match(line)
+                    krm = None if arm else _SUBSCR_READ_RE.match(line)
+                    rm_ = arm or krm
+                    if rm_ and rm_.group(2) in var_producer:
+                        x, v = rm_.group(1), rm_.group(2)
+                        field = (rm_.group(3) if arm
+                                 else (krm.group(3) if krm.group(3) is not None
+                                       else krm.group(4)))
+                        if field and not field.isdigit():
+                            p = var_producer[v]
+                            rnode = new_node(
+                                list(nodes[idx_of[p]]["path"]) + [field],
+                                ln, phys, line.split("=", 1)[1].strip(),
+                            )
+                            rnode["reads"] = [{"container": [p], "field": field}]
+                            rnode["value_names"] = [x]
+                            psrc = nodes[idx_of[p]]
+                            psrc["flows_to"] = _append_flow(
+                                psrc["flows_to"], "0", rnode["node_number"]
+                            )
+                            var_producer[x] = rnode["node_number"]
+                            var_members.pop(x, None)
+                            var_klass.pop(x, None)
+                            continue
                     cm = _CONTAINER_RE.match(line)
                     am = None if cm else _ALIAS_RE.match(line)
                     bm = None if (cm or am) else _BINOP_RE.match(line)

@@ -279,3 +279,103 @@ def test_flow_extraction_invariants_on_random_snippets():
         assert nodes == extract_page_flow_nodes("http://q/p", [code], cat)
 
     run()
+
+
+def test_tuple_unpack_element_nodes():
+    """`a, b = call(...)` → per-output element nodes with ordinal path
+    extension, fed by the call at DATA-0 (example2.json nodes 87/89/90)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    code = (
+        "import sklearn\n"
+        "train, test = train_test_split(data)\n"
+        "out = pandas.read_csv(train)\n"
+    )
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    call = next(n for n in nodes if n["path_end"] == "train_test_split")
+    e0 = next(n for n in nodes if n["path"] == call["path"] + ["0"])
+    e1 = next(n for n in nodes if n["path"] == call["path"] + ["1"])
+    assert sorted(call["flows_to"]["0"]) == sorted(
+        [e0["node_number"], e1["node_number"]]
+    )
+    assert e0["value_names"] == ["train"] and e1["value_names"] == ["test"]
+    # downstream use resolves to the ELEMENT node, not the call node
+    rc = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    assert e0["flows_to"]["1"] == [rc["node_number"]]
+    assert "1" not in call["flows_to"]
+
+
+def test_attr_and_subscript_read_nodes():
+    """`x = v.attr` / `x = v['k']` become read NODES with extended paths,
+    container back-refs and DATA-0 feed (example2.json nodes 95/100)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "cols = df.columns\n"
+        "y = df['Dataset']\n"
+        "out = pandas.read_csv(cols, y)\n"
+    )
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    rc = next(n for n in nodes if n["path"] == ["pandas", "read_csv"]
+              and n["value_names"] == ["df"])
+    cols = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "columns"])
+    y = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "Dataset"])
+    assert cols["reads"] == [{"container": [rc["node_number"]], "field": "columns"}]
+    assert y["reads"] == [{"container": [rc["node_number"]], "field": "Dataset"}]
+    assert sorted(rc["flows_to"]["0"]) == sorted(
+        [cols["node_number"], y["node_number"]]
+    )
+    # the read nodes (not df's producer) feed the consumer at args 1/2
+    out = next(n for n in nodes if n["value_names"] == ["out"])
+    assert cols["flows_to"]["1"] == [out["node_number"]]
+    assert y["flows_to"]["2"] == [out["node_number"]]
+    # the assignment-read is NOT also recorded as a read on the producer
+    assert rc["reads"] == []
+
+
+def test_slice_nodes():
+    """`x = v.attr[a:b]` → read node + is_slice node fed at position 1;
+    `x = v[a:b]` → is_slice node with the producer's own path
+    (wala/builtin/slice probe, example2.json nodes 92/93)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "X = df.columns[:len(df.columns)-1]\n"
+        "head = df[0:5]\n"
+        "out = pandas.read_csv(X, head)\n"
+    )
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    rc = next(n for n in nodes if n["value_names"] == ["df"])
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv", "columns"]
+             and not n["is_slice"]]
+    slices = [n for n in nodes if n["is_slice"]]
+    assert len(reads) == 1 and len(slices) == 2
+    attr_slice = next(s for s in slices if s["path"] == ["pandas", "read_csv", "columns"])
+    plain_slice = next(s for s in slices if s["path"] == ["pandas", "read_csv"])
+    # read node feeds the slice at position 1 (the slice builtin's
+    # container argument); producer feeds the read at DATA-0
+    assert rc["flows_to"]["0"] == [reads[0]["node_number"]]
+    assert reads[0]["flows_to"]["1"] == [attr_slice["node_number"]]
+    assert rc["flows_to"]["1"] == [plain_slice["node_number"]]
+    assert attr_slice["value_names"] == ["X"]
+    assert plain_slice["value_names"] == ["head"]
+    # sliced values track their slice node into later calls
+    out = next(n for n in nodes if n["value_names"] == ["out"])
+    assert attr_slice["flows_to"]["1"] == [out["node_number"]]
+    assert plain_slice["flows_to"]["2"] == [out["node_number"]]
