@@ -39,6 +39,10 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   node (the wala/builtin/slice probe, `…Engine.java:1697-1704`) fed by
   the sliced value at position 1, path unchanged-or-attr-extended
   (`example2.json` nodes 92/93)
+- ``with Ctor(...) as v:`` binds v to the call's value like ``v =
+  Ctor(...)`` (same SSA def in WALA); ``for v in x:`` propagates x's
+  producers into the loop targets as members (EachElementGet shape);
+  ``x op= a`` folds a's producers into x (G7 augmented form)
 - interprocedural G3 subset: single-level ``def f(params):`` blocks —
   a call-site arg's producer flows to the body nodes that consume the
   matching parameter (at their recorded positions), and a ``return v``
@@ -82,6 +86,14 @@ _CONTAINER_RE = re.compile(
 _DEF_RE = re.compile(r"^def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$")
 _ATTR_ASSIGN_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+_WITH_RE = re.compile(r"^\s*with\s+(.+?)\s+as\s+([A-Za-z_]\w*)\s*:\s*$")
+_FOR_RE = re.compile(
+    r"^\s*for\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+in\s+"
+    r"([A-Za-z_]\w*)\s*:\s*$"
+)
+_AUG_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*[-+*/%&|]=\s*([A-Za-z_]\w*)\s*$"
 )
 _SUBSCR_READ_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\[\s*(?:'([^']*)'|\"([^\"]*)\")\s*\]\s*$"
@@ -324,6 +336,14 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 lhs_vars = (
                     [v.strip() for v in assign.group(1).split(",")] if assign else []
                 )
+                if not lhs_vars:
+                    # `with Ctor(...) as v:` binds v to the call's value
+                    # exactly like `v = Ctor(...)` (WALA's SSA sees the
+                    # same def; the context-manager protocol is outside
+                    # the honest subset)
+                    wm_ = _WITH_RE.match(line)
+                    if wm_:
+                        lhs_vars = [wm_.group(2)]
                 made_call_node = False
                 last_chain = None  # (index after ')', node_number, produced_klass)
                 for m in _CALL_RE.finditer(line):
@@ -534,6 +554,38 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             var_members.pop(x, None)
                             var_klass.pop(x, None)
                             continue
+                    fm = _FOR_RE.match(line)
+                    if fm and (fm.group(2) in var_producer or fm.group(2) in var_members):
+                        # `for v in x:` — iteration propagates x's
+                        # turtle-ness into each loop target (the
+                        # EachElementGet shape; element identity is not
+                        # modeled, so targets carry x's producers as
+                        # members, like container membership)
+                        src_list = ([var_producer[fm.group(2)]]
+                                    if fm.group(2) in var_producer
+                                    else list(var_members[fm.group(2)]))
+                        for v in (t.strip() for t in fm.group(1).split(",")):
+                            var_members[v] = list(src_list)
+                            var_producer.pop(v, None)
+                            var_klass.pop(v, None)
+                        continue
+                    gm = _AUG_RE.match(line)
+                    if gm and (gm.group(2) in var_producer or gm.group(2) in var_members):
+                        # `x op= a` — augmented assignment is the binop
+                        # propagation (G7) folded into x: x keeps its own
+                        # producers and gains a's
+                        members = []
+                        if gm.group(1) in var_producer:
+                            members.append(var_producer[gm.group(1)])
+                        members.extend(var_members.get(gm.group(1), ()))
+                        if gm.group(2) in var_producer:
+                            members.append(var_producer[gm.group(2)])
+                        else:
+                            members.extend(var_members[gm.group(2)])
+                        var_members[gm.group(1)] = members
+                        var_producer.pop(gm.group(1), None)
+                        var_klass.pop(gm.group(1), None)
+                        continue
                     cm = _CONTAINER_RE.match(line)
                     am = None if cm else _ALIAS_RE.match(line)
                     bm = None if (cm or am) else _BINOP_RE.match(line)

@@ -379,3 +379,40 @@ def test_slice_nodes():
     out = next(n for n in nodes if n["value_names"] == ["out"])
     assert attr_slice["flows_to"]["1"] == [out["node_number"]]
     assert plain_slice["flows_to"]["2"] == [out["node_number"]]
+
+
+def test_with_for_and_augmented_assignment():
+    """`with … as v:` binds like an assignment; `for v in x:` and
+    `x op= a` propagate producers as members into later calls."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    code = (
+        "import sklearn\n"
+        "with SVC() as model:\n"
+        "    model.fit(data)\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "for row in df:\n"
+        "    out = pandas.read_csv(row)\n"
+        "acc = json.load('a')\n"
+        "acc += df\n"
+        "final = pandas.read_csv(acc)\n"
+    )
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    ctor = next(n for n in nodes if n["path_end"] == "SVC")
+    fit = next(n for n in nodes if n["path_end"] == "fit")
+    # with-binding: receiver method resolves through the bound name
+    assert ctor["flows_to"]["0"] == [fit["node_number"]]
+    assert ctor["value_names"] == ["model"]
+    rc = next(n for n in nodes if n["value_names"] == ["df"])
+    out = next(n for n in nodes if n["value_names"] == ["out"])
+    # for-loop target carries df's producer into the body call
+    assert out["node_number"] in rc["flows_to"]["1"]
+    # augmented assignment: acc keeps json.load's producer and gains df's
+    jl = next(n for n in nodes if n["path_end"] == "load")
+    fin = next(n for n in nodes if n["value_names"] == ["final"])
+    assert jl["flows_to"]["1"] == [fin["node_number"]]
+    assert fin["node_number"] in rc["flows_to"]["1"]
