@@ -339,7 +339,7 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
 
     n_answers = 1 + _h(seed, page_id, "na") % 3
     answers = []
-    # 6/12 of non-decoy pages carry a "special" first snippet exercising
+    # 8/12 of non-decoy pages carry a "special" first snippet exercising
     # the cross-graph usage-query shapes: read_csv feeding classifier
     # fits (find_similar_flows), a hyperparameter-optimizer flowing into
     # a constructor (must_not_set_hyperparameters NOT-EXISTS leg), a
@@ -401,6 +401,36 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "d = c\n"
                 "out = pandas.DataFrame(d)\n</code></pre>"
             )
+            answers.append((aid, abody, votes))
+            continue
+        if a == 0 and special in (6, 7):
+            if special == 6:
+                # round-3 G2 shapes (the sample_graph/example2.json
+                # pattern): tuple unpack into ordinal element nodes,
+                # attr-read + slice nodes, string-subscript read node
+                abody += (
+                    "<pre><code>import pandas\nimport sklearn\n"
+                    "df = pandas.read_csv('train.csv')\n"
+                    "train, test = train_test_split(df)\n"
+                    "X = train.columns[:5]\n"
+                    "y = train['Dataset']\n"
+                    "m = sklearn.svm.SVC(X, y)\n"
+                    "r = m.fit(test, 2)\n</code></pre>"
+                )
+            else:
+                # round-3 statement forms: with-as binding, for-loop
+                # iteration flow, augmented assignment
+                abody += (
+                    "<pre><code>import pandas\nimport sklearn\n"
+                    "with sklearn.svm.SVC() as model:\n"
+                    "    r = model.fit(x, 1)\n"
+                    "df = pandas.read_csv('t.csv')\n"
+                    "for row in df:\n"
+                    "    out = pandas.DataFrame(row)\n"
+                    "acc = pandas.read_csv('u.csv')\n"
+                    "acc += df\n"
+                    "fin = pandas.DataFrame(acc)\n</code></pre>"
+                )
             answers.append((aid, abody, votes))
             continue
         if a == 0 and special in (3, 4):
