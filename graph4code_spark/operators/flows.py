@@ -39,6 +39,12 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   node (the wala/builtin/slice probe, `…Engine.java:1697-1704`) fed by
   the sliced value at position 1, path unchanged-or-attr-extended
   (`example2.json` nodes 92/93)
+- G5 fork-join subset: calls in different arms of a top-level
+  if/elif/else chain do NOT precede each other — each arm forks from the
+  pre-if frontier and the first call after the chain joins every arm
+  tail (plus the fall-through edge when there is no else), the CFG
+  projection shape of `…Engine.java:2116-2256`; one un-nested chain at
+  a time, bindings follow the last textual arm (no phi merge)
 - ``with Ctor(...) as v:`` binds v to the call's value like ``v =
   Ctor(...)`` (same SSA def in WALA); ``for v in x:`` propagates x's
   producers into the loop targets as members (EachElementGet shape);
@@ -95,6 +101,8 @@ _FOR_RE = re.compile(
 _AUG_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*[-+*/%&|]=\s*([A-Za-z_]\w*)\s*$"
 )
+_IF_RE = re.compile(r"^if\s.*:\s*$")
+_ELIF_ELSE_RE = re.compile(r"^(?:elif\s.*|else\s*):\s*$")
 _SUBSCR_READ_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\[\s*(?:'([^']*)'|\"([^\"]*)\")\s*\]\s*$"
 )
@@ -253,7 +261,10 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
             var_producer: dict[str, int] = {}   # var -> node number
             var_klass: dict[str, str] = {}      # var -> class name
             var_members: dict[str, list] = {}   # var -> producer node numbers inside a container literal
-            prev_in_snippet: int | None = None
+            prev_in_snippet: list[int] = []     # indices of the CFG frontier
+            # G5 fork-join subset: one active top-level if/elif/else chain
+            # {"pre": frontier before the if, "tails": per-arm frontiers}
+            branch: dict | None = None
             # interprocedural G3 subset: name -> {params, param_uses
             # (param -> [(node_number, use_pos)]), ret producer, ret class}
             local_defs: dict[str, dict] = {}
@@ -287,11 +298,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     "source_lines": list(phys),
                 }
                 counter += 1
-                if prev_in_snippet is not None:
-                    nodes[prev_in_snippet]["immediately_precedes"] = nodes[
-                        prev_in_snippet
-                    ]["immediately_precedes"] + [n["node_number"]]
-                prev_in_snippet = len(nodes)
+                for p in prev_in_snippet:
+                    nodes[p]["immediately_precedes"] = nodes[p][
+                        "immediately_precedes"
+                    ] + [n["node_number"]]
+                prev_in_snippet = [len(nodes)]
                 idx_of[n["node_number"]] = len(nodes)
                 nodes.append(n)
                 return n
@@ -314,6 +325,40 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         local_defs[cur_def["name"]] = cur_def
                         var_producer, var_klass, var_members, prev_in_snippet = outer_env
                         cur_def, outer_env = None, None
+                # G5 fork-join subset (`GraphSlicer.project` CFG shape,
+                # `…Engine.java:2116-2256`): calls in different arms of a
+                # TOP-LEVEL if/elif/else never precede each other; every
+                # arm forks from the frontier before the `if` and the
+                # first call after the chain joins all arm tails (plus
+                # the fall-through frontier when there is no else).  One
+                # un-nested chain at a time; variable bindings follow the
+                # last textual arm (no phi merge — documented subset).
+                if cur_def is None:
+                    at_top = line[:1] not in (" ", "\t")
+                    if branch is not None and at_top:
+                        if _ELIF_ELSE_RE.match(line):
+                            branch["tails"].append(prev_in_snippet)
+                            branch["has_else"] = line.lstrip().startswith("else")
+                            prev_in_snippet = list(branch["pre"])
+                            continue
+                        # join: frontier = union of arm tails (+ pre when
+                        # the chain can fall through)
+                        tails = branch["tails"] + [prev_in_snippet]
+                        joined: list[int] = []
+                        for t in tails:
+                            for p in t:
+                                if p not in joined:
+                                    joined.append(p)
+                        if not branch["has_else"]:
+                            for p in branch["pre"]:
+                                if p not in joined:
+                                    joined.append(p)
+                        prev_in_snippet = joined
+                        branch = None
+                    if branch is None and at_top and _IF_RE.match(line):
+                        branch = {"pre": list(prev_in_snippet), "tails": [],
+                                  "has_else": False}
+                        continue
                 dm = _DEF_RE.match(line)
                 if dm:
                     cur_def = {
@@ -326,7 +371,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     # def body gets its own variable environment and its
                     # own control-flow chain (a separate method in WALA)
                     outer_env = (var_producer, var_klass, var_members, prev_in_snippet)
-                    var_producer, var_klass, var_members, prev_in_snippet = {}, {}, {}, None
+                    var_producer, var_klass, var_members, prev_in_snippet = {}, {}, {}, []
                     continue
                 im = _IMPORT_RE.match(line)
                 if im and im.group(1).split(".")[0] in modules:

@@ -416,3 +416,54 @@ def test_with_for_and_augmented_assignment():
     fin = next(n for n in nodes if n["value_names"] == ["final"])
     assert jl["flows_to"]["1"] == [fin["node_number"]]
     assert fin["node_number"] in rc["flows_to"]["1"]
+
+
+def test_branch_fork_join_control_flow():
+    """G5 subset: if/elif/else arms fork from the pre-if frontier and
+    join at the first call after the chain; arms never precede each
+    other; without an else the fall-through edge survives."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "if flag:\n"
+        "    a = json.load('a')\n"
+        "elif other:\n"
+        "    b = numpy.linspace(0, 1)\n"
+        "else:\n"
+        "    c = pandas.DataFrame(x)\n"
+        "out = pandas.read_csv('u.csv')\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes if n["value_names"]}
+    df, a, b, c, out = (by_vn[k] for k in ("df", "a", "b", "c", "out"))
+    # fork: every arm head is preceded by the pre-if call, not by a
+    # sibling arm
+    for arm in (a, b, c):
+        assert arm["node_number"] in df["immediately_precedes"]
+    assert a["immediately_precedes"] == [out["node_number"]]
+    assert b["immediately_precedes"] == [out["node_number"]]
+    assert c["immediately_precedes"] == [out["node_number"]]
+    # closed chain (else present): df does not directly precede out
+    assert out["node_number"] not in df["immediately_precedes"]
+
+    # no else -> fall-through edge from the pre-if call to the join
+    code2 = (
+        "import pandas\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "if flag:\n"
+        "    a = json.load('a')\n"
+        "out = pandas.read_csv('u.csv')\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/2", [code2], cat)
+    by_vn2 = {n["value_names"][0]: n for n in nodes2 if n["value_names"]}
+    df2, a2, out2 = (by_vn2[k] for k in ("df", "a", "out"))
+    assert sorted(df2["immediately_precedes"]) == sorted(
+        [a2["node_number"], out2["node_number"]]
+    )
+    assert a2["immediately_precedes"] == [out2["node_number"]]
