@@ -339,7 +339,7 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
 
     n_answers = 1 + _h(seed, page_id, "na") % 3
     answers = []
-    # 8/12 of non-decoy pages carry a "special" first snippet exercising
+    # 9/12 of non-decoy pages carry a "special" first snippet exercising
     # the cross-graph usage-query shapes: read_csv feeding classifier
     # fits (find_similar_flows), a hyperparameter-optimizer flowing into
     # a constructor (must_not_set_hyperparameters NOT-EXISTS leg), a
@@ -400,6 +400,22 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "c = a + b\n"
                 "d = c\n"
                 "out = pandas.DataFrame(d)\n</code></pre>"
+            )
+            answers.append((aid, abody, votes))
+            continue
+        if a == 0 and special == 8:
+            # round-3 G5 fork-join: calls in if/elif/else arms fork from
+            # the pre-if call and join at the first call after the chain
+            abody += (
+                "<pre><code>import pandas\nimport numpy\n"
+                "df = pandas.read_csv('t.csv')\n"
+                "if flag:\n"
+                "    a = json.load('a.json')\n"
+                "elif other:\n"
+                "    b = numpy.linspace(0, 1)\n"
+                "else:\n"
+                "    c = pandas.DataFrame(df)\n"
+                "out = pandas.read_csv('u.csv')\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue
