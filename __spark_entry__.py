@@ -813,6 +813,67 @@ ORDER BY r.revenue DESC, o.o_orderkey LIMIT 10
 """
 
 
+def q_corpus_extraction_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 explicit: `extraction_queries/bigquery.sql` restated over the
+    TPC-H-ish tables — `documents` stands in for files ⋈ contents and
+    `events` for the GitHub-archive watch stream.  Same shape, clause
+    for clause: two event scans UNION ALL'd (the year-2017 + month-2019
+    legs), per-key count with HAVING (watched at least N times),
+    equi-join onto the corpus, path-LIKE + size + content-regexp
+    filters, then group-by-content keeping max(concat(repo, ' ', path))
+    — here max(concat(source, ' ', doc_id)).  Content is md5'd for the
+    compact compare.  The watched-key set is small after HAVING but
+    unbounded in principle, so it stays a shuffle equi-join (AQE may
+    still broadcast it at runtime)."""
+    docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
+    leg1 = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("repo")
+    )
+    leg2 = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("repo")
+    )
+    watched = (
+        leg1.unionAll(leg2)
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_watch"))
+        .where(F.col("n_watch") >= 28)
+        .select("repo")
+    )
+    return (
+        docs.join(watched, docs["doc_id"] == watched["repo"])
+        .where(
+            F.col("source").like("src1%")
+            & (F.col("n_chars") < 400)
+            & F.col("text").rlike("join")
+        )
+        .groupBy("text")
+        .agg(
+            F.max(
+                F.concat_ws(" ", F.col("source"), F.col("doc_id").cast("string"))
+            ).alias("repo_path")
+        )
+        .select(F.md5("text").alias("text_md5"), "repo_path")
+    )
+
+
+_ORACLE_CORPUS_EXTRACTION = """
+SELECT md5(d.text) AS text_md5,
+       max(concat(d.source, ' ', CAST(d.doc_id AS VARCHAR))) AS repo_path
+FROM documents d
+JOIN (
+  SELECT repo FROM (
+    SELECT user_id AS repo FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT user_id AS repo FROM events WHERE event_type = 'click'
+  ) GROUP BY repo HAVING COUNT(*) >= 28
+) r ON d.doc_id = r.repo
+WHERE d.source LIKE 'src1%' AND d.n_chars < 400
+  AND regexp_matches(d.text, 'join')
+GROUP BY d.text
+"""
+
+
 def q_join_region_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
@@ -1478,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational coverage
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_topk_orders": q_join_topk_orders,
+        "corpus_extraction_sql": q_corpus_extraction_sql,
         "join_region_drilldown": q_join_region_drilldown,
         "window_top3_orders": q_window_top3_orders,
         "anti_join_customers": q_anti_join_customers,
@@ -1548,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         "posexplode_words": _ORACLE_POSEXPLODE,
         "agg_pricing_summary": _ORACLE_PRICING,
         "join_topk_orders": _ORACLE_TOPK_ORDERS,
+        "corpus_extraction_sql": _ORACLE_CORPUS_EXTRACTION,
         "join_region_drilldown": _ORACLE_REGION,
         "window_top3_orders": _ORACLE_WINDOW_TOP3,
         "anti_join_customers": _ORACLE_ANTI,
