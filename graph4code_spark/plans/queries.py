@@ -237,24 +237,42 @@ def hyperparameter_distributions(
 def classifier_class_names(triples: DataFrame, base_class: str) -> DataFrame:
     """(name) of every class reaching ``base_class`` via rdfs:subClassOf*
     in the docstrings graph — the shared leg of the cross-graph usage
-    queries.
+    queries."""
+    return classifier_class_names_any(triples, (base_class,))
 
-    SPARQL ``*`` is REFLEXIVE: the base class itself matches through the
-    zero-length path, so it is unioned in alongside the ``+`` closure
-    (which is seeded BACKWARD from the base class — only chains that
-    actually reach it are materialized)."""
-    base_uri = _PY + base_class
+
+def classifier_class_names_any(
+    triples: DataFrame, base_classes: tuple[str, ...]
+) -> DataFrame:
+    """(name) of every class reaching ANY of ``base_classes`` via
+    rdfs:subClassOf* — ONE backward-seeded closure with the union of the
+    bases as the seed frontier, instead of one full closure per base
+    (the UNION leg of `must_not_set_hyperparameters.sparql:14-22` names
+    two mixins; iterating the same edge set twice doubles the shuffle
+    rounds for no information).
+
+    SPARQL ``*`` is REFLEXIVE: each base class itself matches through
+    the zero-length path, so the bases are unioned in alongside the
+    ``+`` closure (which is seeded BACKWARD from the bases — only chains
+    that actually reach one are materialized)."""
+    base_uris = [_PY + b for b in base_classes]
     sub = _pred(triples, PREFIXES["rdfs"] + "subClassOf").select(
         F.col("subj").alias("src"), F.col("obj").alias("dst"), "graph"
     ).distinct()
-    seeds = sub.select("graph").distinct().select(
-        F.lit(base_uri).alias("node"), "graph"
+    seeds = (
+        sub.select("graph").distinct()
+        .select(
+            F.explode(F.array(*[F.lit(u) for u in base_uris])).alias("node"),
+            "graph",
+        )
     )
     classes = (
         transitive_closure(sub, seeds=seeds, direction="backward")
-        .where(F.col("dst") == base_uri)
+        .where(F.col("dst").isin(base_uris))
         .select(F.col("src").alias("cls"))
-        .union(sub.sparkSession.createDataFrame([(base_uri,)], "cls string"))
+        .union(
+            sub.sparkSession.createDataFrame([(u,) for u in base_uris], "cls string")
+        )
         .distinct()
     )
     labels = _pred(triples, _RDFS_LABEL).select(
@@ -529,11 +547,7 @@ def hyperparam_violations(
     hyper-parameters."""
     schema_p, sio_p = PREFIXES["schema"], PREFIXES["sio"]
 
-    names = None
-    for b in bases:
-        nb = classifier_class_names(triples, b)
-        names = nb if names is None else names.unionByName(nb)
-    names = names.distinct()
+    names = classifier_class_names_any(triples, bases)
 
     labels = _pred(triples, _RDFS_LABEL).select(
         F.col("subj").alias("node"), F.col("obj").alias("lbl"), "graph"
