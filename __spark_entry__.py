@@ -662,6 +662,42 @@ FROM best WHERE rn = 1
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word fraction,
+    top-bigram fraction over the first 200 words), fully recomputed in
+    DuckDB list SQL."""
+    from graph4code_spark.operators.textstats import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_features(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "rep_dup_word_frac", "rep_top_bigram_frac"
+    )
+
+
+_ORACLE_TEXT_REPETITION = """
+WITH base AS (
+  SELECT doc_id, (string_split_regex(lower(trim(text)), '\\s+'))[1:200] AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, w, len(w) AS n,
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         ELSE [] END AS grams
+  FROM base
+)
+SELECT doc_id,
+  round(CASE WHEN n > 0
+        THEN 1 - CAST(len(list_distinct(w)) AS DOUBLE) / n ELSE 0 END, 6)
+    AS rep_dup_word_frac,
+  round(CASE WHEN len(grams) > 0
+        THEN CAST(list_aggregate(list_transform(list_distinct(grams),
+               x -> len(list_filter(grams, e -> e = x))), 'max') AS DOUBLE)
+             / len(grams) ELSE 0 END, 6)
+    AS rep_top_bigram_frac
+FROM g
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1533,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_language": q_text_language,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_md5_keys": q_doc_md5_keys,
         "posexplode_words": q_posexplode_words,
@@ -1605,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _ORACLE_TOKEN_COUNTS,
         "text_language": _oracle_text_language(),
         "text_quality": _ORACLE_TEXT_QUALITY,
+        "text_repetition": _ORACLE_TEXT_REPETITION,
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "doc_md5_keys": _ORACLE_MD5_KEYS,
         "posexplode_words": _ORACLE_POSEXPLODE,

@@ -82,6 +82,43 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str, max_words: int = 200) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    top-bigram fraction, computed over the first ``max_words`` words so
+    per-doc work is bounded (O(max_words²) worst case for the bigram
+    mode count) regardless of document length — at corpus scale a
+    runaway 10 MB document must not dominate its task.  Pure column
+    expressions, whole-stage codegen."""
+    t = F.col(text_col)
+    w = F.slice(_words(t), 1, max_words)
+    n = F.size(w)
+    dup_word = F.when(
+        n > 0, 1 - F.size(F.array_distinct(w)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    top_bigram = F.when(
+        ng > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda x: F.size(F.filter(grams, lambda e: e == x)),
+            )
+        ).cast("double") / ng,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        F.round(dup_word, 6).alias("rep_dup_word_frac"),
+        F.round(top_bigram, 6).alias("rep_top_bigram_frac"),
+    )
+
+
 def doc_fingerprint(text: Column, window: int = 5) -> Column:
     """Winnowing-style fingerprint: min over rolling word-5-gram hashes —
     stable under small edits, one 64-bit value per doc."""

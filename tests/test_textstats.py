@@ -48,3 +48,18 @@ def test_quality_and_fingerprint(spark):
     # deterministic + distinct for different docs
     fp2 = {r.id: r.fp for r in df.select("id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps == fp2 and fps[1] != fps[2]
+
+
+def test_repetition_features(spark):
+    from graph4code_spark.operators.textstats import repetition_features
+
+    loopy = "spam spam spam spam"          # dup words, one dominant bigram
+    varied = "one two three four five six"  # all distinct
+    df = spark.createDataFrame([(1, loopy), (2, varied)], "id long, text string")
+    out = {r.id: r for r in repetition_features(df, "text").collect()}
+    # loopy: 4 words 1 distinct -> dup 0.75; 3 bigrams all "spam spam" -> 1.0
+    assert abs(out[1].rep_dup_word_frac - 0.75) < 1e-9
+    assert abs(out[1].rep_top_bigram_frac - 1.0) < 1e-9
+    # varied: no duplicate words, every bigram unique (1/5)
+    assert out[2].rep_dup_word_frac == 0.0
+    assert abs(out[2].rep_top_bigram_frac - 0.2) < 1e-9
