@@ -1026,6 +1026,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of `events_hourly`: the same windowed
+    aggregation run as a stream (`readStream` file source →
+    `withWatermark` + `F.window` → availableNow drain → memory sink).
+
+    The reference pipeline is batch-only with pickle resume
+    (`utils.py:104-189` in /root/reference); the Spark-native incremental
+    story is this stream: each run drains whatever event files have landed
+    and the checkpoint makes re-runs exactly-once.  Complete output mode is
+    used so the final table holds EVERY window (append mode would withhold
+    windows the watermark hasn't passed — on a drained, bounded input that
+    is the trailing window), which makes the result deterministic and
+    byte-comparable to the batch oracle.  At crawl scale the memory sink
+    becomes a parquet/Iceberg sink in append mode and the watermark does
+    real late-data eviction; the plan shape (partial agg per micro-batch +
+    state-store merge keyed by (window, event_type)) is unchanged.
+    """
+    import uuid
+
+    batch = _t(spark, sf_dir, "events")
+    # The file stream source wants a *directory* to watch (new files land,
+    # get drained, offsets checkpointed); pathGlobFilter scopes it to the
+    # events table inside the shared sf dir.
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (with zone); the table stores NTZ.  The
+    # cast keeps wall-clock fields under the session tz, so window labels
+    # match the batch/oracle strings exactly.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    sink = f"events_stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("window.start").cast("string").alias("hour"),
+        "event_type",
+        "n",
+        "avg_value",
+    )
+
+
 def q_votes_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
@@ -1583,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_suppliers": q_semi_join_suppliers,
         "set_ops_event_types": q_set_ops_event_types,
         "events_hourly": q_events_hourly,
+        "events_stream_hourly": q_events_stream_hourly,
         "votes_per_user": q_votes_per_user,
         "topk_event_types": q_topk_event_types,
         # multimodal plumbing
@@ -1655,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_suppliers": _ORACLE_SEMI,
         "set_ops_event_types": _ORACLE_SET_OPS,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "events_stream_hourly": _ORACLE_EVENTS_HOURLY,
         "votes_per_user": _ORACLE_VOTES_PER_USER,
         "topk_event_types": _ORACLE_TOPK_EVENTS,
         "merge_modules": _oracle_merge_modules(),
