@@ -15,7 +15,10 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
 - ``immediatelyPrecedes`` (CONTROL) chaining consecutive recognized calls
   inside a snippet (`…Engine.java:2116-2256`)
 - constant positional/named args (string/number literals) with ordinals,
-  receiver = position 0 so explicit args start at 1
+  receiver = position 0 so explicit args start at 1; KEYWORD args occupy
+  their source-order ordinal too, and a tracked value passed by keyword
+  flows at that ordinal (`sample_graph/example2.json` node 88:
+  `stratify=…` flows to train_test_split at position 4)
 - import nodes flagged ``is_import`` (single-element path)
 - attribute/string-subscript reads+writes on tracked values (the honest
   G2 subset of AstPropertyRead/Write, `…Engine.java:1892-1954`)
@@ -403,8 +406,20 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         d = local_defs[cname]
                         upos = 0
                         for a in _split_args(_call_args(line, m)):
-                            if _NAMED_ARG.match(a):
-                                continue  # positional wiring only
+                            nm_ = _NAMED_ARG.match(a)
+                            if nm_:
+                                # keyword call-site arg: wire by the
+                                # parameter NAME (f(x=v) reaches the body
+                                # uses of x), same callee binding WALA
+                                # resolves
+                                param, val = nm_.group(1), nm_.group(2)
+                                if val in var_producer and param in d["param_uses"]:
+                                    for nnum, use_pos in d["param_uses"][param]:
+                                        src = nodes[idx_of[var_producer[val]]]
+                                        src["flows_to"] = _append_flow(
+                                            src["flows_to"], str(use_pos), nnum
+                                        )
+                                continue
                             upos += 1
                             if a in var_producer and upos <= len(d["params"]):
                                 param = d["params"][upos - 1]
@@ -478,12 +493,31 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     for a in args:
                         nm = _NAMED_ARG.match(a)
                         if nm and not _NAMED_ARG.match(nm.group(2)):
+                            # keyword args occupy a SOURCE-ORDER ordinal
+                            # just like positionals, and a tracked value
+                            # passed by keyword flows at that ordinal —
+                            # the reference shape: `stratify=…` flows at
+                            # position 4 in example2.json node 88
+                            # (`train_test_split(data, test_size=0.3,
+                            # random_state=0, stratify=data['Dataset'])`).
+                            pos += 1
                             key, val = nm.group(1), nm.group(2)
                             sm = _STR_ARG.match(val)
                             if sm:
                                 node["constant_named_args"][key] = sm.group(1) or sm.group(2) or ""
                             elif _NUM_ARG.match(val):
                                 node["constant_named_args"][key] = val
+                            elif val in var_producer:
+                                src = nodes[idx_of[var_producer[val]]]
+                                src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
+                            elif val in var_members:
+                                for src_num in var_members[val]:
+                                    src = nodes[idx_of[src_num]]
+                                    src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
+                            elif cur_def is not None and val in cur_def["params"]:
+                                cur_def["param_uses"].setdefault(val, []).append(
+                                    (node["node_number"], pos)
+                                )
                             continue
                         pos += 1
                         sm = _STR_ARG.match(a)
