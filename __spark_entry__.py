@@ -1673,6 +1673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_sample_topk": q_doc_sample_topk,
         "corpus_curation": q_corpus_curation,
+        # corpus hygiene
+        "pii_redact": q_pii_redact,
+        "dedup_lines": q_dedup_lines,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1743,6 +1747,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
         "doc_sample_topk": _ORACLE_SAMPLE_TOPK,
         "corpus_curation": _oracle_corpus_curation(),
+        "pii_redact": _ORACLE_PII_REDACT,
+        "dedup_lines": _ORACLE_DEDUP_LINES,
+        "decontaminate": _ORACLE_DECONTAMINATE,
     }
 
 
@@ -3435,4 +3442,190 @@ sampled AS (
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(nw) AS BIGINT) AS total_ws_tokens
 FROM sampled GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: corpus-hygiene operators (PII redaction, CCNet-style
+# frequent-line removal, benchmark decontamination)
+# ---------------------------------------------------------------------------
+
+_PII_FIXTURE_SQL = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 <> 0
+            THEN ' reach ops' || CAST(doc_id % 7 AS VARCHAR)
+                 || '@crawl-' || lang || '.net' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.3.' || CAST((doc_id * 13) % 250 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' dial +44 20 7' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || ' ' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS t2
+  FROM documents
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, IPv4, phone numbers) over a
+    deterministic PII-laden fixture derived from the documents table
+    (the raw synthetic corpus contains no PII, so the query plants a
+    known mix per doc_id residue class — same construction in the SQL
+    oracle).  The operator itself (`operators/scrub.py:pii_features`)
+    is a stateless JVM regexp map: zero shuffle at any scale."""
+    from graph4code_spark.operators.scrub import pii_features
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 != 0,
+        F.concat(
+            F.lit(" reach ops"), (d % 7).cast("string"),
+            F.lit("@crawl-"), F.col("lang"), F.lit(".net"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit(" from 10."), (d % 200).cast("string"),
+            F.lit(".3."), ((d * 13) % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit(" dial +44 20 7"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit(" "),
+            F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("t2")
+    )
+    return (
+        pii_features(planted, "t2")
+        .select(
+            "doc_id", "pii_email", "pii_ipv4", "pii_phone",
+            F.md5("t2_redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_PII_REDACT = f"""
+WITH t AS ({_PII_FIXTURE_SQL}),
+r1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t2,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS pii_email,
+    regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g') AS s1
+  FROM t
+),
+r2 AS (
+  SELECT doc_id, pii_email,
+    CAST(len(regexp_extract_all(s1, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INT)
+      AS pii_ipv4,
+    regexp_replace(s1, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS s2
+  FROM r1
+),
+r3 AS (
+  SELECT doc_id, pii_email, pii_ipv4,
+    CAST(len(regexp_extract_all(s2, '\\+\\d[\\d ()-]{{6,}}\\d')) AS INT) AS pii_phone,
+    regexp_replace(s2, '\\+\\d[\\d ()-]{{6,}}\\d', '<PHONE>', 'g') AS s3
+  FROM r2
+)
+SELECT doc_id, pii_email, pii_ipv4, pii_phone, md5(s3) AS redacted_md5
+FROM r3 ORDER BY doc_id
+"""
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style frequent-line removal: the documents corpus is
+    chunked into 3-word lines (the synthetic word soup has no newlines;
+    3-word chunks give a non-degenerate cross-doc repeat distribution at
+    every SF), lines occurring in >=3 distinct docs are dropped
+    corpus-wide, and each doc reports its kept-text md5 + drop counts.
+    One exploded hash-agg + one anti-join + one reassembly agg
+    (`operators/scrub.py:drop_frequent_lines`)."""
+    from graph4code_spark.operators.scrub import drop_frequent_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(w)
+    lines = F.transform(
+        F.sequence(F.lit(1), F.ceil(n / F.lit(3.0)).cast("int")),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 3 + 1, 3), " "),
+    )
+    chunked = docs.select("doc_id", lines.alias("lines"))
+    out = drop_frequent_lines(chunked, "doc_id", "lines", min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join("lines_kept", "\n")).alias("clean_md5"),
+        "n_lines",
+        "n_dropped",
+    ).orderBy("doc_id")
+
+
+_ORACLE_DEDUP_LINES = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+l AS (
+  SELECT doc_id, i.i AS pos,
+         array_to_string(ws[(i.i-1)*3+1 : (i.i-1)*3+3], ' ') AS line
+  FROM w, LATERAL (SELECT unnest(generate_series(
+      1, CAST(ceil(len(ws)/3.0) AS BIGINT))) AS i) i
+),
+f AS (
+  SELECT line FROM (
+    SELECT lower(trim(line)) AS line, count(DISTINCT doc_id) AS nd
+    FROM l GROUP BY 1
+  ) WHERE nd >= 3
+),
+kept AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS s, count(*) AS k
+  FROM l WHERE lower(trim(line)) NOT IN (SELECT line FROM f)
+  GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(ceil(len(ws)/3.0) AS INT) AS n_lines FROM w)
+SELECT b.doc_id, md5(coalesce(k.s, '')) AS clean_md5, b.n_lines,
+       CAST(b.n_lines - coalesce(k.k, 0) AS INT) AS n_dropped
+FROM base b LEFT JOIN kept k USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    held-out benchmark slice (doc_id % 50 == 0 stands in for the eval
+    set).  Benchmark gram set is broadcast; corpus side is one map-side
+    explode + broadcast join + per-doc count
+    (`operators/scrub.py:contaminated_doc_ids`).  k=4 because the
+    synthetic word soup's vocabulary makes 4-grams discriminative
+    (13-grams, the production default, never collide on it)."""
+    from graph4code_spark.operators.scrub import contaminated_doc_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return contaminated_doc_ids(corpus, bench, "doc_id", "text", k=4).orderBy(
+        "doc_id"
+    )
+
+
+_ORACLE_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i.i : i.i+3], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(
+      1, greatest(len(ws)-3, 1))) AS i) i
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN b USING (gram) WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id ORDER BY doc_id
 """
