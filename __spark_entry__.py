@@ -1677,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dedup_lines": q_dedup_lines,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1750,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _ORACLE_PII_REDACT,
         "dedup_lines": _ORACLE_DEDUP_LINES,
         "decontaminate": _ORACLE_DECONTAMINATE,
+        "pack_sequences": _ORACLE_PACK_SEQUENCES,
     }
 
 
@@ -3628,4 +3630,55 @@ b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
 SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
 FROM g JOIN b USING (gram) WHERE g.doc_id % 50 <> 0
 GROUP BY g.doc_id ORDER BY doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle + greedy sequence packing (the
+    training-batch prep step): every doc gets its global token offset in
+    multiplicative-hash-shuffled corpus order, its 64-token sequence id,
+    and a boundary-straddle flag.  The exclusive prefix sum runs as a
+    two-level scan (`operators/packing.py:pack_sequences`) — per-bucket
+    windows + broadcast bucket bases — never a single-partition global
+    window."""
+    from graph4code_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("nw")
+    )
+    return (
+        pack_sequences(counted, "doc_id", "nw", seq_len=64)
+        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long"),
+            F.col("sort_key").cast("long"),
+            F.col("global_offset").cast("long"),
+            F.col("seq_id").cast("long"),
+            "straddles",
+        )
+    )
+
+
+_ORACLE_PACK_SEQUENCES = """
+WITH counted AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         (doc_id * 2654435761) % 4294967296 AS sort_key
+  FROM documents
+),
+c AS (
+  SELECT *,
+    CAST(sum(n_tokens) OVER (ORDER BY sort_key, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         AS BIGINT) AS global_offset
+  FROM counted
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sort_key, global_offset,
+       CAST(global_offset // 64 AS BIGINT) AS seq_id,
+       ((global_offset + greatest(n_tokens, 1) - 1) // 64)
+         > (global_offset // 64) AS straddles
+FROM c ORDER BY doc_id
 """
