@@ -63,6 +63,11 @@ HEADLINE = [
     # round-3 entrants: seeded-closure usage query + volume import counts
     "kg_type_inference",
     "top_modules_volume",
+    # corpus hygiene + batch prep
+    "pii_redact",
+    "dedup_lines",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 
