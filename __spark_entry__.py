@@ -1678,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "emb_quantize": q_emb_quantize,
+        "sim_ivf_recall": q_sim_ivf_recall,
     }
 
 
@@ -1752,6 +1754,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _ORACLE_DEDUP_LINES,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
+        "emb_quantize": _ORACLE_EMB_QUANTIZE,
+        "sim_ivf_recall": _oracle_sim_ivf_recall(),
     }
 
 
@@ -3681,4 +3685,92 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sort_key, global_offset,
        ((global_offset + greatest(n_tokens, 1) - 1) // 64)
          > (global_offset // 64) AS straddles
 FROM c ORDER BY doc_id
+"""
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column
+    with reconstruction diagnostics (`operators/quantize.py`) — the 4x
+    storage lever for a 10^12-doc embedding table.  Stateless map, zero
+    shuffle; the int8 vector is digested to md5+sum so the row stays
+    compact while pinning every element."""
+    from graph4code_spark.operators.quantize import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = quantize_int8(emb, "embedding")
+    qs = F.col("q_vec")
+    return out.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.aggregate(qs, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.md5(F.array_join(F.transform(qs, lambda x: x.cast("string")), ",")).alias(
+            "q_md5"
+        ),
+        F.round("q_max_abs_err", 6).alias("q_max_abs_err"),
+        F.round("q_cosine", 6).alias("q_cosine"),
+    ).orderBy("vec_id")
+
+
+_ORACLE_EMB_QUANTIZE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, e, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT))
+              ELSE list_transform(e, x -> 0) END AS qv
+  FROM s
+),
+d AS (
+  SELECT vec_id, e, scale, qv,
+         list_transform(qv, x -> x * scale) AS deq
+  FROM q
+)
+SELECT vec_id,
+  round(scale, 6) AS q_scale,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  md5(array_to_string(qv, ',')) AS q_md5,
+  round(list_max(list_transform(generate_series(1, len(e)),
+        i -> abs(e[i] - deq[i]))), 6) AS q_max_abs_err,
+  round(CASE WHEN list_dot_product(e, e) > 0 AND list_dot_product(deq, deq) > 0
+        THEN list_dot_product(e, deq) /
+             (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(deq, deq)))
+        ELSE 1.0 END, 6) AS q_cosine
+FROM d ORDER BY vec_id
+"""
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the IVF path against the
+    brute-force exact top-k, per query point — the harness that decides
+    whether an IVF config is shippable.  Composes the two
+    oracle-checked queries; the oracle composes their SQL."""
+    exact = q_sim_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = q_sim_ivf_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("hits"),
+            F.round(F.count("hit") / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _oracle_sim_ivf_recall() -> str:
+    return f"""
+WITH exact AS ({_ORACLE_COSINE_TOPK}),
+approx AS ({_oracle_sim_ivf_topk()})
+SELECT e.query_id, CAST(count(a.vec_id) AS BIGINT) AS hits,
+       round(count(a.vec_id) / 10.0, 6) AS recall_at_10
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id ORDER BY e.query_id
 """
