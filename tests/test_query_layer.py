@@ -127,3 +127,28 @@ def test_debug_posts_values_count_and_phrase_filter(spark):
         (g + "q2", "phrase again", 1),
     }
     assert all_out[0][2] == 2
+
+
+def test_class_names_reflexive_even_with_outgoing_edges(spark):
+    """SPARQL `subClassOf*` is reflexive: a BASE class that itself has
+    outgoing subClassOf edges must still match through the zero-length
+    path (ADVICE r2: the old `+`-only closure silently excluded it)."""
+    from graph4code_spark.plans.queries import classifier_class_names
+
+    py = PREFIXES["py"]
+    rdfs = PREFIXES["rdfs"]
+    rows = [
+        # A ⊑ Base ⊑ Mixin: Base has an OUTGOING edge
+        (py + "m.A", rdfs + "subClassOf", py + "m.Base", False, None, None, "g1"),
+        (py + "m.Base", rdfs + "subClassOf", py + "m.Mixin", False, None, None, "g1"),
+        (py + "m.A", rdfs + "label", "m.A.", True, None, None, "g1"),
+        (py + "m.Base", rdfs + "label", "m.Base.", True, None, None, "g1"),
+        (py + "m.Mixin", rdfs + "label", "m.Mixin.", True, None, None, "g1"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, is_literal boolean, "
+        "arg_pos string, arg_name string, graph string",
+    )
+    got = {r["name"] for r in classifier_class_names(triples, "m.Base").collect()}
+    assert got == {"m.A.", "m.Base."}
