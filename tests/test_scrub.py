@@ -118,3 +118,41 @@ def test_contamination_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_pii_java_regex_matches_duckdb_re2_on_fuzzed_text(spark):
+    """The PII oracle recomputes the regexes in DuckDB (RE2); Spark runs
+    them on the JVM.  Fuzz 300 strings over a hostile alphabet and
+    assert count + redaction parity engine-to-engine."""
+    import random
+
+    import duckdb
+
+    alphabet = list("ab1. @+-%_()x9") + ["@@", "..", "10.0", "+1 ", ".com"]
+    rnd = random.Random(0)
+    texts = [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 40)))
+        for _ in range(300)
+    ]
+    df = pii_features(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        ),
+        "text",
+    )
+    got = {
+        r["id"]: (r["pii_email"], r["pii_ipv4"], r["pii_phone"], r["text_redacted"])
+        for r in df.collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        s, counts = t, []
+        for _, pat, token in PII_PATTERNS:
+            counts.append(
+                con.sql("SELECT len(regexp_extract_all(?, ?))", params=[s, pat])
+                .fetchone()[0]
+            )
+            s = con.sql(
+                "SELECT regexp_replace(?, ?, ?, 'g')", params=[s, pat, token]
+            ).fetchone()[0]
+        assert got[i] == (*counts, s), (i, t)
