@@ -174,9 +174,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2, same rationale as the ladder min-wall
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     stop_all()
 
