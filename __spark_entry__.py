@@ -1680,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "emb_quantize": q_emb_quantize,
         "sim_ivf_recall": q_sim_ivf_recall,
+        "kg_void_stats": q_kg_void_stats,
     }
 
 
@@ -1756,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "emb_quantize": _ORACLE_EMB_QUANTIZE,
         "sim_ivf_recall": _oracle_sim_ivf_recall(),
+        "kg_void_stats": _oracle_kg_void_stats(),
     }
 
 
@@ -3774,3 +3776,59 @@ FROM exact e
 LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
 GROUP BY e.query_id ORDER BY e.query_id
 """
+
+
+def q_kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style dataset statistics over the full forum-pipeline KG:
+    per predicate, triple count + distinct subjects / objects / named
+    graphs — the summary a KG publisher ships beside the dump (W3C VoID
+    `void:properties`/`void:distinctSubjects` shapes).  One hash-agg
+    over the quad table; the oracle recomputes from the straight-line
+    reference pipeline."""
+    tri = _pipeline_forum_triples(spark).select(
+        "subj", "pred", "obj", "is_literal", "graph"
+    ).dropDuplicates()
+    return (
+        tri.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.count_distinct("subj").cast("long").alias("n_subjects"),
+            F.count_distinct("obj").cast("long").alias("n_objects"),
+            F.count_distinct("graph").cast("long").alias("n_graphs"),
+        )
+        .orderBy("pred")
+    )
+
+
+def _oracle_kg_void_stats() -> str:
+    from collections import defaultdict
+
+    from graph4code_spark.reference_impl.emitters import forum_pipeline_quads
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+    from graph4code_spark.uris import PREFIXES
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    pages_rows = [_page_record(pid, 42, names, hub, etypes) for pid in range(300)]
+    quads = set(
+        forum_pipeline_quads(pages_rows, FIXED_CATALOG, PREFIXES["stackoverflow3"])
+    )
+    subs = defaultdict(set)
+    objs = defaultdict(set)
+    graphs = defaultdict(set)
+    counts = defaultdict(int)
+    for s, p, o, _lit, g in quads:
+        counts[p] += 1
+        subs[p].add(s)
+        objs[p].add(o)
+        graphs[p].add(g)
+    rows = [
+        (p, counts[p], len(subs[p]), len(objs[p]), len(graphs[p]))
+        for p in sorted(counts)
+    ]
+    return _values_table(
+        rows,
+        ["pred", "n_triples", "n_subjects", "n_objects", "n_graphs"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+    ) + " ORDER BY pred"

@@ -1,5 +1,8 @@
 """Driver-style verification of the full contract at sf0.01."""
+import os
 import sys, time, duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from collections import Counter
 import __spark_entry__ as entry
 from graph4code_spark.session import get_spark
