@@ -19,6 +19,11 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   their source-order ordinal too, and a tracked value passed by keyword
   flows at that ordinal (`sample_graph/example2.json` node 88:
   `stratify=…` flows to train_test_split at position 4)
+- nested-call args: ``g(f(x))`` (positional or keyword) flows the inner
+  call's result — the chain-FINAL node for ``g(A().m())`` — into the
+  outer call at the arg's source-order ordinal, the evaluation order
+  WALA's CAstNode.CALL visit produces; these edges point backward in the
+  textual node numbering by necessity
 - import nodes flagged ``is_import`` (single-element path)
 - attribute/string-subscript reads+writes on tracked values (the honest
   G2 subset of AstPropertyRead/Write, `…Engine.java:1892-1954`)
@@ -148,6 +153,33 @@ def _split_args(argstr: str) -> list[str]:
     if cur:
         out.append("".join(cur).strip())
     return [a for a in out if a]
+
+
+def _split_args_offsets(argstr: str) -> list[int]:
+    """Start offset (within ``argstr``) of each stripped arg returned by
+    `_split_args`, same splitting rules."""
+    offs, depth, start, quote, i = [], 0, 0, None, 0
+    def _push(lo, hi):
+        seg = argstr[lo:hi]
+        lead = len(seg) - len(seg.lstrip())
+        if seg.strip():
+            offs.append(lo + lead)
+    for i, ch in enumerate(argstr):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            _push(start, i)
+            start = i + 1
+    _push(start, len(argstr))
+    return offs
 
 
 def _call_args(line: str, m: re.Match) -> str:
@@ -393,7 +425,15 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     if wm_:
                         lhs_vars = [wm_.group(2)]
                 made_call_node = False
-                last_chain = None  # (index after ')', node_number, produced_klass)
+                last_chain = None  # (index after ')', node#, klass, chain start)
+                # nested-call arg flow (`g(f(x))`: WALA flows f's result
+                # into g — `…Engine.java` visit(CAstNode.CALL) evaluates
+                # inner calls first): calls are discovered textually, so
+                # the OUTER call's node exists before the inner's; record
+                # every call node by the offset its expression starts at
+                # and resolve inner→outer flows after the line is done.
+                line_call_nodes: dict = {}  # expression start -> node#
+                pending_nested: list = []   # (inner start, outer node#, ordinal)
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
                     if cname in local_defs and cur_def is None:
@@ -440,6 +480,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     path = None
                     produced_klass = None
                     recv_node = None
+                    chain_start = m.start()  # expression start (chain origin)
                     if (
                         last_chain is not None
                         and "." not in cname
@@ -454,6 +495,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         # without an intermediate variable
                         path = methods_of[last_chain[2]][cname]
                         recv_node = last_chain[1]
+                        chain_start = last_chain[3]
                     elif cname in by_name:
                         path = by_name[cname]
                         if cname in methods_of:  # class ctor call
@@ -477,6 +519,9 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         continue
                     made_call_node = True
                     node = new_node(list(path), ln, phys, m.group(0).rstrip("( \t") + "(...)")
+                    # the FINAL node of the postfix expression starting at
+                    # chain_start (a later `.meth(` continuation overwrites)
+                    line_call_nodes[chain_start] = node["node_number"]
                     # receiver dataflow at ordinal 0 (reference DATA-0)
                     if recv_node is not None:
                         src = nodes[idx_of[recv_node]]
@@ -485,12 +530,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     argtext = _call_args(line, m)
                     close = m.end() + len(argtext)  # index of the ')'
                     if line[close : close + 1] == ")":
-                        last_chain = (close + 1, node["node_number"], produced_klass)
+                        last_chain = (close + 1, node["node_number"], produced_klass, chain_start)
                     else:
                         last_chain = None
                     args = _split_args(argtext)
+                    arg_offs = _split_args_offsets(argtext)
                     pos = 0
-                    for a in args:
+                    for a, aoff in zip(args, arg_offs):
                         nm = _NAMED_ARG.match(a)
                         if nm and not _NAMED_ARG.match(nm.group(2)):
                             # keyword args occupy a SOURCE-ORDER ordinal
@@ -518,6 +564,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                                 cur_def["param_uses"].setdefault(val, []).append(
                                     (node["node_number"], pos)
                                 )
+                            elif _CALL_RE.match(val):
+                                pending_nested.append(
+                                    (m.end() + aoff + nm.start(2),
+                                     node["node_number"], pos)
+                                )
                             continue
                         pos += 1
                         sm = _STR_ARG.match(a)
@@ -543,6 +594,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             cur_def["param_uses"].setdefault(a, []).append(
                                 (node["node_number"], pos)
                             )
+                        elif _CALL_RE.match(a):
+                            # nested call as positional arg: resolve after
+                            # the whole line's calls are discovered
+                            pending_nested.append(
+                                (m.end() + aoff, node["node_number"], pos)
+                            )
                     if len(lhs_vars) > 1:
                         # tuple unpack of a recognized call: one element
                         # node per output with an ORDINAL path extension —
@@ -567,6 +624,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             var_members.pop(v, None)
                             if produced_klass:
                                 var_klass[v] = produced_klass
+                # resolve nested-call args now that every call expression
+                # on the line has its (final) node: inner result flows to
+                # the outer call at the arg's source-order ordinal
+                for inner_start, outer_num, arg_pos in pending_nested:
+                    inner = line_call_nodes.get(inner_start)
+                    if inner is not None and inner != outer_num:
+                        src = nodes[idx_of[inner]]
+                        src["flows_to"] = _append_flow(
+                            src["flows_to"], str(arg_pos), outer_num
+                        )
                 # container-literal assignment: v = [a, b] / (a, b) /
                 # {'k': a} — remember which tracked producers flow into
                 # the container so a later call taking v sees them

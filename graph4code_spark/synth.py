@@ -419,6 +419,19 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             )
             answers.append((aid, abody, votes))
             continue
+        if a == 0 and special == 9:
+            # round-3 nested-call args: inner call results flow into the
+            # outer call at their source-order ordinal (positional AND
+            # keyword), including a chained inner whose FINAL node feeds
+            # the outer
+            abody += (
+                "<pre><code>import pandas\nimport sklearn\n"
+                "r = train_test_split(pandas.read_csv('x.csv'), 0.3)\n"
+                "m = sklearn.svm.SVC(C=pandas.read_csv('w.csv'))\n"
+                "q = pandas.DataFrame(sklearn.svm.SVC(2.0).fit(x, 1))\n</code></pre>"
+            )
+            answers.append((aid, abody, votes))
+            continue
         if a == 0 and special in (6, 7):
             if special == 6:
                 # round-3 G2 shapes (the sample_graph/example2.json

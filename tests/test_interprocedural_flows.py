@@ -170,3 +170,45 @@ def test_binop_of_untracked_vars_is_inert():
     )
     nodes = extract_page_flow_nodes("http://q/8", [code], CAT)
     assert all(n["flows_to"] == {} for n in nodes)
+
+
+def test_nested_call_arg_flows_into_outer():
+    """`g(f(x))`: WALA evaluates the inner call first and flows its
+    result into the outer at the arg's ordinal — textual numbering puts
+    f AFTER g, so this edge legitimately points backward."""
+    code = (
+        "import pandas\n"
+        "from sklearn.model_selection import train_test_split\n"
+        "r = train_test_split(pandas.read_csv('x.csv'), test_size=0.3)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/2", [code], CAT)
+    by = _by_path(nodes)
+    tts = by[("sklearn", "model_selection", "train_test_split")]
+    read = by[("pandas", "read_csv")]
+    assert (read["node_number"], "1", tts["node_number"]) in _flows(nodes)
+    assert tts["constant_named_args"] == {"test_size": "0.3"}
+
+
+def test_nested_keyword_call_and_chained_inner():
+    code = (
+        "from sklearn.svm import SVC\n"
+        "from sklearn.model_selection import train_test_split\n"
+        "import pandas\n"
+        "m = SVC(C=pandas.read_csv('w.csv'))\n"
+        "r = train_test_split(SVC(C=1.0).fit(X))\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/3", [code], CAT)
+    fl = _flows(nodes)
+    paths = [tuple(n["path"]) for n in nodes]
+    svc1 = next(n for n in nodes if tuple(n["path"]) == ("sklearn", "svm", "SVC"))
+    read = next(n for n in nodes if tuple(n["path"]) == ("pandas", "read_csv"))
+    # keyword nested arg: read_csv result -> SVC at source-order ordinal 1
+    assert (read["node_number"], "1", svc1["node_number"]) in fl
+    # chained inner: the CHAIN-FINAL node (.fit) flows into the outer call
+    fit = next(n for n in nodes if tuple(n["path"]) == ("sklearn", "svm", "SVC", "fit"))
+    tts = next(n for n in nodes if tuple(n["path"]) == ("sklearn", "model_selection", "train_test_split"))
+    assert (fit["node_number"], "1", tts["node_number"]) in fl
+    # and the second ctor feeds .fit at DATA-0 (chain receiver)
+    svc2 = [n for n in nodes if tuple(n["path"]) == ("sklearn", "svm", "SVC")][1]
+    assert (svc2["node_number"], "0", fit["node_number"]) in fl
+    assert paths.count(("sklearn", "svm", "SVC")) == 2
