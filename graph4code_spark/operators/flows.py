@@ -119,6 +119,9 @@ _SLICE_ASSIGN_RE = re.compile(
     r"\[([^\]]*:[^\]]*)\]\s*$"
 )
 _RETURN_RE = re.compile(r"^\s+return\s+([A-Za-z_]\w*)\s*$")
+#: `return <call expression>` inside a def body — the expression's
+#: (chain-final) node becomes the def's return producer
+_RETURN_EXPR_RE = re.compile(r"^\s+return\s+(\S.*)$")
 _ALIAS_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$")
 _BINOP_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*"
@@ -433,6 +436,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 # every call node by the offset its expression starts at
                 # and resolve inner→outer flows after the line is done.
                 line_call_nodes: dict = {}  # expression start -> node#
+                line_call_klass: dict = {}  # expression start -> ctor klass
                 pending_nested: list = []   # (inner start, outer node#, ordinal)
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
@@ -522,6 +526,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     # the FINAL node of the postfix expression starting at
                     # chain_start (a later `.meth(` continuation overwrites)
                     line_call_nodes[chain_start] = node["node_number"]
+                    line_call_klass[chain_start] = produced_klass
                     # receiver dataflow at ordinal 0 (reference DATA-0)
                     if recv_node is not None:
                         src = nodes[idx_of[recv_node]]
@@ -634,6 +639,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         src["flows_to"] = _append_flow(
                             src["flows_to"], str(arg_pos), outer_num
                         )
+                # `return <call expr>` in a def body: the expression's
+                # chain-final node is the def's return producer (the
+                # plain-variable form was captured before call parsing)
+                if cur_def is not None and made_call_node:
+                    rx = _RETURN_EXPR_RE.match(line)
+                    if rx is not None:
+                        rnum = line_call_nodes.get(rx.start(1))
+                        if rnum is not None:
+                            cur_def["ret"] = rnum
+                            cur_def["ret_klass"] = line_call_klass.get(rx.start(1))
                 # container-literal assignment: v = [a, b] / (a, b) /
                 # {'k': a} — remember which tracked producers flow into
                 # the container so a later call taking v sees them

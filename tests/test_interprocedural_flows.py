@@ -212,3 +212,26 @@ def test_nested_keyword_call_and_chained_inner():
     svc2 = [n for n in nodes if tuple(n["path"]) == ("sklearn", "svm", "SVC")][1]
     assert (svc2["node_number"], "0", fit["node_number"]) in fl
     assert paths.count(("sklearn", "svm", "SVC")) == 2
+
+
+def test_direct_return_of_call_expression():
+    """`return Ctor(p)` (no intermediate variable): the expression's
+    node becomes the def's return producer, including its class so
+    method calls on the caller's variable resolve."""
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def make(p):\n"
+        "    return sklearn.svm.SVC(p)\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "clf = make(df)\n"
+        "r = clf.fit(df, 2)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/4", [code], CAT)
+    by = _by_path(nodes)
+    fl = _flows(nodes)
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    fit = by[("sklearn", "svm", "SVC", "fit")]["node_number"]
+    read = by[("pandas", "read_csv")]["node_number"]
+    assert (read, "1", svc) in fl     # call-site arg into the body ctor
+    assert (svc, "0", fit) in fl      # returned ctor is fit's receiver
+    assert (read, "1", fit) in fl     # df also feeds fit positionally
