@@ -82,6 +82,11 @@ from graph4code_spark.schemas import ANALYSIS_NODES_SCHEMA
 from graph4code_spark.synth import entity_name, entity_type
 
 _IMPORT_RE = re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][\w.]*)")
+_IMPORT_AS_RE = re.compile(r"^\s*import\s+([A-Za-z_][\w.]*)\s+as\s+([A-Za-z_]\w*)\s*$")
+_FROM_IMPORT_RE = re.compile(
+    r"^\s*from\s+([A-Za-z_][\w.]*)\s+import\s+([A-Za-z_]\w*)"
+    r"(?:\s+as\s+([A-Za-z_]\w*))?\s*$"
+)
 _CALL_RE = re.compile(r"\b([A-Za-z_][\w.]*)\s*\(")
 _ASSIGN_RE = re.compile(r"^\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*=[^=]")
 _STR_ARG = re.compile(r"^(?:'([^']*)'|\"([^\"]*)\")$")
@@ -308,6 +313,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
             local_defs: dict[str, dict] = {}
             cur_def: dict | None = None
             outer_env: tuple | None = None
+            # import aliasing: `import pandas as pd` / `from sklearn
+            # import svm as s` / `from sklearn.svm import SVC as Clf` —
+            # alias -> canonical dotted prefix, applied to call names
+            # before catalog resolution (WALA resolves through the
+            # module binding the same way)
+            aliases: dict[str, str] = {}
 
             def new_node(path, line_no, phys, text, is_import=False):
                 nonlocal counter, prev_in_snippet
@@ -413,6 +424,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     continue
                 im = _IMPORT_RE.match(line)
                 if im and im.group(1).split(".")[0] in modules:
+                    ia = _IMPORT_AS_RE.match(line)
+                    if ia:
+                        aliases[ia.group(2)] = ia.group(1)
+                    else:
+                        fa = _FROM_IMPORT_RE.match(line)
+                        if fa and fa.group(3):
+                            aliases[fa.group(3)] = f"{fa.group(1)}.{fa.group(2)}"
                     new_node([im.group(1)], ln, phys, im.group(1), is_import=True)
                     continue
                 assign = _ASSIGN_RE.match(line)
@@ -440,6 +458,10 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 pending_nested: list = []   # (inner start, outer node#, ordinal)
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
+                    if aliases:
+                        head, _, rest = cname.partition(".")
+                        if head in aliases and head not in var_klass:
+                            cname = aliases[head] + ("." + rest if rest else "")
                     if cname in local_defs and cur_def is None:
                         # call of a user-defined function: wire call-site
                         # arg producers to the body's parameter uses and

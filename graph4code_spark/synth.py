@@ -432,6 +432,18 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             )
             answers.append((aid, abody, votes))
             continue
+        if a == 0 and special == 10:
+            # round-3 import aliasing: pd/as-aliases resolve to canonical
+            # catalog names, class alias tracks the constructed klass
+            abody += (
+                "<pre><code>import pandas as pd\n"
+                "from sklearn.svm import SVC as Clf\n"
+                "df = pd.read_csv('al.csv')\n"
+                "m = Clf(df)\n"
+                "r = m.fit(df, 4)\n</code></pre>"
+            )
+            answers.append((aid, abody, votes))
+            continue
         if a == 0 and special in (6, 7):
             if special == 6:
                 # round-3 G2 shapes (the sample_graph/example2.json

@@ -235,3 +235,31 @@ def test_direct_return_of_call_expression():
     assert (read, "1", svc) in fl     # call-site arg into the body ctor
     assert (svc, "0", fit) in fl      # returned ctor is fit's receiver
     assert (read, "1", fit) in fl     # df also feeds fit positionally
+
+
+def test_import_aliases_resolve_calls():
+    """`import pandas as pd` / `from sklearn import svm as s` /
+    `from sklearn.svm import SVC as Clf`: aliased call names resolve to
+    their canonical catalog entries, including constructed-class
+    tracking through the alias."""
+    code = (
+        "import pandas as pd\n"
+        "from sklearn import svm as s\n"
+        "from sklearn.svm import SVC as Clf\n"
+        "df = pd.read_csv('x.csv')\n"
+        "m = Clf(df)\n"
+        "r = m.fit(df, 1)\n"
+        "q = s.SVC(2.0)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/5", [code], CAT)
+    by = _by_path(nodes)
+    fl = _flows(nodes)
+    read = by[("pandas", "read_csv")]["node_number"]
+    fit = by[("sklearn", "svm", "SVC", "fit")]["node_number"]
+    svc_nodes = [n for n in nodes if tuple(n["path"]) == ("sklearn", "svm", "SVC")]
+    assert len(svc_nodes) == 2          # Clf(df) and s.SVC(2.0)
+    ctor = svc_nodes[0]["node_number"]
+    assert (read, "1", ctor) in fl      # df into the aliased ctor
+    assert (ctor, "0", fit) in fl       # aliased class tracked -> .fit
+    assert (read, "1", fit) in fl
+    assert svc_nodes[1]["constant_positional_args"] == {"1": "2.0"}
