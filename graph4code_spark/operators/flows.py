@@ -24,7 +24,9 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   outer call at the arg's source-order ordinal, the evaluation order
   WALA's CAstNode.CALL visit produces; these edges point backward in the
   textual node numbering by necessity
-- import nodes flagged ``is_import`` (single-element path)
+- import nodes flagged ``is_import`` (single-element path); `import X as
+  y` / `from X import A as b` aliases resolve call names to canonical
+  catalog entries (incl. constructed-class tracking through the alias)
 - attribute/string-subscript reads+writes on tracked values (the honest
   G2 subset of AstPropertyRead/Write, `…Engine.java:1892-1954`)
 - multi-line call spans: physical lines with open parens merge into one
