@@ -1681,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "sim_ivf_recall": q_sim_ivf_recall,
         "kg_void_stats": q_kg_void_stats,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1758,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantize": _ORACLE_EMB_QUANTIZE,
         "sim_ivf_recall": _oracle_sim_ivf_recall(),
         "kg_void_stats": _oracle_kg_void_stats(),
+        "corpus_pipeline": _ORACLE_CORPUS_PIPELINE,
     }
 
 
@@ -3832,3 +3834,148 @@ def _oracle_kg_void_stats() -> str:
         ["pred", "n_triples", "n_subjects", "n_objects", "n_graphs"],
         ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
     ) + " ORDER BY pred"
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-hygiene stages COMPOSED end-to-end into the
+    training-batch prep a 100 TB crawl actually runs: plant-PII fixture
+    → redact (stateless map) → benchmark decontamination (broadcast
+    gram join) → frequent-line removal (CCNet) → quality gate →
+    deterministic-shuffle sequence packing (two-level scan).  Every
+    stage is individually oracle-checked; this query checks their
+    COMPOSITION against one fully composed SQL oracle."""
+    from graph4code_spark.operators.packing import pack_sequences
+    from graph4code_spark.operators.scrub import (
+        contaminated_doc_ids,
+        drop_frequent_lines,
+        pii_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 != 0,
+        F.concat(F.lit(" reach ops"), (d % 7).cast("string"),
+                 F.lit("@crawl-"), F.col("lang"), F.lit(".net")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 2 == 0,
+        F.concat(F.lit(" from 10."), (d % 200).cast("string"),
+                 F.lit(".3."), ((d * 13) % 250).cast("string")),
+    ).otherwise(F.lit(""))
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), email, ip).alias("t2")
+    )
+    red = pii_features(planted, "t2").select(
+        "doc_id", F.col("t2_redacted").alias("rt")
+    )
+
+    bench = red.where(d % 50 == 0)
+    corpus = red.where(d % 50 != 0)
+    contaminated = contaminated_doc_ids(corpus, bench, "doc_id", "rt", k=4)
+    survivors = corpus.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+
+    w = F.split(F.lower(F.trim(F.col("rt"))), r"\s+")
+    n = F.size(w)
+    lines = F.transform(
+        F.sequence(F.lit(1), F.ceil(n / F.lit(3.0)).cast("int")),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 3 + 1, 3), " "),
+    )
+    chunked = survivors.select("doc_id", lines.alias("lines"))
+    cleaned = drop_frequent_lines(chunked, "doc_id", "lines", min_docs=3).select(
+        "doc_id", F.array_join("lines_kept", " ").alias("ct")
+    )
+    counted = cleaned.select(
+        "doc_id", whitespace_token_count(F.col("ct")).alias("nw")
+    ).where(F.col("nw") >= 10)
+
+    return (
+        pack_sequences(counted, "doc_id", "nw", seq_len=64)
+        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long"),
+            F.col("global_offset").cast("long"),
+            F.col("seq_id").cast("long"),
+            "straddles",
+        )
+    )
+
+
+_ORACLE_CORPUS_PIPELINE = """
+WITH t AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 <> 0
+            THEN ' reach ops' || CAST(doc_id % 7 AS VARCHAR)
+                 || '@crawl-' || lang || '.net' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.3.' || CAST((doc_id * 13) % 250 AS VARCHAR) ELSE '' END
+    AS t2
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+      '\\+\\d[\\d ()-]{6,}\\d', '<PHONE>', 'g') AS rt
+  FROM t
+),
+wg AS (SELECT doc_id, string_split_regex(lower(trim(rt)), '\\s+') AS ws FROM red),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i.i : i.i+3], ' ') AS gram
+  FROM wg, LATERAL (SELECT unnest(generate_series(
+      1, greatest(len(ws)-3, 1))) AS i) i
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram) WHERE g.doc_id % 50 <> 0
+),
+surv AS (
+  SELECT doc_id, ws FROM wg
+  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+l AS (
+  SELECT doc_id, i.i AS pos,
+         array_to_string(ws[(i.i-1)*3+1 : (i.i-1)*3+3], ' ') AS line
+  FROM surv, LATERAL (SELECT unnest(generate_series(
+      1, CAST(ceil(len(ws)/3.0) AS BIGINT))) AS i) i
+),
+f AS (
+  SELECT line FROM (
+    SELECT lower(trim(line)) AS line, count(DISTINCT doc_id) AS nd
+    FROM l GROUP BY 1
+  ) WHERE nd >= 3
+),
+kept AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS ct
+  FROM l WHERE lower(trim(line)) NOT IN (SELECT line FROM f)
+  GROUP BY doc_id
+),
+counted AS (
+  SELECT s.doc_id,
+         CASE WHEN k.ct IS NULL OR trim(k.ct) = '' THEN 0
+              ELSE len(string_split_regex(trim(k.ct), '\\s+')) END AS nw
+  FROM surv s LEFT JOIN kept k USING (doc_id)
+),
+gated AS (
+  SELECT doc_id, nw, (doc_id * 2654435761) % 4294967296 AS sort_key
+  FROM counted WHERE nw >= 10
+),
+packed AS (
+  SELECT *,
+    CAST(sum(nw) OVER (ORDER BY sort_key, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nw
+         AS BIGINT) AS global_offset
+  FROM gated
+)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_tokens, global_offset,
+       CAST(global_offset // 64 AS BIGINT) AS seq_id,
+       ((global_offset + greatest(nw, 1) - 1) // 64)
+         > (global_offset // 64) AS straddles
+FROM packed ORDER BY doc_id
+"""
