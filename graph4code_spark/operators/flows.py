@@ -84,7 +84,10 @@ from graph4code_spark.schemas import ANALYSIS_NODES_SCHEMA
 from graph4code_spark.synth import entity_name, entity_type
 
 _IMPORT_RE = re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][\w.]*)")
-_IMPORT_AS_RE = re.compile(r"^\s*import\s+([A-Za-z_][\w.]*)\s+as\s+([A-Za-z_]\w*)\s*$")
+_PLAIN_IMPORT_RE = re.compile(r"^\s*import\s+(.+?)\s*$")
+_IMPORT_ITEM_RE = re.compile(
+    r"^([A-Za-z_][\w.]*)(?:\s+as\s+([A-Za-z_]\w*))?$"
+)
 _FROM_IMPORT_RE = re.compile(
     r"^\s*from\s+([A-Za-z_][\w.]*)\s+import\s+([A-Za-z_]\w*)"
     r"(?:\s+as\s+([A-Za-z_]\w*))?\s*$"
@@ -425,16 +428,30 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     var_producer, var_klass, var_members, prev_in_snippet = {}, {}, {}, []
                     continue
                 im = _IMPORT_RE.match(line)
-                if im and im.group(1).split(".")[0] in modules:
-                    ia = _IMPORT_AS_RE.match(line)
-                    if ia:
-                        aliases[ia.group(2)] = ia.group(1)
-                    else:
+                if im:
+                    pim = _PLAIN_IMPORT_RE.match(line)
+                    if pim:
+                        # `import a, b as c, d.e` — one node per known
+                        # module, aliases registered as they bind
+                        made_any = False
+                        for item in pim.group(1).split(","):
+                            mi = _IMPORT_ITEM_RE.match(item.strip())
+                            if not mi or mi.group(1).split(".")[0] not in modules:
+                                continue
+                            if mi.group(2):
+                                aliases[mi.group(2)] = mi.group(1)
+                            new_node([mi.group(1)], ln, phys, mi.group(1),
+                                     is_import=True)
+                            made_any = True
+                        if made_any:
+                            continue
+                    if im.group(1).split(".")[0] in modules:
                         fa = _FROM_IMPORT_RE.match(line)
                         if fa and fa.group(3):
                             aliases[fa.group(3)] = f"{fa.group(1)}.{fa.group(2)}"
-                    new_node([im.group(1)], ln, phys, im.group(1), is_import=True)
-                    continue
+                        new_node([im.group(1)], ln, phys, im.group(1),
+                                 is_import=True)
+                        continue
                 assign = _ASSIGN_RE.match(line)
                 lhs_vars = (
                     [v.strip() for v in assign.group(1).split(",")] if assign else []

@@ -263,3 +263,18 @@ def test_import_aliases_resolve_calls():
     assert (ctor, "0", fit) in fl       # aliased class tracked -> .fit
     assert (read, "1", fit) in fl
     assert svc_nodes[1]["constant_positional_args"] == {"1": "2.0"}
+
+
+def test_multi_module_import_line():
+    """`import numpy, pandas as pd`: one import node per known module,
+    aliases bound as they appear."""
+    code = (
+        "import numpy, pandas as pd\n"
+        "df = pd.read_csv('x.csv')\n"
+        "a = numpy.linspace(0, 1)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/6", [code], CAT)
+    imports = [tuple(n["path"]) for n in nodes if n["is_import"]]
+    assert imports == [("numpy",), ("pandas",)]
+    by = _by_path(nodes)
+    assert ("pandas", "read_csv") in by and ("numpy", "linspace") in by
