@@ -88,13 +88,24 @@ class StageRunner:
         with open(self.manifest_path, "w") as f:
             json.dump(self.manifest, f, indent=2, sort_keys=True)
 
-    def run(self, name: str, build, partition_by: list[str] | None = None) -> DataFrame:
+    def run(
+        self,
+        name: str,
+        build,
+        partition_by: list[str] | None = None,
+        deps: list[str] | None = None,
+    ) -> DataFrame:
+        """``deps``: upstream stage names — if any of them was RECOMPUTED
+        this run, this stage's checkpoint is invalid even when its own
+        fingerprint matches (a resumed downstream must never read a
+        stale view of a refreshed upstream)."""
         path = os.path.join(self.out_dir, name)
         entry = self.manifest.get(name)
         if (
             entry
             and entry.get("fingerprint") == self.fingerprint
             and os.path.exists(os.path.join(path, "_SUCCESS"))
+            and not any(d in self.executed for d in (deps or []))
         ):
             return self.spark.read.parquet(path)
         t0 = time.time()
@@ -134,7 +145,8 @@ def run_pipeline(
     records = cfg.catalog_records
 
     qa = runner.run("01_qa", lambda: extract_qa(pages))
-    links = runner.run("02_links", lambda: link_entities(qa, records, cfg.cap))
+    links = runner.run("02_links", lambda: link_entities(qa, records, cfg.cap),
+                       deps=["01_qa"])
     doc_t = runner.run(
         "03_doc_triples",
         lambda: docstring_triples(
@@ -144,14 +156,18 @@ def run_pipeline(
     forum_t = runner.run(
         "04_forum_triples",
         lambda: forum_triples(links, qa, records, cfg.forum_prefix),
+        deps=["01_qa", "02_links"],
     )
-    flow_nodes = runner.run("05_flow_nodes", lambda: extract_flow_nodes(qa, records))
-    flow_t = runner.run("06_flow_triples", lambda: analysis_triples(flow_nodes))
+    flow_nodes = runner.run("05_flow_nodes", lambda: extract_flow_nodes(qa, records),
+                            deps=["01_qa"])
+    flow_t = runner.run("06_flow_triples", lambda: analysis_triples(flow_nodes),
+                        deps=["05_flow_nodes"])
     mapping = runner.run(
         "07_cc_mapping",
         lambda: canonical_mapping(class_map_df(spark, cfg.class_map_pairs)),
     )
-    sameas_t = runner.run("08_sameas_triples", lambda: same_as_triples(mapping))
+    sameas_t = runner.run("08_sameas_triples", lambda: same_as_triples(mapping),
+                          deps=["07_cc_mapping"])
 
     final_path = os.path.join(cfg.out_dir, "triples")
     entry = runner.manifest.get("triples")
@@ -159,6 +175,11 @@ def run_pipeline(
         entry
         and entry.get("fingerprint") == runner.fingerprint
         and os.path.exists(os.path.join(final_path, "_SUCCESS"))
+        and not any(
+            d in runner.executed
+            for d in ("03_doc_triples", "04_forum_triples",
+                      "06_flow_triples", "08_sameas_triples")
+        )
     ):
         return spark.read.parquet(final_path).select(*TRIPLE_COLS)
 

@@ -62,3 +62,34 @@ def test_materialize_layout_and_metrics(spark, tmp_path):
     assert t.count() == t.dropDuplicates(
         ["subj", "pred", "obj", "is_literal", "arg_pos", "arg_name", "graph"]
     ).count()
+
+
+def test_corpus_pipeline_resume(spark, tmp_path):
+    """Corpus-hygiene spine has the same resume contract as the KG
+    spine: identical final table on rerun with ZERO recomputed stages,
+    and a deleted mid-stage recomputes only itself and its downstream."""
+    import shutil
+
+    from graph4code_spark.plans.corpus import CorpusConfig, run_corpus_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CorpusConfig(out_dir=str(tmp_path / "corpus_out"))
+
+    s1: dict = {}
+    first = run_corpus_pipeline(spark, docs, cfg, stats=s1)
+    rows1 = sorted(tuple(r) for r in first.collect())
+    assert s1["executed"] == [
+        "01_redacted", "02_decontaminated", "03_cleaned", "04_packed",
+    ]
+    assert rows1
+
+    s2: dict = {}
+    second = run_corpus_pipeline(spark, docs, cfg, stats=s2)
+    assert s2["executed"] == []                       # full resume
+    assert sorted(tuple(r) for r in second.collect()) == rows1
+
+    shutil.rmtree(str(tmp_path / "corpus_out" / "03_cleaned"))
+    s3: dict = {}
+    third = run_corpus_pipeline(spark, docs, cfg, stats=s3)
+    assert s3["executed"] == ["03_cleaned", "04_packed"]
+    assert sorted(tuple(r) for r in third.collect()) == rows1
