@@ -44,6 +44,11 @@ def main() -> None:
                     help="throughput mode: skip the checkpointed write, run the "
                          "in-memory pipeline R times after a warm-up and report "
                          "best-of-R triples/sec (the N-vs-4N scaling probe)")
+    ap.add_argument("--corpus", default=None, metavar="DOCS_PARQUET",
+                    help="run the CORPUS-HYGIENE pipeline instead of the KG one: "
+                         "redact -> decontaminate -> line-clean -> pack over the "
+                         "given documents parquet (doc_id, text), checkpointed "
+                         "under --out-dir with the same resume contract")
     args = ap.parse_args()
     if not args.bench and not args.out_dir:
         ap.error("--out-dir is required unless --bench is given")
@@ -71,6 +76,25 @@ def main() -> None:
     # imports resolve from --py-files (driver PYTHONPATH + executor ship)
     from graph4code_spark.plans.pipeline import PipelineConfig, run_pipeline
     from graph4code_spark.synth import synth_pages
+
+    if args.corpus:
+        from graph4code_spark.plans.corpus import CorpusConfig, run_corpus_pipeline
+
+        t0 = time.time()
+        docs = spark.read.parquet(args.corpus)
+        stats: dict = {}
+        packed = run_corpus_pipeline(
+            spark, docs, CorpusConfig(out_dir=args.out_dir), stats=stats
+        )
+        n = packed.count()
+        print(json.dumps({
+            "mode": "corpus", "n_docs_packed": n,
+            "wall_sec": round(time.time() - t0, 3),
+            "master": spark.sparkContext.master,
+            "executed": stats.get("executed", []),
+        }))
+        spark.stop()
+        return
 
     if args.input:
         pages = spark.read.parquet(args.input)

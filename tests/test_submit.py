@@ -54,3 +54,37 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert second["executed"] == [], f"resume recomputed {second['executed']}"
     # read-back stages are byte-identical manifest entries
     assert second["stages"] == first["stages"]
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None or not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on PATH")
+def test_submit_corpus_pipeline(tmp_path):
+    """spark-submit --py-files drives the corpus-hygiene pipeline with
+    the same packaging as the KG one; rerun resumes with zero stages."""
+    zip_base = tmp_path / "graph4code_spark"
+    shutil.make_archive(str(zip_base), "zip", root_dir=REPO, base_dir="graph4code_spark")
+    out = str(tmp_path / "corpus_out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run():
+        cmd = [
+            SPARK_SUBMIT, "--master", "local[4]",
+            "--py-files", f"{zip_base}.zip",
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--out-dir", out,
+            "--corpus", "/root/testdata/sf0.001/documents.parquet",
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                           cwd=str(tmp_path), env=env)
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    r1 = run()
+    assert r1["mode"] == "corpus" and r1["n_docs_packed"] > 0
+    assert r1["executed"] == [
+        "01_redacted", "02_decontaminated", "03_cleaned", "04_packed",
+    ]
+    r2 = run()
+    assert r2["n_docs_packed"] == r1["n_docs_packed"]
+    assert r2["executed"] == []
