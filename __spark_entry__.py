@@ -1682,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_sim_ivf_recall,
         "kg_void_stats": q_kg_void_stats,
         "corpus_pipeline": q_corpus_pipeline,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -1760,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_recall": _oracle_sim_ivf_recall(),
         "kg_void_stats": _oracle_kg_void_stats(),
         "corpus_pipeline": _ORACLE_CORPUS_PIPELINE,
+        "kmeans_clusters": _oracle_kmeans_clusters(),
     }
 
 
@@ -3978,4 +3980,64 @@ SELECT doc_id, CAST(nw AS BIGINT) AS n_tokens, global_offset,
        ((global_offset + greatest(nw, 1) - 1) // 64)
          > (global_offset // 64) AS straddles
 FROM packed ORDER BY doc_id
+"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding table (k=4, 2 Lloyd iterations,
+    seeded init) — cluster-based corpus curation plus the repo's
+    iterative-algorithm shape.  Assignment is the zero-shuffle
+    literal-centroid projection; the update is one k-row aggregate.
+    The oracle UNROLLS both iterations in SQL with the same rounded
+    literals, so even the iterative path is strict-checked."""
+    from graph4code_spark.operators.cluster import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, _ = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2, seed=7, dim=64)
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("int"), "dist"
+    ).orderBy("vec_id")
+
+
+def _oracle_kmeans_clusters() -> str:
+    from graph4code_spark.operators.similarity import ivf_centroids
+
+    cents = [[round(float(x), 6) for x in row] for row in ivf_centroids(64, 4, 7)]
+    rows = ",\n".join(
+        "(%d, [%s])" % (i, ", ".join("%.17g" % x for x in cents[i]))
+        for i in range(4)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0(cl, c) AS (VALUES
+{rows}
+),
+s0 AS (
+  SELECT vec_id, e, cl,
+         round(list_dot_product(c, c) - 2 * list_dot_product(e, c), 6) AS d
+  FROM v CROSS JOIN c0
+),
+a0 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS r FROM s0
+  ) WHERE r = 1
+),
+m1 AS (
+  SELECT cl, i.i AS i, round(avg(e[i.i]), 6) AS m
+  FROM a0, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY cl, i.i
+),
+cm AS (SELECT cl, list(m ORDER BY i) AS c FROM m1 GROUP BY cl),
+c1 AS (SELECT c0.cl, coalesce(cm.c, c0.c) AS c FROM c0 LEFT JOIN cm USING (cl)),
+s1 AS (
+  SELECT vec_id, cl,
+         round(list_dot_product(c, c) - 2 * list_dot_product(e, c), 6) AS d
+  FROM v CROSS JOIN c1
+),
+a1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS r FROM s1
+  ) WHERE r = 1
+)
+SELECT vec_id, CAST(cl AS INT) AS cluster, d AS dist FROM a1 ORDER BY vec_id
 """
