@@ -68,6 +68,8 @@ HEADLINE = [
     "dedup_lines",
     "decontaminate",
     "pack_sequences",
+    "corpus_pipeline",
+    "kmeans_clusters",
 ]
 
 
