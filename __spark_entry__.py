@@ -1683,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": q_kg_void_stats,
         "corpus_pipeline": q_corpus_pipeline,
         "kmeans_clusters": q_kmeans_clusters,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
     }
 
 
@@ -1762,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_void_stats": _oracle_kg_void_stats(),
         "corpus_pipeline": _ORACLE_CORPUS_PIPELINE,
         "kmeans_clusters": _oracle_kmeans_clusters(),
+        "cluster_balanced_sample": _oracle_cluster_balanced_sample(),
     }
 
 
@@ -4040,4 +4042,44 @@ a1 AS (
   ) WHERE r = 1
 )
 SELECT vec_id, CAST(cl AS INT) AS cluster, d AS dist FROM a1 ORDER BY vec_id
+"""
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: k-means the embeddings, keep a
+    deterministic 25-vector witness per cluster (md5-ordered, the
+    RNG-free sampling idiom from doc_sample_topk) — the domain-balancing
+    step cluster-based curation exists for.  WindowGroupLimit caps each
+    partition's rows before the shuffle; the oracle composes the
+    unrolled k-means SQL with the same window."""
+    from pyspark.sql.window import Window as W
+
+    from graph4code_spark.operators.cluster import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, _ = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2, seed=7, dim=64)
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("vec_id", F.col("cluster").cast("int"))
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_cluster_balanced_sample() -> str:
+    inner = _oracle_kmeans_clusters()
+    return f"""
+WITH km AS ({inner}),
+ranked AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rn
+  FROM km
+)
+SELECT vec_id, cluster FROM ranked WHERE rn <= 25 ORDER BY vec_id
 """
