@@ -1684,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1764,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _ORACLE_CORPUS_PIPELINE,
         "kmeans_clusters": _oracle_kmeans_clusters(),
         "cluster_balanced_sample": _oracle_cluster_balanced_sample(),
+        "bm25_search": _oracle_bm25_search(),
     }
 
 
@@ -4082,4 +4084,96 @@ ranked AS (
   FROM km
 )
 SELECT vec_id, cluster FROM ranked WHERE rn <= 25 ORDER BY vec_id
+"""
+
+
+_BM25_QUERY_TERMS = ("spark", "table", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking over the documents table for a literal query — the
+    SCORING half of the reference's ElasticSearch dependency
+    (`extraction_queries/elastic_search.q` multi_match), restated as
+    DataFrame aggregates: token explode → tf per (doc, term) → df per
+    term (tiny, broadcast) → one score aggregate → top-20.  Exact
+    Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5)); all JVM column
+    math, floats rounded at the edge."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = F.array(*[F.lit(t) for t in _BM25_QUERY_TERMS])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("w")).select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    )
+    n_avg = base.select(
+        F.count_distinct("doc_id").alias("n"),
+        (F.count(F.lit(1)) / F.count_distinct("doc_id")).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = n_avg["n"], n_avg["avgdl"]
+    qtf = (
+        base.where(F.array_contains(terms, F.col("term")))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = (
+        qtf.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        qtf.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id").limit(20)
+        .select("doc_id", "score", "n_terms_hit")
+    )
+
+
+def _oracle_bm25_search() -> str:
+    terms = ", ".join(_sql_quote(t) for t in _BM25_QUERY_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents)
+),
+stats AS (
+  SELECT count(DISTINCT doc_id) AS n,
+         CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+  FROM base
+),
+qtf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM base WHERE term IN ({terms})
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         round(sum(
+           ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (q.tf * ({_BM25_K1} + 1))
+           / (q.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * q.dl / s.avgdl))
+         ), 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM qtf q JOIN dft d USING (term) CROSS JOIN stats s
+  GROUP BY q.doc_id
+)
+SELECT doc_id, score, n_terms_hit FROM scored
+ORDER BY score DESC, doc_id LIMIT 20
 """
