@@ -1685,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "bm25_search": q_bm25_search,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -1766,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _oracle_kmeans_clusters(),
         "cluster_balanced_sample": _oracle_cluster_balanced_sample(),
         "bm25_search": _oracle_bm25_search(),
+        "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
     }
 
 
@@ -4176,4 +4178,67 @@ scored AS (
 )
 SELECT doc_id, score, n_terms_hit FROM scored
 ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per user, a >30-minute silence starts a
+    new session (lag + cumulative-sum-of-breaks — the standard two
+    windows, both partitioned by user_id so no global ordering exists
+    anywhere in the plan).  Emits per-session bounds and counts."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ has no epoch cast; micros via LTZ is exact integer math (the
+    # session tz is UTC, so naive == UTC, same as DuckDB's epoch())
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = us - F.lag(us).over(wu)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_ORACLE_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 """
