@@ -1686,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "bm25_search": q_bm25_search,
         "events_sessionize": q_events_sessionize,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
     }
 
 
@@ -1768,6 +1770,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": _oracle_cluster_balanced_sample(),
         "bm25_search": _oracle_bm25_search(),
         "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
+        "asof_join_events": _ORACLE_ASOF_JOIN,
+        "range_join_events": _ORACLE_RANGE_JOIN,
     }
 
 
@@ -4241,4 +4245,106 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (the canonical temporal operator Spark lacks): every
+    click matched to the user's latest view at or before it, via the
+    tagged-union + carry-forward-window shape
+    (`operators/temporal.py:as_of_join`) — one shuffle on user_id, no
+    inequality join anywhere in the plan.  The oracle recomputes with
+    the classic row_number-over-inequality-join formulation."""
+    from graph4code_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    j = as_of_join(clicks, views, key="user_id",
+                   left_ts="ts", right_ts="ts", right_vals=["event_id", "ts"])
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("c_ts"),
+        F.col("asof_event_id").alias("view_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("v_ts"),
+    ).orderBy("click_id")
+
+
+_ORACLE_ASOF_JOIN = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT c.click_id, c.user_id, c.ts, v.view_id, v.vts,
+         row_number() OVER (PARTITION BY c.click_id
+                            ORDER BY v.vts DESC, v.view_id DESC) AS rn
+  FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.ts
+)
+SELECT click_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts,
+       view_id,
+       strftime(vts, '%Y-%m-%d %H:%M:%S.%f') AS v_ts
+FROM j WHERE rn = 1 ORDER BY click_id
+"""
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed RANGE join: events tagged with the literal maintenance
+    window containing them — equi-join on time buckets + residual
+    predicate (`operators/temporal.py:range_join_bucketed`), so
+    Catalyst hash-joins instead of BroadcastNestedLoop.  Windows are
+    6-hour spans every other day of January 2024 (deterministic
+    literals, same VALUES in the oracle)."""
+    from graph4code_spark.operators.temporal import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+    )
+    base = 1704067200 * 1_000_000  # 2024-01-01 00:00:00 UTC in micros
+    day = 86400 * 1_000_000
+    wins = [
+        (w, base + 2 * w * day, base + 2 * w * day + 6 * 3600 * 1_000_000)
+        for w in range(8)
+    ]
+    ranges = spark.createDataFrame(wins, "win_id int, w_start long, w_end long")
+    out = range_join_bucketed(
+        ev, ranges, ts_col="us", start_col="w_start", end_col="w_end",
+        bucket=6 * 3600 * 1_000_000,
+    )
+    return (
+        out.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("win_id")
+    )
+
+
+_ORACLE_RANGE_JOIN = """
+WITH w(win_id, w_start, w_end) AS (VALUES
+  (0, 1704067200000000, 1704088800000000),
+  (1, 1704240000000000, 1704261600000000),
+  (2, 1704412800000000, 1704434400000000),
+  (3, 1704585600000000, 1704607200000000),
+  (4, 1704758400000000, 1704780000000000),
+  (5, 1704931200000000, 1704952800000000),
+  (6, 1705104000000000, 1705125600000000),
+  (7, 1705276800000000, 1705298400000000)
+),
+e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events)
+SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM e JOIN w ON e.us >= w.w_start AND e.us < w.w_end
+GROUP BY win_id ORDER BY win_id
 """

@@ -1,0 +1,62 @@
+"""AS-OF and bucketed RANGE joins (`operators/temporal.py`)."""
+
+from pyspark.sql import functions as F
+
+from graph4code_spark.operators.temporal import as_of_join, range_join_bucketed
+
+
+def test_asof_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 5), (3, 20, 50)], "id long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(101, 10, 8), (102, 10, 100), (103, 20, 60)], "rid long, k long, t long"
+    )
+    out = {
+        r["id"]: (r["asof_rid"], r["asof_t"])
+        for r in as_of_join(left, right, "k", "t", "t", ["rid", "t"]).collect()
+    }
+    assert out[1] == (102, 100)    # exact-ts right row matches (<=)
+    assert out[2] == (None, None)  # nothing at or before t=5
+    assert out[3] == (None, None)  # right row at 60 is AFTER 50
+
+
+def test_asof_tie_takes_largest_id(spark):
+    left = spark.createDataFrame([(1, 7, 10)], "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(201, 7, 10), (205, 7, 10), (203, 7, 10)], "rid long, k long, t long"
+    )
+    r = as_of_join(left, right, "k", "t", "t", ["rid"]).first()
+    assert r["asof_rid"] == 205
+
+
+def test_asof_plan_has_no_inequality_join(spark):
+    left = spark.createDataFrame([(1, 7, 10)], "id long, k long, t long")
+    right = spark.createDataFrame([(2, 7, 9)], "rid long, k long, t long")
+    plan = (
+        as_of_join(left, right, "k", "t", "t", ["rid"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_boundaries_and_plan(spark):
+    rows = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 99, 100, 150, 199, 200, 1000])],
+        "id long, ts long",
+    )
+    ranges = spark.createDataFrame([(1, 100, 200)], "rid int, s long, e long")
+    out = range_join_bucketed(rows, ranges, "ts", "s", "e", bucket=50)
+    got = sorted(r["ts"] for r in out.collect())
+    assert got == [100, 150, 199]          # inclusive start, exclusive end
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_spanning_range(spark):
+    rows = spark.createDataFrame([(1, 75), (2, 225)], "id long, ts long")
+    ranges = spark.createDataFrame([(9, 50, 250)], "rid int, s long, e long")
+    out = range_join_bucketed(rows, ranges, "ts", "s", "e", bucket=100)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+    # no duplicate matches despite the range exploding to 3 buckets
+    assert out.count() == 2
