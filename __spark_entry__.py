@@ -1688,6 +1688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
+        "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
+        "events_percentiles": q_events_percentiles,
     }
 
 
@@ -1772,6 +1775,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
         "asof_join_events": _ORACLE_ASOF_JOIN,
         "range_join_events": _ORACLE_RANGE_JOIN,
+        "events_rollup": _ORACLE_EVENTS_ROLLUP,
+        "events_pivot": _ORACLE_EVENTS_PIVOT,
+        "events_percentiles": _ORACLE_EVENTS_PERCENTILES,
     }
 
 
@@ -4347,4 +4353,101 @@ SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM e JOIN w ON e.us >= w.w_start AND e.us < w.w_end
 GROUP BY win_id ORDER BY win_id
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: ONE pass producing
+    hour- and day-granularity aggregates per event type via GROUPING
+    SETS (partial aggregation is shared; a naive union of two group-bys
+    scans twice).  `grain` labels each output row's granularity."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_rollup")
+    return spark.sql("""
+        SELECT
+          CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+          coalesce(CAST(h AS STRING), CAST(d AS STRING)) AS bucket,
+          event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          round(sum(value), 6) AS total_value
+        FROM (
+          SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 event_type, value
+          FROM ev_rollup
+        )
+        GROUP BY event_type, GROUPING SETS ((h), (d))
+        ORDER BY grain, bucket, event_type
+    """)
+
+
+_ORACLE_EVENTS_ROLLUP = """
+SELECT
+  CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+  coalesce(strftime(h, '%Y-%m-%d %H:%M:%S'), strftime(d, '%Y-%m-%d %H:%M:%S'))
+    AS bucket,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 6) AS total_value
+FROM (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+         event_type, value
+  FROM events
+)
+GROUP BY event_type, GROUPING SETS ((h), (d))
+ORDER BY grain, bucket, event_type
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user, one column per event type (count) — the
+    wide-format export step.  Spark's groupBy().pivot() with an
+    EXPLICIT value list so the plan skips the distinct-values pre-pass
+    (at 10^12 rows that pre-pass is a full extra scan)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+              for t in types],
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_EVENTS_PIVOT = """
+SELECT user_id,
+  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type — `F.percentile` (Spark's exact SQL percentile) against
+    DuckDB's quantile_cont, both the standard linear interpolation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_EVENTS_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
 """
