@@ -1691,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "events_percentiles": q_events_percentiles,
+        "cms_user_counts": q_cms_user_counts,
     }
 
 
@@ -1778,6 +1779,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _ORACLE_EVENTS_ROLLUP,
         "events_pivot": _ORACLE_EVENTS_PIVOT,
         "events_percentiles": _ORACLE_EVENTS_PERCENTILES,
+        "cms_user_counts": _ORACLE_CMS_USER_COUNTS,
     }
 
 
@@ -4450,4 +4452,50 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4×128) of per-user event frequencies, probed
+    for every user against the exact counts — the bounded-memory
+    frequency summary, deterministic by construction so even the
+    sketch's collisions are strict-oracle-checked (estimate >= exact is
+    the CMS guarantee; equality wherever no row collides)."""
+    from graph4code_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", depth=4, width=128)
+    users = ev.distinct()
+    est = cms_estimate(sketch, users, "user_id", depth=4, width=128)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "exact", "cms_estimate")
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_CMS_USER_COUNTS = """
+WITH cells AS (
+  SELECT r.i AS row,
+         (((user_id + r.i * 968665207) * 2654435761) % 4294967296) % 128 AS col,
+         count(*) AS n
+  FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) r
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT user_id, r.i AS row,
+         (((user_id + r.i * 968665207) * 2654435761) % 4294967296) % 128 AS col
+  FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) r
+),
+est AS (
+  SELECT p.user_id, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS cms_estimate
+  FROM probes p LEFT JOIN cells c USING (row, col)
+  GROUP BY p.user_id
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact FROM events GROUP BY user_id
+)
+SELECT user_id, exact, cms_estimate
+FROM est JOIN exact USING (user_id) ORDER BY user_id
 """

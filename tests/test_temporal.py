@@ -60,3 +60,24 @@ def test_range_join_spanning_range(spark):
     assert sorted(r["id"] for r in out.collect()) == [1, 2]
     # no duplicate matches despite the range exploding to 3 buckets
     assert out.count() == 2
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS invariant: estimate >= exact for every key; equality when no
+    collision. Forced narrow sketch (w=8) guarantees collisions at 50
+    keys, so the >= must do real work."""
+    from pyspark.sql import functions as F
+
+    from graph4code_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.range(2000).select((F.col("id") % 50).alias("k"))
+    sk = cms_build(df, "k", depth=3, width=8)
+    est = cms_estimate(sk, df.distinct(), "k", depth=3, width=8)
+    exact = df.groupBy("k").count()
+    joined = est.join(exact, "k").collect()
+    assert len(joined) == 50
+    assert all(r["cms_estimate"] >= r["count"] for r in joined)
+    assert any(r["cms_estimate"] > r["count"] for r in joined)  # collisions real
+    # total sketch mass equals the input cardinality per row
+    mass = sk.groupBy("row").agg(F.sum("n").alias("m")).collect()
+    assert all(r["m"] == 2000 for r in mass)
