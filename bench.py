@@ -70,6 +70,9 @@ HEADLINE = [
     "pack_sequences",
     "corpus_pipeline",
     "kmeans_clusters",
+    # temporal operators
+    "events_sessionize",
+    "asof_join_events",
 ]
 
 
