@@ -3889,6 +3889,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = pii_features(planted, "t2").select(
         "doc_id", F.col("t2_redacted").alias("rt")
     )
+    # the redacted table is consumed by FIVE legs (bench/corpus splits,
+    # gram explode, line explode, the n_lines base); materialize it once
+    # — the in-query analogue of plans/corpus.py's 01_redacted parquet
+    # boundary, which is what a 100 TB run writes instead
+    red = red.localCheckpoint(eager=True)
 
     bench = red.where(d % 50 == 0)
     corpus = red.where(d % 50 != 0)
@@ -3908,6 +3913,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = cleaned.select(
         "doc_id", whitespace_token_count(F.col("ct")).alias("nw")
     ).where(F.col("nw") >= 10)
+    # pack_sequences takes TWO actions (bucket-totals collect + the
+    # final one); without a checkpoint each re-runs the whole
+    # redact→decontaminate→line-dedup chain.  The gated (doc_id, nw)
+    # manifest is tiny relative to the corpus — exactly what the staged
+    # plans/corpus.py pipeline writes as its 03→04 parquet boundary.
+    counted = counted.localCheckpoint(eager=True)
 
     return (
         pack_sequences(counted, "doc_id", "nw", seq_len=64)
