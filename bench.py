@@ -285,8 +285,9 @@ def _write_bench_md(result: dict) -> None:
         "",
         "Machine-state caveat: identical code measured 0.93 (r1,",
         "spark-submit best-of-2), 0.82 (r2, fresh VM), and with the",
-        "round-3 protocol **0.862 / 0.773 / 0.753 on three consecutive",
-        "same-day runs** — the spread tracks the VM's burst-credit state",
+        "round-3 protocol **0.862 / 0.773 / 0.753** and, later the same",
+        "round, **0.729 / 0.723 / 0.692** on consecutive same-day runs —",
+        "the spread tracks the VM's burst-credit state",
         "(after hours of sustained 32-core load, steal time penalizes",
         "the multi-core levels more than the low ones; the same runs'",
         "headline queries slowed 2-3x wholesale). The interleaved-ladder",
