@@ -1692,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "events_percentiles": q_events_percentiles,
         "cms_user_counts": q_cms_user_counts,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1780,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _ORACLE_EVENTS_PIVOT,
         "events_percentiles": _ORACLE_EVENTS_PERCENTILES,
         "cms_user_counts": _ORACLE_CMS_USER_COUNTS,
+        "kmv_distinct": _ORACLE_KMV_DISTINCT,
     }
 
 
@@ -4509,4 +4511,51 @@ exact AS (
 )
 SELECT user_id, exact, cms_estimate
 FROM est JOIN exact USING (user_id) ORDER BY user_id
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (k=16) per event type vs the exact
+    count — bounded-memory cardinality estimation whose estimate is
+    itself strict-oracle-checked (deterministic arithmetic hash; k=16
+    over 150 users so the estimator path, not the exact fallback, is
+    exercised)."""
+    from graph4code_spark.operators.sketch import kmv_estimate
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    est = kmv_estimate(ev, "user_id", "event_type", k=16)
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "grp")
+        .select(F.col("grp").alias("event_type"), "exact_distinct", "kmv_estimate")
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type, ((user_id * 2654435761) % 4294967296) + 1 AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+),
+kth AS (
+  SELECT event_type, max(nd) AS nd,
+         max(CASE WHEN r = 16 THEN h END) AS h16
+  FROM ranked WHERE r <= 16 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT k.event_type, e.exact_distinct,
+       round(CASE WHEN k.nd < 16 THEN CAST(least(k.nd, 16) AS DOUBLE)
+                  ELSE 15 / (k.h16 / 4294967296.0) END, 6) AS kmv_estimate
+FROM kth k JOIN exact e USING (event_type) ORDER BY event_type
 """

@@ -75,3 +75,37 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("cms_estimate"))
     )
+
+
+def kmv_estimate(df: DataFrame, key_col: str, group_col: str, k: int = 64):
+    """K-minimum-values distinct-count sketch per group — the
+    mergeable bounded-memory cardinality estimator (HLL's order-
+    statistics cousin), deterministic via the same arithmetic hash so
+    the estimate is strict-oracle-able.
+
+    h(key) maps to (0, 2^32]; with the K smallest DISTINCT hashes, the
+    estimate is (k-1) / (h_k / 2^32).  Groups with fewer than k
+    distinct keys report their exact count.
+
+    Shape note: this declarative form distincts (group, hash) then
+    collects the group's distinct hashes before slicing — bounded by
+    per-group distinct cardinality, not by k.  When that bound is the
+    problem (true HLL territory), swap the collect for a per-group
+    row_number()<=k window; the estimate math is unchanged."""
+    h = ((F.col(key_col).cast("long") * F.lit(KNUTH)) % _M32) + 1
+    hashes = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .distinct()
+        .groupBy("grp")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"),
+            F.count_distinct("h").alias("n_distinct_hashes"),
+        )
+    )
+    kth = F.element_at("mins", k)
+    est = F.when(
+        F.size("mins") < k, F.size("mins").cast("double")
+    ).otherwise((k - 1) / (kth / F.lit(float(_M32))))
+    return hashes.select(
+        "grp", F.round(est, 6).alias("kmv_estimate"),
+    )
