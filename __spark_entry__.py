@@ -803,9 +803,17 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            # quantities are integral: exact bigint sum + explicit floor
+            # rounding so the 6dp average cannot hit an engine-dependent
+            # tie (the events_hourly failure mode, see _cents)
+            F.floor(
+                F.sum(F.col("l_quantity").cast("long")) * 1000000.0
+                / F.count(F.lit(1)) + F.lit(0.5)
+            ).cast("double").alias("_avg_qty_u"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .withColumn("avg_qty", F.col("_avg_qty_u") / 1000000.0)
+        .drop("_avg_qty_u")
     )
 
 
@@ -814,7 +822,8 @@ SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 4) AS sum_qty,
   round(sum(l_extendedprice), 4) AS sum_base_price,
   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-  round(avg(l_quantity), 6) AS avg_qty,
+  floor(sum(CAST(l_quantity AS BIGINT)) * 1000000.0 / count(*) + 0.5)
+    / 1000000.0 AS avg_qty,
   count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
 GROUP BY l_returnflag, l_linestatus
@@ -1006,6 +1015,21 @@ SELECT 'only_early:' || event_type FROM (SELECT event_type FROM early EXCEPT SEL
 """
 
 
+#: `value` is 2-decimal by generation; exact-cents aggregation +
+#: explicit floor(x+0.5) rounding make the hourly average bit-identical
+#: across engines.  `round(avg(value), 6)` looked equivalent but is
+#: NOT: averages of 2-decimal values land exactly on the 5e-7 rounding
+#: boundary (e.g. 53.5078125), where Spark's HALF_UP and DuckDB's
+#: double-rounding disagree — caught by the sf0.1 sweep (32 buckets),
+#: invisible at the driver's sf0.01.
+def _cents():
+    return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+
+def _avg_value_6dp(sum_cents, n):
+    return F.floor(sum_cents * 10000.0 / n + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1014,15 +1038,24 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum(_cents()).alias("_sc"),
+        )
+        .select(
+            "hour", "event_type", "n",
+            _avg_value_6dp(F.col("_sc"), F.col("n")).alias("avg_value"),
         )
     )
 
 
 _ORACLE_EVENTS_HOURLY = """
-SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
-       count(*) AS n, round(avg(value), 6) AS avg_value
-FROM events GROUP BY 1, 2
+SELECT hour, event_type, n,
+       floor(sc * 10000.0 / n + 0.5) / 1000000.0 AS avg_value
+FROM (
+  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         count(*) AS n,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc
+  FROM events GROUP BY 1, 2
+)
 """
 
 
@@ -1064,7 +1097,7 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum(_cents()).alias("_sc"),
         )
     )
     sink = f"events_stream_hourly_{uuid.uuid4().hex[:8]}"
@@ -1080,7 +1113,7 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").cast("string").alias("hour"),
         "event_type",
         "n",
-        "avg_value",
+        _avg_value_6dp(F.col("_sc"), F.col("n")).alias("avg_value"),
     )
 
 
