@@ -798,10 +798,13 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # prices/discounts are 2-decimal by generation: exact cent
+            # arithmetic makes every sum engine- and order-independent
+            # (float sums + round(,4) are one ulp from a tie flip)
+            F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+            (F.sum(_price_cents()) / F.lit(100.0)).alias("sum_base_price"),
+            (
+                F.sum(_price_cents() * (100 - _disc_cents())) / F.lit(10000.0)
             ).alias("sum_disc_price"),
             # quantities are integral: exact bigint sum + explicit floor
             # rounding so the 6dp average cannot hit an engine-dependent
@@ -819,9 +822,12 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 4) AS sum_qty,
-  round(sum(l_extendedprice), 4) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+    AS sum_base_price,
+  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0
+    AS sum_disc_price,
   floor(sum(CAST(l_quantity AS BIGINT)) * 1000000.0 / count(*) + 0.5)
     / 1000000.0 AS avg_qty,
   count(*) AS count_order
@@ -835,7 +841,9 @@ def q_join_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_orderkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        (F.sum(_price_cents() * (100 - _disc_cents())) / F.lit(10000.0)).alias(
+            "revenue"
+        )
     )
     return (
         orders.join(rev, orders["o_orderkey"] == rev["l_orderkey"])
@@ -848,7 +856,10 @@ def q_join_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TOPK_ORDERS = """
 WITH rev AS (
-  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0
+           AS revenue
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o.o_orderkey, c.c_name, r.revenue
@@ -1024,6 +1035,14 @@ SELECT 'only_early:' || event_type FROM (SELECT event_type FROM early EXCEPT SEL
 #: invisible at the driver's sf0.01.
 def _cents():
     return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+
+def _price_cents():
+    return F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+
+
+def _disc_cents():
+    return F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
 
 
 def _avg_value_6dp(sum_cents, n):
@@ -4417,7 +4436,8 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
           coalesce(CAST(h AS STRING), CAST(d AS STRING)) AS bucket,
           event_type,
           CAST(count(*) AS BIGINT) AS n,
-          round(sum(value), 6) AS total_value
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS total_value
         FROM (
           SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
                  event_type, value
@@ -4435,7 +4455,7 @@ SELECT
     AS bucket,
   event_type,
   CAST(count(*) AS BIGINT) AS n,
-  round(sum(value), 6) AS total_value
+  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM (
   SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
          event_type, value
