@@ -80,3 +80,25 @@ def test_pack_no_global_single_partition_window(spark):
     # the window must be partitioned by bucket, never a bare ORDER BY
     assert "Window [" in plan or "RunningWindowFunction" in plan or "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_pack_property_random_counts(spark):
+    """Randomized ids/counts (incl. zeros and gaps) vs the sequential
+    reference across several bucket counts."""
+    import random
+
+    rnd = random.Random(9)
+    ids = rnd.sample(range(100_000), 300)
+    rows = [(i, rnd.randint(0, 50)) for i in ids]
+    df = spark.createDataFrame(rows, "id long, n long")
+    for n_buckets in (1, 7, 64):
+        got = {
+            r["id"]: (r["global_offset"], r["seq_id"], r["straddles"])
+            for r in pack_sequences(
+                df, "id", "n", seq_len=128, n_buckets=n_buckets
+            ).collect()
+        }
+        ref = _py_pack(rows, 128)
+        for i, n in rows:
+            _, _, off, first, strad = ref[i]
+            assert got[i] == (off, first, strad), (n_buckets, i)

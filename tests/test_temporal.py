@@ -81,3 +81,25 @@ def test_cms_overestimates_never_under(spark):
     # total sketch mass equals the input cardinality per row
     mass = sk.groupBy("row").agg(F.sum("n").alias("m")).collect()
     assert all(r["m"] == 2000 for r in mass)
+
+
+def test_asof_property_random_streams(spark):
+    """300-case randomized parity with a brute-force python as-of."""
+    import random
+
+    rnd = random.Random(11)
+    lefts, rights = [], []
+    for i in range(150):
+        lefts.append((i, rnd.randint(0, 5), rnd.randint(0, 40)))
+    for j in range(150):
+        rights.append((1000 + j, rnd.randint(0, 5), rnd.randint(0, 40)))
+    left = spark.createDataFrame(lefts, "id long, k long, t long")
+    right = spark.createDataFrame(rights, "rid long, k long, t long")
+    got = {
+        r["id"]: r["asof_rid"]
+        for r in as_of_join(left, right, "k", "t", "t", ["rid"]).collect()
+    }
+    for i, k, t in lefts:
+        cand = [(rt, rid) for rid, rk, rt in rights if rk == k and rt <= t]
+        want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, k, t)
