@@ -942,13 +942,19 @@ def q_join_region_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            # exact cent sum (o_totalprice is 2-decimal): see _cents
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("total_price"),
         )
     )
 
 
 _ORACLE_REGION = """
-SELECT r.r_name, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS total_price
+SELECT r.r_name, count(*) AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
