@@ -1656,7 +1656,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return dedup_quads(forum_triples(links, qa, FIXED_CATALOG))
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The FULL fine-grained inventory (one entry per operator/query,
+    including every component that the curated driver registry composes).
+    `jobs/verify_all.py` and `tests/test_entry_oracles.py` check this
+    superset; the driver contract (`queries()`) is the curated ≤50-entry
+    selection so every operator family lands on the capped CORRECTNESS
+    record."""
     return {
         # KG core
         "kg_doc_triples": q_kg_doc_triples,
@@ -1751,10 +1757,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "cms_user_counts": q_cms_user_counts,
         "kmv_distinct": q_kmv_distinct,
+        # round-4 composed family queries (the curated driver entries)
+        "kg_canonicalize": q_kg_canonicalize,
+        "kg_usage_posts": q_kg_usage_posts,
+        "kg_usage_models": q_kg_usage_models,
+        "kg_usage_graph": q_kg_usage_graph,
+        "kg_doc_aggregates": q_kg_doc_aggregates,
+        "text_profile": q_text_profile,
+        "semi_anti_joins": q_semi_anti_joins,
+        "posts_votes": q_posts_votes,
+        "top_modules_suite": q_top_modules_suite,
+        "doc_sampling": q_doc_sampling,
+        "events_temporal": q_events_temporal,
+        "events_analytics": q_events_analytics,
+        "media_suite": q_media_suite,
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql_full() -> dict[str, str]:
+    """Oracles for `queries_full()` (superset of the curated driver
+    oracles).  Entries absent here are rows-only by design."""
     return {
         "kg_doc_triples": _oracle_kg_doc_triples(),
         "kg_sameas": _oracle_kg_sameas(),
@@ -1840,6 +1862,20 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": _ORACLE_EVENTS_PERCENTILES,
         "cms_user_counts": _ORACLE_CMS_USER_COUNTS,
         "kmv_distinct": _ORACLE_KMV_DISTINCT,
+        # round-4 composed family oracles
+        "kg_canonicalize": _oracle_kg_canonicalize(),
+        "kg_usage_posts": _oracle_kg_usage_posts(),
+        "kg_usage_models": _oracle_kg_usage_models(),
+        "kg_usage_graph": _oracle_kg_usage_graph(),
+        "kg_doc_aggregates": _oracle_kg_doc_aggregates(),
+        "text_profile": _oracle_text_profile(),
+        "semi_anti_joins": _oracle_semi_anti_joins(),
+        "posts_votes": _oracle_posts_votes(),
+        "top_modules_suite": _oracle_top_modules_suite(),
+        "doc_sampling": _oracle_doc_sampling(),
+        "events_temporal": _oracle_events_temporal(),
+        "events_analytics": _oracle_events_analytics(),
+        "media_suite": _oracle_media_suite(),
     }
 
 
@@ -3754,7 +3790,8 @@ WITH counted AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         (doc_id * 2654435761) % 4294967296 AS sort_key
+         CAST(CAST(doc_id AS HUGEINT) % 4294967296
+              * 2654435761 % 4294967296 AS BIGINT) AS sort_key
   FROM documents
 ),
 c AS (
@@ -4054,7 +4091,9 @@ counted AS (
   FROM surv s LEFT JOIN kept k USING (doc_id)
 ),
 gated AS (
-  SELECT doc_id, nw, (doc_id * 2654435761) % 4294967296 AS sort_key
+  SELECT doc_id, nw,
+         CAST(CAST(doc_id AS HUGEINT) % 4294967296
+              * 2654435761 % 4294967296 AS BIGINT) AS sort_key
   FROM counted WHERE nw >= 10
 ),
 packed AS (
@@ -4112,7 +4151,12 @@ a0 AS (
   ) WHERE r = 1
 ),
 m1 AS (
-  SELECT cl, i.i AS i, round(avg(e[i.i]), 6) AS m
+  -- exact fixed-point centroid update (matches kmeans_fit): micro-unit
+  -- quantize -> bigint sum -> floor(s/n + 0.5); round(avg(),6) is
+  -- summation-order dependent and can flip a digit at a 5e-7 boundary
+  SELECT cl, i.i AS i,
+         floor(CAST(sum(CAST(floor(e[i.i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1000000.0 AS m
   FROM a0, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
   GROUP BY cl, i.i
 ),
@@ -4550,14 +4594,16 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CMS_USER_COUNTS = """
 WITH cells AS (
   SELECT r.i AS row,
-         (((user_id + r.i * 968665207) * 2654435761) % 4294967296) % 128 AS col,
+         CAST((CAST(user_id AS HUGEINT) % 4294967296 + r.i * 968665207)
+              % 4294967296 * 2654435761 % 4294967296 AS BIGINT) % 128 AS col,
          count(*) AS n
   FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) r
   GROUP BY 1, 2
 ),
 probes AS (
   SELECT DISTINCT user_id, r.i AS row,
-         (((user_id + r.i * 968665207) * 2654435761) % 4294967296) % 128 AS col
+         CAST((CAST(user_id AS HUGEINT) % 4294967296 + r.i * 968665207)
+              % 4294967296 * 2654435761 % 4294967296 AS BIGINT) % 128 AS col
   FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) r
 ),
 est AS (
@@ -4595,7 +4641,9 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_KMV_DISTINCT = """
 WITH h AS (
-  SELECT DISTINCT event_type, ((user_id * 2654435761) % 4294967296) + 1 AS h
+  SELECT DISTINCT event_type,
+         CAST(CAST(user_id AS HUGEINT) % 4294967296
+              * 2654435761 % 4294967296 AS BIGINT) + 1 AS h
   FROM events
 ),
 ranked AS (
@@ -4618,3 +4666,515 @@ SELECT k.event_type, e.exact_distinct,
                   ELSE 15 / (k.h16 / 4294967296.0) END, 6) AS kmv_estimate
 FROM kth k JOIN exact e USING (event_type) ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# round-4 composed family queries
+# ---------------------------------------------------------------------------
+# The driver records at most 50 CORRECTNESS rows per round (observed:
+# r1=42-entry dict → 42 rows, r2/r3 capped at 50 while the dict grew to
+# 85), so fine-grained entries past #50 silently fall off the hard
+# record.  The fix (VERDICT r3 next-round #1) is curation: operator
+# families that each held several single-op rows are COMPOSED into one
+# union query over a fixed typed spine, so `queries()` holds exactly 50
+# entries and every family keeps a strict oracle row on the record.
+# The fine-grained components stay in `queries_full()`/`oracle_sql_full()`
+# and are still verified by jobs/verify_all.py and pytest.
+#
+# Spine: (part, k1, k2, s1..s4, n1..n4, v1..v3) — strings / bigints /
+# doubles.  Each component maps its columns onto the spine (NULL-padded);
+# the oracle applies the SAME mapping to the component's oracle SQL, so
+# the union compare is exactly as strict as the per-component compares.
+
+_SPINE = [
+    ("k1", "string", "VARCHAR"), ("k2", "string", "VARCHAR"),
+    ("s1", "string", "VARCHAR"), ("s2", "string", "VARCHAR"),
+    ("s3", "string", "VARCHAR"), ("s4", "string", "VARCHAR"),
+    ("n1", "long", "BIGINT"), ("n2", "long", "BIGINT"),
+    ("n3", "long", "BIGINT"), ("n4", "long", "BIGINT"),
+    ("v1", "double", "DOUBLE"), ("v2", "double", "DOUBLE"),
+    ("v3", "double", "DOUBLE"),
+]
+
+
+def _spine_df(df: DataFrame, part: str, **mapping) -> DataFrame:
+    """Project `df` onto the spine: mapping = {spine_col: source_col}."""
+    cols = [F.lit(part).alias("part")]
+    for name, styp, _dtyp in _SPINE:
+        src = mapping.get(name)
+        col = F.col(src) if src is not None else F.lit(None)
+        cols.append(col.cast(styp).alias(name))
+    return df.select(*cols)
+
+
+def _spine_sql(sql: str, part: str, **mapping) -> str:
+    """The oracle-side twin of `_spine_df` (identifiers double-quoted)."""
+    sel = [f"'{part}' AS part"]
+    for name, _styp, dtyp in _SPINE:
+        src = mapping.get(name)
+        expr = f'"{src}"' if src is not None else "NULL"
+        sel.append(f"CAST({expr} AS {dtyp}) AS {name}")
+    return "SELECT " + ", ".join(sel) + f"\nFROM (\n{sql}\n) AS _part_{part}"
+
+
+def _spine_union_df(*parts) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _spine_union_sql(parts) -> str:
+    return "\nUNION ALL\n".join(_spine_sql(sql, part, **m) for sql, part, m in parts)
+
+
+def q_kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 alias join + the full canonicalization rewrite on one driver
+    row: union of the CC alias mapping (kg_sameas) and the canonicalized
+    docstring quad table (kg_canonical_triples)."""
+    return _spine_union_df(
+        _spine_df(q_kg_sameas(spark, sf_dir), "sameas", k1="name", k2="canon"),
+        _spine_df(q_kg_canonical_triples(spark, sf_dir), "canonical",
+                  k1="subj", k2="pred", s1="obj", s2="is_literal", s3="graph"),
+    )
+
+
+def _oracle_kg_canonicalize() -> str:
+    return _spine_union_sql([
+        (_oracle_kg_sameas(), "sameas", dict(k1="name", k2="canon")),
+        (_oracle_kg_canonical_triples(), "canonical",
+         dict(k1="subj", k2="pred", s1="obj", s2="is_literal", s3="graph")),
+    ])
+
+
+_USAGE_POSTS_MAP = dict(k1="q", k2="t", s1="qc_md5", s2="ac_md5", n1="c")
+
+
+def q_kg_usage_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two StackOverflow-lookup usage queries
+    (debug_stackoverflow.sparql + find_stack_overflow_posts.sparql) over
+    the full pipeline quad store, on one driver row."""
+    return _spine_union_df(
+        _spine_df(q_kg_debug_posts(spark, sf_dir), "debug", **_USAGE_POSTS_MAP),
+        _spine_df(q_kg_find_posts(spark, sf_dir), "find", **_USAGE_POSTS_MAP),
+    )
+
+
+def _oracle_kg_usage_posts() -> str:
+    return _spine_union_sql([
+        (_oracle_kg_debug_posts(), "debug", _USAGE_POSTS_MAP),
+        (_oracle_kg_find_posts(), "find", _USAGE_POSTS_MAP),
+    ])
+
+
+_USAGE_MODELS_MAPS = [
+    ("hyper_dist", dict(k1="name", k2="param", s1="value", n1="n")),
+    ("single_fit", dict(k1="graph", k2="fit", s1="cls_name", n1="l1",
+                        n2="l2", s2="txt")),
+    ("fit_predict", dict(k1="graph", k2="model", s1="name", s2="fit",
+                         s3="predict")),
+    ("violations", dict(k1="graph", k2="clf", s1="name", n1="n_hyper",
+                        n2="l1", n3="l2", s2="txt")),
+]
+
+
+def q_kg_usage_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four model-centric usage queries (hyperparameter
+    distributions, single-model fits, fit→predict pairs, hyperparameter
+    violations) over the shared doc+flow quad store, on one driver row."""
+    dfs = [
+        q_kg_hyperparam_dist(spark, sf_dir),
+        q_kg_single_model_fits(spark, sf_dir),
+        q_kg_fit_predict_pairs(spark, sf_dir),
+        q_kg_hyperparam_violations(spark, sf_dir),
+    ]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m)
+        for df, (part, m) in zip(dfs, _USAGE_MODELS_MAPS)
+    ])
+
+
+def _oracle_kg_usage_models() -> str:
+    sqls = [
+        _oracle_kg_hyperparam_dist(),
+        _oracle_kg_single_model_fits(),
+        _oracle_kg_fit_predict_pairs(),
+        _oracle_kg_hyperparam_violations(),
+    ]
+    return _spine_union_sql([
+        (sql, part, m) for sql, (part, m) in zip(sqls, _USAGE_MODELS_MAPS)
+    ])
+
+
+_USAGE_GRAPH_MAPS = [
+    ("type_inference", dict(k1="graph", k2="n1", s1="label", s2="cls",
+                            s3="super", s4="txt", n1="l1", n2="l2")),
+    ("similar_flows", dict(k1="classifierName", n1="c")),
+    ("void_stats", dict(k1="pred", n1="n_triples", n2="n_subjects",
+                        n3="n_objects", n4="n_graphs")),
+]
+
+
+def q_kg_usage_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-structural usage queries (type inference, similar
+    flows, VoID dataset statistics) on one driver row."""
+    dfs = [
+        q_kg_type_inference(spark, sf_dir),
+        q_kg_similar_flows(spark, sf_dir),
+        q_kg_void_stats(spark, sf_dir),
+    ]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m)
+        for df, (part, m) in zip(dfs, _USAGE_GRAPH_MAPS)
+    ])
+
+
+def _oracle_kg_usage_graph() -> str:
+    sqls = [
+        _oracle_kg_type_inference(),
+        _oracle_kg_similar_flows(),
+        _oracle_kg_void_stats(),
+    ]
+    return _spine_union_sql([
+        (sql, part, m) for sql, (part, m) in zip(sqls, _USAGE_GRAPH_MAPS)
+    ])
+
+
+_DOC_AGG_MAPS = [
+    ("merge_modules", dict(k1="module", k2="klass", s1="function", s2="doc")),
+    ("longest_desc", dict(k1="source", n1="doc_id", n2="n_chars")),
+    ("shape_dims", dict(n1="sid", s1="dims_csv")),
+]
+
+
+def q_kg_doc_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docstring-pipeline aggregation family (J7 MergeModules full-outer
+    merge, A7 longest-description-wins, A9 shape/dimensionality
+    extraction) on one driver row."""
+    dfs = [
+        q_merge_modules(spark, sf_dir),
+        q_longest_description(spark, sf_dir),
+        q_shape_dims(spark, sf_dir),
+    ]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m) for df, (part, m) in zip(dfs, _DOC_AGG_MAPS)
+    ])
+
+
+def _oracle_kg_doc_aggregates() -> str:
+    sqls = [_oracle_merge_modules(), _ORACLE_LONGEST_DESC, _oracle_shape_dims()]
+    return _spine_union_sql([
+        (sql, part, m) for sql, (part, m) in zip(sqls, _DOC_AGG_MAPS)
+    ])
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five text-analysis families + the MD5 doc key in ONE narrow
+    JVM pass over `documents` (no union spine needed — every component
+    is per-doc, so the composition is a single wide select: zero
+    shuffle, whole-stage codegen end to end).  Components remain
+    individually oracle-checked in queries_full(); this is the curated
+    driver row covering token counting, language ID, Gopher repetition,
+    quality ratios, winnowing fingerprint, and X7 MD5 keys."""
+    from graph4code_spark.operators.textstats import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = whitespace_token_count(t)
+    sw = F.array(*[F.lit(s) for s in _EN_STOP])
+    sw_ratio = F.size(F.filter(w, lambda x: F.array_contains(sw, x))) / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    win = 5
+    n = F.size(w)
+    grams = F.when(
+        n >= win,
+        F.transform(
+            F.sequence(F.lit(1), n - (win - 1)),
+            lambda i: F.md5(F.array_join(F.slice(w, i, win), " ")),
+        ),
+    ).otherwise(F.array(F.md5(F.array_join(w, " "))))
+    base = repetition_features(docs.select("doc_id", "text"), "text")
+    return base.select(
+        "doc_id",
+        whitespace_token_count(t).cast("long").alias("ws_tokens"),
+        bpe_token_count(t).cast("long").alias("bpe_tokens"),
+        detect_language(t).alias("lang_detected"),
+        "rep_dup_word_frac",
+        "rep_top_bigram_frac",
+        F.length(t).cast("long").alias("q_chars"),
+        n_words.cast("long").alias("q_words"),
+        F.round(sw_ratio, 6).alias("q_stopword_ratio"),
+        F.round(punct / F.greatest(F.length(t), F.lit(1)), 6).alias("q_punct_ratio"),
+        F.array_min(grams).alias("fp"),
+        F.md5("text").alias("doc_key"),
+    )
+
+
+def _oracle_text_profile() -> str:
+    return f"""
+WITH c_tok AS ({_ORACLE_TOKEN_COUNTS}),
+c_lang AS ({_oracle_text_language()}),
+c_rep AS ({_ORACLE_TEXT_REPETITION}),
+c_qual AS ({_ORACLE_TEXT_QUALITY}),
+c_fp AS ({_ORACLE_FINGERPRINT}),
+c_key AS ({_ORACLE_MD5_KEYS})
+SELECT c_tok.doc_id, ws_tokens, bpe_tokens, lang_detected,
+       rep_dup_word_frac, rep_top_bigram_frac,
+       q_chars, q_words, q_stopword_ratio, q_punct_ratio,
+       c_fp.fp, c_key.doc_key
+FROM c_tok
+JOIN c_lang ON c_lang.doc_id = c_tok.doc_id
+JOIN c_rep ON c_rep.doc_id = c_tok.doc_id
+JOIN c_qual ON c_qual.doc_id = c_tok.doc_id
+JOIN c_fp ON c_fp.doc_id = c_tok.doc_id
+JOIN c_key ON c_key.doc_id = c_tok.doc_id
+"""
+
+
+_SEMI_ANTI_MAPS = [
+    ("semi", dict(n1="s_suppkey", s1="s_name")),
+    ("anti", dict(n1="c_custkey", s1="c_name")),
+]
+
+
+def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 VALUES/semi-join + J9 minus/anti-join on one driver row."""
+    dfs = [q_semi_join_suppliers(spark, sf_dir), q_anti_join_customers(spark, sf_dir)]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m) for df, (part, m) in zip(dfs, _SEMI_ANTI_MAPS)
+    ])
+
+
+def _oracle_semi_anti_joins() -> str:
+    return _spine_union_sql([
+        (sql, part, m)
+        for sql, (part, m) in zip([_ORACLE_SEMI, _ORACLE_ANTI], _SEMI_ANTI_MAPS)
+    ])
+
+
+_POSTS_VOTES_MAPS = [
+    ("volume", dict(k1="question_id", k2="title", s1="tags", s2="q_votes",
+                    s3="answer_ids", s4="content_md5")),
+    ("volume_agg", dict(n1="n_questions", n2="n_answers", n3="n_with_votes",
+                        n4="total_q_votes")),
+    ("votes_per_user", dict(n1="user_id", n2="n_errors")),
+]
+
+
+def q_posts_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Posts.xml/Votes.xml family at volume on one driver row:
+    sampled row-level assembly check, global assembly invariants, and
+    the J2 post⋈votes left-outer count."""
+    dfs = [
+        q_posts_xml_volume(spark, sf_dir),
+        q_posts_xml_volume_agg(spark, sf_dir),
+        q_votes_per_user(spark, sf_dir),
+    ]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m) for df, (part, m) in zip(dfs, _POSTS_VOTES_MAPS)
+    ])
+
+
+def _oracle_posts_votes() -> str:
+    sqls = [
+        _oracle_posts_xml_volume(),
+        _oracle_posts_xml_volume_agg(),
+        _ORACLE_VOTES_PER_USER,
+    ]
+    return _spine_union_sql([
+        (sql, part, m) for sql, (part, m) in zip(sqls, _POSTS_VOTES_MAPS)
+    ])
+
+
+_TOP_MODULES_MAP = dict(k1="module", n1="cnt")
+
+
+def q_top_modules_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 import counting (300-page top-5 + 8000-page volume top-10,
+    1-in-40 strict sample) on one driver row."""
+    return _spine_union_df(
+        _spine_df(q_top_modules(spark, sf_dir), "top5", **_TOP_MODULES_MAP),
+        _spine_df(q_top_modules_volume(spark, sf_dir), "volume8k", **_TOP_MODULES_MAP),
+    )
+
+
+def _oracle_top_modules_suite() -> str:
+    return _spine_union_sql([
+        (_oracle_top_modules(), "top5", _TOP_MODULES_MAP),
+        (_oracle_top_modules_volume(), "volume8k", _TOP_MODULES_MAP),
+    ])
+
+
+_DOC_SAMPLING_MAPS = [
+    ("stratified", dict(n1="doc_id", k1="source", s1="h2")),
+    ("topk", dict(n1="doc_id", k1="source", n2="rk")),
+]
+
+
+def q_doc_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling family (stratified hash rates +
+    exactly-k-per-stratum) on one driver row."""
+    dfs = [q_doc_sample_stratified(spark, sf_dir), q_doc_sample_topk(spark, sf_dir)]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m) for df, (part, m) in zip(dfs, _DOC_SAMPLING_MAPS)
+    ])
+
+
+def _oracle_doc_sampling() -> str:
+    return _spine_union_sql([
+        (sql, part, m)
+        for sql, (part, m) in zip(
+            [_ORACLE_SAMPLE_STRATIFIED, _ORACLE_SAMPLE_TOPK], _DOC_SAMPLING_MAPS
+        )
+    ])
+
+
+_EVENTS_TEMPORAL_MAPS = [
+    ("sessionize", dict(n1="user_id", n2="session_seq", n3="n_events",
+                        s1="s_start", s2="s_end")),
+    ("asof", dict(n1="click_id", n2="user_id", s1="c_ts", n3="view_id",
+                  s2="v_ts")),
+    ("range", dict(n1="win_id", n2="n_events", n3="first_event",
+                   n4="last_event")),
+]
+
+
+def q_events_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal-operator family (gap sessionization, AS-OF join,
+    bucketed RANGE join) on one driver row."""
+    dfs = [
+        q_events_sessionize(spark, sf_dir),
+        q_asof_join_events(spark, sf_dir),
+        q_range_join_events(spark, sf_dir),
+    ]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m) for df, (part, m) in zip(dfs, _EVENTS_TEMPORAL_MAPS)
+    ])
+
+
+def _oracle_events_temporal() -> str:
+    sqls = [_ORACLE_EVENTS_SESSIONIZE, _ORACLE_ASOF_JOIN, _ORACLE_RANGE_JOIN]
+    return _spine_union_sql([
+        (sql, part, m) for sql, (part, m) in zip(sqls, _EVENTS_TEMPORAL_MAPS)
+    ])
+
+
+_EVENTS_ANALYTICS_MAPS = [
+    ("rollup", dict(k1="grain", k2="bucket", s1="event_type", n1="n",
+                    v1="total_value")),
+    ("pivot", dict(k1="user_id", n1="n_click", n2="n_view", n3="n_purchase",
+                   n4="n_error")),
+    ("percentiles", dict(k1="event_type", v1="p50", v2="p90", v3="p99")),
+    ("cms", dict(k1="user_id", n1="exact", n2="cms_estimate")),
+    ("kmv", dict(k1="event_type", n1="exact_distinct", v1="kmv_estimate")),
+    ("topk_types", dict(k1="event_type", n1="cnt")),
+]
+
+
+def q_events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-analytics family (GROUPING-SETS rollup, explicit-list
+    pivot, exact percentiles, CMS frequency sketch, KMV distinct sketch,
+    top-K types) on one driver row."""
+    dfs = [
+        q_events_rollup(spark, sf_dir),
+        q_events_pivot(spark, sf_dir),
+        q_events_percentiles(spark, sf_dir),
+        q_cms_user_counts(spark, sf_dir),
+        q_kmv_distinct(spark, sf_dir),
+        q_topk_event_types(spark, sf_dir),
+    ]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m) for df, (part, m) in zip(dfs, _EVENTS_ANALYTICS_MAPS)
+    ])
+
+
+def _oracle_events_analytics() -> str:
+    sqls = [
+        _ORACLE_EVENTS_ROLLUP,
+        _ORACLE_EVENTS_PIVOT,
+        _ORACLE_EVENTS_PERCENTILES,
+        _ORACLE_CMS_USER_COUNTS,
+        _ORACLE_KMV_DISTINCT,
+        _ORACLE_TOPK_EVENTS,
+    ]
+    return _spine_union_sql([
+        (sql, part, m) for sql, (part, m) in zip(sqls, _EVENTS_ANALYTICS_MAPS)
+    ])
+
+
+_MEDIA_SUITE_MAPS = [
+    ("features", dict(k1="media_id", k2="media_type", n1="n_bytes",
+                      n2="feat_checksum", n3="f0")),
+    ("frame_plan", dict(k1="media_id", n1="frame_ts_ms")),
+]
+
+
+def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing family (real PPM/WAV decode features + video
+    frame-sampling plan) on one driver row."""
+    dfs = [q_media_features(spark, sf_dir), q_media_frame_plan(spark, sf_dir)]
+    return _spine_union_df(*[
+        _spine_df(df, part, **m) for df, (part, m) in zip(dfs, _MEDIA_SUITE_MAPS)
+    ])
+
+
+def _oracle_media_suite() -> str:
+    return _spine_union_sql([
+        (sql, part, m)
+        for sql, (part, m) in zip(
+            [_oracle_media_features(), _oracle_media_frame_plan()], _MEDIA_SUITE_MAPS
+        )
+    ])
+
+
+# ---------------------------------------------------------------------------
+# the curated driver contract: exactly 50 entries, one per operator family
+# ---------------------------------------------------------------------------
+
+_CURATED = [
+    # KG core
+    "kg_doc_triples", "kg_canonicalize", "kg_mentions", "kg_question_triples",
+    "kg_flow_closure", "kg_pipeline_forum", "kg_pipeline_digest",
+    "kg_flow_triples", "kg_flow_digest", "kg_next_steps",
+    "posts_xml_questions", "kg_patched_types", "kg_rst_docstrings",
+    "kg_golden_nq", "graph_uri_normalize",
+    # usage queries (9 reference SPARQL queries in 3 composed rows)
+    "kg_usage_posts", "kg_usage_models", "kg_usage_graph",
+    # docstring aggregation family
+    "kg_doc_aggregates",
+    # dedup
+    "dedup_exact", "dedup_token_jaccard", "dedup_minhash_md5",
+    "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
+    # similarity search
+    "sim_cosine_topk", "sim_lsh_topk", "sim_ivf_recall",
+    # text analysis
+    "text_profile", "posexplode_words",
+    # relational / SQL coverage
+    "agg_pricing_summary", "join_topk_orders", "corpus_extraction_sql",
+    "join_region_drilldown", "window_top3_orders", "semi_anti_joins",
+    "set_ops_event_types", "events_stream_hourly",
+    # posts.xml at volume + modules
+    "posts_votes", "top_modules_suite",
+    # corpus hygiene / ML prep
+    "corpus_pipeline", "corpus_curation", "emb_quantize",
+    "kmeans_clusters", "cluster_balanced_sample", "bm25_search",
+    "doc_sampling",
+    # temporal + analytics + multimodal
+    "events_temporal", "events_analytics", "media_suite",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The curated driver contract: exactly 50 entries (the driver's
+    CORRECTNESS record cap), one strict-oracle row per operator family.
+    The fine-grained inventory lives in `queries_full()`."""
+    full = queries_full()
+    return {name: full[name] for name in _CURATED}
+
+
+def oracle_sql() -> dict[str, str]:
+    full = oracle_sql_full()
+    return {name: full[name] for name in _CURATED if name in full}

@@ -175,7 +175,7 @@ def main() -> None:
     scaling = _run_scaling()
 
     spark = get_spark("g4c-bench", master=f"local[{CPUS}]")
-    qs = entry_mod.queries()
+    qs = entry_mod.queries_full()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm

@@ -14,11 +14,20 @@ Scale shape per iteration:
 Cross-engine determinism (the oracle unrolls the same iterations in
 SQL): the assignment key ``||c||² − 2·x·c`` is computed from the SAME
 literal values by the SAME sequential fold on both engines, rounded to
-6 dp with a cluster-id tie-break; centroids are rounded to 6 dp between
-iterations so round-2 assignments see bit-identical centroids.
+6 dp with a cluster-id tie-break.  The centroid UPDATE is exact
+fixed-point arithmetic — components are quantized to 1e-6 micro-units
+(``floor(x·1e6 + 0.5)``, one deterministic double op per element),
+summed as bigints (order-independent), and divided with explicit
+``floor(s/n + 0.5)`` half-up rounding — because ``round(avg(x), 6)`` is
+summation-order dependent: two engines (or two partitionings) can land
+1 ulp apart at a 5e-7 boundary and round to DIFFERENT centroids, which
+cascades into divergent round-2 assignments (ADVICE r3; the same
+failure mode _cents documents for events_hourly).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,15 +76,27 @@ def kmeans_fit(
     )
     cents = [[round(float(x), 6) for x in row] for row in ivf_centroids(dim, k, seed)]
     assigned = _assign(base, "_kid", cents)
+
+    def micro(i: int):
+        # exact micro-unit quantization: ONE double op per element, so
+        # the bigint sum below is engine- and order-independent
+        return F.floor(F.col("vec")[i] * 1000000 + F.lit(0.5)).cast("long")
+
     for _ in range(iters - 1):
-        means = (
+        sums = (
             assigned.groupBy("cluster")
-            .agg(*[F.round(F.avg(F.col("vec")[i]), 6).alias(f"m{i}") for i in range(dim)])
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(micro(i)).alias(f"s{i}") for i in range(dim)],
+            )
             .collect()
         )
         new_cents = list(cents)
-        for r in means:
-            new_cents[r["cluster"]] = [r[f"m{i}"] for i in range(dim)]
+        for r in sums:
+            n = r["_n"]
+            new_cents[r["cluster"]] = [
+                math.floor(r[f"s{i}"] / n + 0.5) / 1e6 for i in range(dim)
+            ]
         cents = new_cents
         assigned = _assign(base, "_kid", cents)
     out = assigned.select(F.col("id").alias(id_col), "cluster", "dist")

@@ -362,6 +362,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 return n
 
             for ln, phys, line in _logical_lines(lines):
+                # blank lines are not statements: a blank line between an
+                # if-arm and its elif/else must not join the open branch
+                # chain, and a blank line inside a def body must not end
+                # the def block (ADVICE r3: line[:1] classified "" as a
+                # top-level statement)
+                if not line.strip():
+                    continue
                 if cur_def is not None:
                     first = line[:1]
                     if first in (" ", "\t"):

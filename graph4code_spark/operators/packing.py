@@ -34,9 +34,27 @@ HASH_MULT = 2654435761
 _KEYSPACE = 2**32
 
 
+def _mulmod32(k32: F.Column, mult: int) -> F.Column:
+    """(k32 · mult) mod 2^32 without int64 overflow (k32 in [0, 2^32)).
+
+    A direct ``k * 2654435761`` overflows int64 for k ≥ ~3.47e9 — Spark
+    wraps silently while other engines promote or error (ADVICE r3), so
+    the advertised cross-engine determinism would break exactly at the
+    10^12-id scale this targets.  Split the multiplicand into 16-bit
+    halves and reduce mod 2^32 between steps: every intermediate stays
+    below 2^49."""
+    hi = F.floor(k32 / F.lit(65536)).cast("long")
+    lo = k32 % F.lit(65536)
+    return (
+        (hi * F.lit(mult)) % F.lit(_KEYSPACE) * F.lit(65536) + lo * F.lit(mult)
+    ) % F.lit(_KEYSPACE)
+
+
 def shuffle_key(id_col: F.Column) -> F.Column:
-    """Deterministic pseudo-random permutation key for an integer id."""
-    return (id_col.cast("long") * F.lit(HASH_MULT)) % F.lit(_KEYSPACE)
+    """Deterministic pseudo-random permutation key for an integer id —
+    overflow-safe over the whole non-negative int64 id domain (the
+    oracle computes the same value exactly via HUGEINT)."""
+    return _mulmod32(F.pmod(id_col.cast("long"), F.lit(_KEYSPACE)), HASH_MULT)
 
 
 def pack_sequences(

@@ -30,7 +30,13 @@ def canon(rows, cols):
     return Counter(out)
 
 
-qs, os_ = entry.queries(), entry.oracle_sql()
+# verify the FULL fine-grained inventory (superset of the curated 50-entry
+# driver contract); pass --curated to check exactly what the driver records
+if "--curated" in sys.argv:
+    sys.argv.remove("--curated")
+    qs, os_ = entry.queries(), entry.oracle_sql()
+else:
+    qs, os_ = entry.queries_full(), entry.oracle_sql_full()
 fails = []
 for name, fn in qs.items():
     t0 = time.time()

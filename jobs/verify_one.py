@@ -27,7 +27,7 @@ def canon(rows, cols):
     return Counter(out)
 
 
-qs, os_ = entry.queries(), entry.oracle_sql()
+qs, os_ = entry.queries_full(), entry.oracle_sql_full()
 fails = []
 for sf in sfs:
     con = duckdb.connect()

@@ -42,9 +42,9 @@ def _multiset(cols, rows):
     return Counter(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql_full().keys()))
 def test_oracle_parity(spark, con, name):
-    q = entry_mod.queries()[name]
+    q = entry_mod.queries_full()[name]
     sdf = q(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -68,9 +68,22 @@ def test_entry_smoke(spark):
     assert df.columns == ["subj", "pred", "obj", "is_literal", "arg_pos", "arg_name", "graph"]
 
 
+def test_curated_contract_shape():
+    """The driver records at most 50 CORRECTNESS rows: the curated
+    contract must hold exactly 50 entries, every one present in the full
+    registry, and every one strict (has an oracle)."""
+    cur, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    full = entry_mod.queries_full()
+    assert len(cur) == 50
+    assert set(cur) <= set(full)
+    assert set(cur) == set(osql)
+    for name, fn in cur.items():
+        assert full[name] is fn
+
+
 def test_rows_only_queries_run(spark):
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    qs = entry_mod.queries_full()
+    oracles = entry_mod.oracle_sql_full()
     for name in qs:
         if name in oracles:
             continue

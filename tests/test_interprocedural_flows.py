@@ -278,3 +278,48 @@ def test_multi_module_import_line():
     assert imports == [("numpy",), ("pandas",)]
     by = _by_path(nodes)
     assert ("pandas", "read_csv") in by and ("numpy", "linspace") in by
+
+
+def test_blank_lines_do_not_break_blocks():
+    """ADVICE r3: a blank line is not a statement — it must neither end
+    an open def body (dedent) nor join an open if/elif chain (the old
+    `line[:1] not in (' ', '\\t')` classified '' as top-level)."""
+    # blank line inside the def body: the return wiring must survive
+    code = (
+        "import pandas\nimport sklearn\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "def train(d):\n"
+        "    m = sklearn.svm.SVC(d)\n"
+        "\n"
+        "    return m\n"
+        "clf = train(df)\n"
+        "p = clf.predict(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/b1", [code], CAT)
+    by = _by_path(nodes)
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    pred = by[("sklearn", "svm", "SVC", "predict")]["node_number"]
+    assert (svc, "0", pred) in _flows(nodes)
+
+    # blank line between an if arm and its elif: arms still fork from
+    # the pre-if frontier and never precede each other
+    code2 = (
+        "import pandas\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "if flag:\n"
+        "    a = json.load('a')\n"
+        "\n"
+        "elif other:\n"
+        "    b = numpy.linspace(0, 1)\n"
+        "out = pandas.read_csv('u.csv')\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/b2", [code2], CAT)
+    by_vn = {n["value_names"][0]: n for n in nodes2 if n["value_names"]}
+    df2, a2, b2, out2 = (by_vn[k] for k in ("df", "a", "b", "out"))
+    assert a2["node_number"] in df2["immediately_precedes"]
+    assert b2["node_number"] in df2["immediately_precedes"]
+    assert b2["node_number"] not in a2["immediately_precedes"]
+    # no else: fall-through edge from pre-if frontier to the join
+    assert out2["node_number"] in df2["immediately_precedes"]
+    assert a2["immediately_precedes"] == [out2["node_number"]]
+    assert b2["immediately_precedes"] == [out2["node_number"]]

@@ -102,3 +102,27 @@ def test_pack_property_random_counts(spark):
         for i, n in rows:
             _, _, off, first, strad = ref[i]
             assert got[i] == (off, first, strad), (n_buckets, i)
+
+
+def test_pack_large_id_domain(spark):
+    """shuffle_key past the old int64-wrap point (id >= ~3.47e9, where
+    `id * 2654435761` overflows int64 — ADVICE r3): the split-multiply
+    must equal exact arbitrary-precision math, and packing those ids
+    must match the sequential reference."""
+    from graph4code_spark.operators.packing import shuffle_key
+
+    ids = [17, 3_500_000_000, 2**32 - 1, 2**32 + 5, 2**40 + 7, 2**62 + 3]
+    rows = [(i, 10) for i in ids]
+    df = spark.createDataFrame(rows, "id long, n long")
+    got = {r["id"]: r["k"] for r in df.select("id", shuffle_key(F.col("id")).alias("k")).collect()}
+    assert got == {i: (i % 2**32) * HASH_MULT % 2**32 for i in ids}
+    packed = {
+        r["id"]: (r["global_offset"], r["seq_id"], r["straddles"])
+        for r in pack_sequences(df, "id", "n", seq_len=16).collect()
+    }
+    # arbitrary-precision Python math is the ground truth for the order
+    keyed = sorted(ids, key=lambda i: ((i % 2**32) * HASH_MULT % 2**32, i))
+    off = 0
+    for i in keyed:
+        assert packed[i] == (off, off // 16, (off + 9) // 16 > off // 16), i
+        off += 10
