@@ -12,9 +12,15 @@ The reference probes an Elasticsearch index per catalog entity
   zero shuffle, the vectorized equivalent of the ES index probe.
 - **AND verification** — all required tokens present in the document's
   token set (ES ``operator: AND``).
-- **scoring** — deterministic tf proxy for the ES ``most_fields`` score:
-  total occurrences of required tokens (ties broken by url) — only used
-  to order the per-entity cap.
+- **scoring** — BM25 over the required tokens, the same scoring family
+  ES applies to a single-field ``most_fields`` ``multi_match``
+  (`utils.py:281-292`): Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))`` times
+  the saturated tf, summed over the entity's tokens.  The corpus stats
+  (per-token df, doc count, average field length) that ES keeps in its
+  index are computed by ONE extra corpus pass with a map-side partial
+  aggregate (`corpus_token_stats`) and broadcast — tiny (bounded by the
+  catalog's token vocabulary).  The raw tf sum is kept as the
+  deterministic tiebreak (then url).
 - **cap** — per-entity top-5000 via a rank window (`utils.py:282`);
   this is the one shuffle, keyed by entity.  Hub entities (``fit``) are
   exactly the skewed keys; AQE skew-join/partition splitting plus the cap
@@ -24,6 +30,7 @@ The reference probes an Elasticsearch index per catalog entity
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from typing import Iterator
 
@@ -37,10 +44,77 @@ from graph4code_spark.synth import entity_name, entity_type
 #: reference result cap per entity query (`utils.py:282`)
 ES_RESULT_CAP = 5000
 
+#: Lucene/ES BM25 defaults (the scorer behind `most_fields`)
+BM25_K1, BM25_B = 1.2, 0.75
+
 MENTIONS_SCHEMA = (
     "url string, question_id string, entity string, etype string, "
-    "score int, good_match boolean"
+    "score int, good_match boolean, bm25 double"
 )
+
+
+def bm25_score(tf_by_token: dict, dl: int, stats: "CorpusStats") -> float:
+    """Sum of per-token BM25 contributions — the straight-line formula
+    shared by the Spark UDF and the reference_impl oracle (both CPython,
+    so the doubles are bit-identical on both sides)."""
+    n, avgdl, df = stats.n_docs, stats.avgdl, stats.df
+    s = 0.0
+    # sorted: float summation order must not depend on set/dict hash
+    # order (string hashing is per-process randomized — driver vs
+    # executor would otherwise sum in different orders)
+    for t, tf in sorted(tf_by_token.items()):
+        idf = math.log(1.0 + (n - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5))
+        s += idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+    return s
+
+
+class CorpusStats:
+    """Broadcastable index statistics: per-catalog-token document
+    frequency, document count, average analyzed length."""
+
+    def __init__(self, df: dict, n_docs: int, avgdl: float):
+        self.df, self.n_docs, self.avgdl = df, max(n_docs, 1), max(avgdl, 1.0)
+
+
+def corpus_token_stats(qa: DataFrame, catalog_records: list[dict]) -> CorpusStats:
+    """ONE corpus pass for the stats ES amortizes inside its index:
+    per-doc analyzed length + which catalog tokens the doc contains.
+    The aggregate output is bounded by the catalog token vocabulary
+    (small), so the collect is a few thousand rows regardless of corpus
+    size; in the staged pipeline this runs once and is checkpointed."""
+    entities, _ = build_entity_index(catalog_records)
+    vocab = sorted({t for _, _, _, req in entities for t in req})
+    vocab_set = set(vocab)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, content in zip(pdf["url"], pdf["content"]):
+                toks = analyze(content)
+                out.append((url, len(toks), None))
+                for t in set(toks) & vocab_set:
+                    out.append((url, len(toks), t))
+            yield pd.DataFrame(out, columns=["url", "dl", "tok"])
+
+    raw = qa.select("url", "content").mapInPandas(
+        run, schema="url string, dl int, tok string"
+    )
+    # ONE aggregation job: the NULL-token group carries (n_docs, avgdl),
+    # every other group is a per-token df — map-side partial agg, result
+    # bounded by the catalog vocabulary
+    rows = raw.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c"), F.avg("dl").alias("a")
+    ).collect()
+    df: dict = {}
+    n_docs, avgdl = 0, 0.0
+    for r in rows:
+        if r["tok"] is None:
+            n_docs, avgdl = r["c"], float(r["a"] or 0.0)
+        else:
+            df[r["tok"]] = r["c"]
+    return CorpusStats(df, n_docs, avgdl)
 
 
 def build_entity_index(catalog_records: list[dict]):
@@ -66,13 +140,19 @@ def build_entity_index(catalog_records: list[dict]):
     return entities, index
 
 
-def detect_mentions(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
+def detect_mentions(
+    qa: DataFrame, catalog_records: list[dict], stats: CorpusStats | None = None
+) -> DataFrame:
     """Question documents → candidate (document, entity) links.
 
-    Output: one row per (url, entity) with the AND-match score and the
-    `good_match` verdict. Bad matches are kept (the reference caps before
-    filtering them)."""
+    Output: one row per (url, entity) with the AND-match tf score, the
+    `good_match` verdict, and the BM25 relevance (the ES `most_fields`
+    score the reference caps by).  Bad matches are kept (the reference
+    caps before filtering them).  Without ``stats`` the BM25 column
+    degrades to the raw tf sum (the pre-round-4 proxy) — the full path
+    (`link_entities`) always passes stats."""
     entities, index = build_entity_index(catalog_records)
+    index_keys = frozenset(index)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,23 +161,33 @@ def detect_mentions(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
                 toks = analyze(content)
                 counts = Counter(toks)
                 tokset = set(counts)
+                dl = len(toks)
                 content_lower = content.lower()
                 seen: set[int] = set()
-                for t in tokset:
-                    for ei in index.get(t, ()):
+                # C-level set intersection: probe only the (few) index
+                # keys present instead of dict-probing every doc token
+                for t in index_keys & tokset:
+                    for ei in index[t]:
                         if ei in seen:
                             continue
                         seen.add(ei)
                         name, etype, qualified, required = entities[ei]
                         if required <= tokset:
-                            score = sum(counts[r] for r in required)
+                            tfs = {r: counts[r] for r in required}
+                            score = sum(tfs.values())
+                            rel = (
+                                bm25_score(tfs, dl, stats)
+                                if stats is not None
+                                else float(score)
+                            )
                             out.append(
                                 (url, qid, name, etype, score,
-                                 good_match(content_lower, qualified))
+                                 good_match(content_lower, qualified), rel)
                             )
             yield pd.DataFrame(
                 out,
-                columns=["url", "question_id", "entity", "etype", "score", "good_match"],
+                columns=["url", "question_id", "entity", "etype", "score",
+                         "good_match", "bm25"],
             )
 
     return qa.select("url", "question_id", "content").mapInPandas(
@@ -116,8 +206,13 @@ def cap_per_entity(
     (entity, hash(url) % S) so no single task sees a hub's full row set
     and each bucket keeps ≤ cap rows; phase 2 ranks the ≤ S·cap survivors
     per entity.  Output is identical to the unsalted window (verified by
-    tests); the unsalted path additionally relies on AQE skew splitting."""
-    order = [F.desc("score"), F.asc("url")]
+    tests); the unsalted path additionally relies on AQE skew splitting.
+
+    Ordering: BM25 relevance first (what ES's 5000-hit window keeps,
+    `utils.py:281-292`), raw tf sum then url as deterministic tiebreaks.
+    Links produced without corpus stats carry bm25 == tf, so the legacy
+    ordering is a degenerate case of the same window."""
+    order = [F.desc("bm25"), F.desc("score"), F.asc("url")]
     if salt_buckets > 0:
         salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
         w1 = Window.partitionBy("entity", salt).orderBy(*order)
@@ -148,7 +243,12 @@ def link_entities(
     bounds any task to ≤ cap rows per (entity, salt) bucket.  Output is
     identical to the unsalted window; measured overhead at bench scale
     is ~1%.  Pass ``salt_buckets=0`` to fall back to the plain window
-    (AQE skew splitting only)."""
+    (AQE skew splitting only).
+
+    The cap cut is ordered by BM25 (ES `most_fields` semantics) — the
+    corpus-stats pass runs first and is broadcast into the detection
+    UDF."""
+    stats = corpus_token_stats(qa, catalog_records)
     return cap_per_entity(
-        detect_mentions(qa, catalog_records), cap, salt_buckets=salt_buckets
+        detect_mentions(qa, catalog_records, stats), cap, salt_buckets=salt_buckets
     )

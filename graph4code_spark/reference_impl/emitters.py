@@ -282,7 +282,16 @@ def forum_pipeline_quads(pages_rows, records, forum_prefix) -> set[Quad]:
     """Straight-line simulation of the whole webtext path: parse each page,
     run the per-entity ES-style AND search + cap + good_match loop
     (`utils.py:253-343,573-592`), emit with `forum_quads`.  The golden
-    oracle for the Spark pipeline (tests + driver digest oracle)."""
+    oracle for the Spark pipeline (tests + driver digest oracle).
+
+    The 5000-hit window is ordered by BM25 (k1=1.2, b=0.75, Lucene idf)
+    — the score ES's single-field `most_fields` multi_match actually
+    caps by (`utils.py:281-292`) — computed here straight-line from the
+    whole doc list (df / N / avgdl), independent of the Spark
+    operator's broadcast-stats implementation.  Raw tf then url break
+    ties."""
+    import math as _math
+
     from graph4code_spark.analyzer import analyze, entity_required_tokens, good_match
     from graph4code_spark.reference_impl.qa_oracle import (
         oracle_parse_qa_page as parse_qa_page,
@@ -297,6 +306,16 @@ def forum_pipeline_quads(pages_rows, records, forum_prefix) -> set[Quad]:
         rec = parse_qa_page(r["url"], html)
         if rec:
             docs.append(rec)
+
+    # index statistics, straight-line over every parsed doc
+    doc_toks = [analyze(d["content"]) for d in docs]
+    n_docs = max(len(docs), 1)
+    avgdl = max(sum(len(t) for t in doc_toks) / n_docs, 1.0) if docs else 1.0
+    dfreq: dict = {}
+    for toks in doc_toks:
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+
     out: set[Quad] = set()
     for rec in records:
         name = entity_name(rec)
@@ -308,18 +327,26 @@ def forum_pipeline_quads(pages_rows, records, forum_prefix) -> set[Quad]:
             required = entity_required_tokens(name)
             qualified = name
         hits = []
-        for d in docs:
-            toks = analyze(d["content"])
+        for d, toks in zip(docs, doc_toks):
             tokset = set(toks)
             if required <= tokset:
                 score = sum(1 for t in toks if t in required)
-                hits.append((score, d))
-        hits.sort(key=lambda x: (-x[0], x[1]["url"]))
+                dl = len(toks)
+                rel = 0.0
+                # sorted: same float summation order as the operator
+                # (set iteration order is per-process hash-randomized)
+                for t in sorted(required):
+                    tf = sum(1 for x in toks if x == t)
+                    df_t = dfreq.get(t, 0)
+                    idf = _math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                    rel += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                hits.append((rel, score, d))
+        hits.sort(key=lambda x: (-x[0], -x[1], x[2]["url"]))
         hits = hits[:5000]
         if not hits:
             continue
         matches = []
-        for _, d in hits:
+        for _, _, d in hits:
             matches.append(
                 {
                     "question_id": d["question_id"],

@@ -152,3 +152,34 @@ def test_class_names_reflexive_even_with_outgoing_edges(spark):
     )
     got = {r["name"] for r in classifier_class_names(triples, "m.Base").collect()}
     assert got == {"m.A.", "m.Base."}
+
+
+def test_cap_orders_by_bm25_not_tf(spark):
+    """Hub fixture where BM25 and the old tf-sum proxy disagree on the
+    cap cut (VERDICT r3): doc A repeats the entity's COMMON token (high
+    tf-sum, low idf) while doc B carries extra hits on the RARE token
+    (lower tf-sum, higher idf weight).  ES's `most_fields` 5000-hit
+    window keeps B; the tf proxy would keep A."""
+    from graph4code_spark.operators.linking import corpus_token_stats
+
+    cat = [{"module": "zlib", "klass": None, "function": "zlib.rareword"}]
+    rows = [
+        ("u://a", "1", "zlib zlib zlib zlib zlib rareword"),
+        ("u://b", "2", "zlib rareword rareword"),
+    ] + [(f"u://f{i}", str(i + 3), "zlib") for i in range(20)]
+    qa = spark.createDataFrame(
+        rows, "url string, question_id string, content string"
+    )
+    stats = corpus_token_stats(qa, cat)
+    assert stats.n_docs == 22 and stats.df["zlib"] == 22 and stats.df["rareword"] == 2
+
+    links = detect_mentions(qa, cat, stats).cache()
+    kept_bm25 = [r["url"] for r in cap_per_entity(links, cap=1).collect()]
+    assert kept_bm25 == ["u://b"]
+
+    # the pre-round-4 tf ordering (no stats -> bm25 == tf) keeps A:
+    # proof this fixture actually separates the two orderings
+    tf_links = detect_mentions(qa, cat, None)
+    kept_tf = [r["url"] for r in cap_per_entity(tf_links, cap=1).collect()]
+    assert kept_tf == ["u://a"]
+    links.unpersist()
