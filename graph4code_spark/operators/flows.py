@@ -309,6 +309,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
             var_producer: dict[str, int] = {}   # var -> node number
             var_klass: dict[str, str] = {}      # var -> class name
             var_members: dict[str, list] = {}   # var -> producer node numbers inside a container literal
+            # G4 bound-method candidates: `m = obj.meth` (meth a known
+            # method of obj's class) -> (read_node_num, recv_producer,
+            # method path).  Never explicitly cleared: a fuse is only
+            # valid while var_producer[m] still IS the recorded read
+            # node, so any reassignment self-invalidates the entry.
+            var_bound: dict[str, tuple] = {}
             prev_in_snippet: list[int] = []     # indices of the CFG frontier
             # G5 fork-join subset: one active top-level if/elif/else chain
             # {"pre": frontier before the if, "tails": per-arm frontiers}
@@ -532,7 +538,9 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     path = None
                     produced_klass = None
                     recv_node = None
+                    fused_read = None
                     chain_start = m.start()  # expression start (chain origin)
+                    bound = var_bound.get(cname) if "." not in cname else None
                     if (
                         last_chain is not None
                         and "." not in cname
@@ -548,6 +556,25 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         path = methods_of[last_chain[2]][cname]
                         recv_node = last_chain[1]
                         chain_start = last_chain[3]
+                    elif (
+                        bound is not None
+                        and var_producer.get(cname) == bound[0]
+                        and not nodes[idx_of[bound[0]]]["flows_to"]
+                    ):
+                        # G4 general collapse (`…Engine.java:2069-2112`):
+                        # a standalone property-read node whose SOLE use
+                        # is this invoke's receiver is killed, its
+                        # incoming DATA-0 edges rewired onto the invoke —
+                        # `m = obj.fit; m(X)` produces the same node
+                        # shape as `obj.fit(X)`.  Sole-use is enforced by
+                        # requiring the read node to have no outgoing
+                        # flows yet (a prior use as an argument cancels
+                        # the fuse, like WALA's uses.hasNext() check;
+                        # uses AFTER the invoke are outside the honest
+                        # streaming subset).
+                        path = list(bound[2])
+                        recv_node = bound[1]
+                        fused_read = bound[0]
                     elif cname in by_name:
                         path = by_name[cname]
                         if cname in methods_of:  # class ctor call
@@ -576,6 +603,23 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     line_call_nodes[chain_start] = node["node_number"]
                     line_call_klass[chain_start] = produced_klass
                     # receiver dataflow at ordinal 0 (reference DATA-0)
+                    if fused_read is not None:
+                        # kill the read turtle: drop the producer->read
+                        # DATA-0 edge (removeEdge(y, read_t)); the node
+                        # itself is swept (with a control-chain splice)
+                        # before return
+                        nodes[idx_of[fused_read]]["_dead"] = True
+                        psrc = nodes[idx_of[recv_node]]
+                        kept = [d for d in psrc["flows_to"].get("0", [])
+                                if d != fused_read]
+                        nf = dict(psrc["flows_to"])
+                        if kept:
+                            nf["0"] = kept
+                        else:
+                            nf.pop("0", None)
+                        psrc["flows_to"] = nf
+                        var_bound.pop(cname, None)
+                        var_producer.pop(cname, None)
                     if recv_node is not None:
                         src = nodes[idx_of[recv_node]]
                         src["flows_to"] = _append_flow(src["flows_to"], "0", node["node_number"])
@@ -677,6 +721,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             var_members.pop(v, None)
                             if produced_klass:
                                 var_klass[v] = produced_klass
+                            else:
+                                # G8 receiver-context subset (WALA keys
+                                # receivers by allocation site,
+                                # `…Engine.java:456-486`): a non-ctor
+                                # result REBINDS the variable to a value
+                                # of unknown class — keeping the old
+                                # binding would resolve later `v.meth()`
+                                # against the stale class and cross-wire
+                                # the receiver edge onto this node
+                                var_klass.pop(v, None)
                 # resolve nested-call args now that every call expression
                 # on the line has its (final) node: inner result flows to
                 # the outer call at the arg's source-order ordinal
@@ -762,6 +816,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             var_producer[x] = rnode["node_number"]
                             var_members.pop(x, None)
                             var_klass.pop(x, None)
+                            if arm and field in methods_of.get(
+                                var_klass.get(v, ""), {}
+                            ):
+                                # bound method read: candidate for the
+                                # G4 collapse if `x(...)` turns out to
+                                # be its sole use
+                                var_bound[x] = (
+                                    rnode["node_number"], p,
+                                    methods_of[var_klass[v]][field],
+                                )
                             continue
                     fm = _FOR_RE.match(line)
                     if fm and (fm.group(2) in var_producer or fm.group(2) in var_members):
@@ -870,6 +934,40 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                 local_defs[cur_def["name"]] = cur_def
                 var_producer, var_klass, var_members, prev_in_snippet = outer_env
                 cur_def, outer_env = None, None
+        if any(n.get("_dead") for n in nodes):
+            # sweep G4-collapsed read turtles: splice each dead node out
+            # of the immediatelyPrecedes chain (its predecessors inherit
+            # its successors, transitively through consecutive dead
+            # nodes), then drop it — node numbers keep their gaps, like
+            # the reference graph after removeNodeAndEdges
+            dead = {n["node_number"]: n["immediately_precedes"]
+                    for n in nodes if n.get("_dead")}
+
+            def live_targets(num, seen):
+                out = []
+                for t in dead.get(num, ()):
+                    if t in seen:
+                        continue
+                    seen.add(t)
+                    if t in dead:
+                        out.extend(live_targets(t, seen))
+                    else:
+                        out.append(t)
+                return out
+
+            for n in nodes:
+                if n.get("_dead"):
+                    continue
+                ip = n["immediately_precedes"]
+                if any(d in dead for d in ip):
+                    out = []
+                    for d in ip:
+                        repl = (live_targets(d, {d}) if d in dead else [d])
+                        for t in repl:
+                            if t not in out and t != n["node_number"]:
+                                out.append(t)
+                    n["immediately_precedes"] = out
+            nodes = [n for n in nodes if not n.pop("_dead", False)]
         return nodes
 
 

@@ -474,6 +474,24 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 )
             answers.append((aid, abody, votes))
             continue
+        if a == 0 and special == 11:
+            # round-4 G4/G8 shapes: a bound method (`f = m.fit; f(df)`)
+            # must collapse to the same node shape as `m.fit(df)`, and a
+            # second same-class instance with interleaved calls must not
+            # cross-wire receiver edges (nor may the reassigned `p`
+            # resolve .fit against its stale class)
+            abody += (
+                "<pre><code>import pandas\nimport sklearn\n"
+                "df = pandas.read_csv('g4.csv')\n"
+                "m = sklearn.svm.SVC(1.0)\n"
+                "f = m.fit\n"
+                "r = f(df)\n"
+                "p = sklearn.svm.SVC(2.0)\n"
+                "p = p.predict(df)\n"
+                "p.fit(df)\n</code></pre>"
+            )
+            answers.append((aid, abody, votes))
+            continue
         if a == 0 and special in (3, 4):
             # interprocedural G3 subset: flows through a user-defined def
             if special == 3:

@@ -470,3 +470,93 @@ def test_branch_fork_join_control_flow():
         [a2["node_number"], out2["node_number"]]
     )
     assert a2["immediately_precedes"] == [out2["node_number"]]
+
+
+def test_bound_method_collapse_g4():
+    """G4 general collapse (`PythonTurtleAnalysisEngine.java:2069-2112`):
+    `m = obj.fit; m(X)` yields the same node shape as `obj.fit(X)` — the
+    standalone property-read turtle is killed and its incoming DATA-0
+    edge rewired onto the invoke.  A read with another use (argument)
+    is NOT collapsed, matching WALA's sole-use check; a reassigned
+    binding never fuses."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    bound = (
+        "import pandas\nimport sklearn\n"
+        "d = pandas.read_csv('t.csv')\n"
+        "m = sklearn.svm.SVC(1)\n"
+        "f = m.fit\n"
+        "f(d)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/1", [bound], cat)
+    paths = [".".join(n["path"]) for n in nodes]
+    # the read turtle is gone; exactly one fit node remains
+    assert paths.count("sklearn.svm.SVC.fit") == 1
+    by_path = {".".join(n["path"]): n for n in nodes}
+    svc, fit = by_path["sklearn.svm.SVC"], by_path["sklearn.svm.SVC.fit"]
+    read_csv = by_path["pandas.read_csv"]
+    assert svc["flows_to"]["0"] == [fit["node_number"]]        # receiver rewired
+    assert read_csv["flows_to"]["1"] == [fit["node_number"]]   # call-site arg
+    assert not fit["reads"]
+    # control chain spliced across the killed node
+    assert svc["immediately_precedes"] == [fit["node_number"]]
+
+    # non-sole use cancels the fuse: read node survives, f(d) unresolved
+    arg_use = (
+        "import pandas\nimport sklearn\n"
+        "d = pandas.read_csv('t.csv')\n"
+        "m = sklearn.svm.SVC(1)\n"
+        "f = m.fit\n"
+        "z = pandas.read_csv(f)\n"
+        "f(d)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/2", [arg_use], cat)
+    fits = [n for n in nodes2 if ".".join(n["path"]) == "sklearn.svm.SVC.fit"]
+    assert len(fits) == 1 and fits[0]["reads"]  # still the read turtle
+
+
+def test_reassigned_method_result_clears_klass_g8():
+    """G8 receiver-context subset: after `p = p.predict(a)` the variable
+    no longer holds an SVC instance, so `p.fit(a)` must not resolve
+    against the stale class (it used to cross-wire a fit node onto the
+    predict result)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "a = pandas.read_csv('t.csv')\n"
+        "p = sklearn.svm.SVC(1)\n"
+        "p = p.predict(a)\n"
+        "p.fit(a)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    paths = [".".join(n["path"]) for n in nodes]
+    assert "sklearn.svm.SVC.predict" in paths
+    assert "sklearn.svm.SVC.fit" not in paths
+
+    # two same-class instances with interleaved calls stay separated
+    code2 = (
+        "import pandas\nimport sklearn\n"
+        "a = pandas.read_csv('x.csv')\n"
+        "b = pandas.read_csv('y.csv')\n"
+        "m1 = sklearn.svm.SVC(1)\n"
+        "m2 = sklearn.svm.SVC(2)\n"
+        "m1.fit(a)\n"
+        "m2.fit(b)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/2", [code2], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes2 if n["value_names"]}
+    fits = sorted(
+        n["node_number"] for n in nodes2
+        if ".".join(n["path"]) == "sklearn.svm.SVC.fit"
+    )
+    assert by_vn["m1"]["flows_to"]["0"] == [fits[0]]
+    assert by_vn["m2"]["flows_to"]["0"] == [fits[1]]

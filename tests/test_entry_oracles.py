@@ -49,7 +49,7 @@ def test_oracle_parity(spark, con, name):
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    odf = con.sql(entry_mod.oracle_sql()[name])
+    odf = con.sql(entry_mod.oracle_sql_full()[name])
     o_cols = list(odf.columns)
     o_rows = odf.fetchall()
 

@@ -183,3 +183,70 @@ def test_cap_orders_by_bm25_not_tf(spark):
     kept_tf = [r["url"] for r in cap_per_entity(tf_links, cap=1).collect()]
     assert kept_tf == ["u://a"]
     links.unpersist()
+
+
+def test_cross_graph_node_reuse_stress(spark):
+    """VERDICT r3 #7: the same `se<n>` node URIs repeated across 120
+    graphs with CONFLICTING labels/args/about-values.  Every node-level
+    join in the usage queries must key on (node, graph); joining on the
+    URI alone would cross-wire the even-graph ClsA facts with the
+    odd-graph ClsB facts."""
+    from graph4code_spark.plans.queries import (
+        fit_predict_pairs,
+        hyperparameter_distributions,
+        single_model_fits,
+    )
+    from graph4code_spark.uris import PREFIXES
+
+    py, rdfs, schema, sio = (
+        PREFIXES["py"], PREFIXES["rdfs"], PREFIXES["schema"], PREFIXES["sio"]
+    )
+    flows = "http://purl.org/twc/graph4code/flowsTo"
+    mixin = py + "sklearn.base.ClassifierMixin"
+    doc_g = "http://docs"
+    rows = [
+        (py + "modA.ClsA", rdfs + "subClassOf", mixin, False, None, None, doc_g),
+        (py + "modB.ClsB", rdfs + "subClassOf", mixin, False, None, None, doc_g),
+        (py + "modA.ClsA", rdfs + "label", "modA.ClsA", True, None, None, doc_g),
+        (py + "modB.ClsB", rdfs + "label", "modB.ClsB", True, None, None, doc_g),
+        (mixin, rdfs + "label", "sklearn.base.ClassifierMixin", True, None, None, doc_g),
+    ]
+    loc = '{"firstLine": 3, "lastLine": 3}'
+    for i in range(120):
+        g = f"http://g/{i}"
+        if i % 2 == 0:  # ClsA ctor feeding a fit call
+            rows += [
+                ("se1", rdfs + "label", "modA.ClsA.", True, None, None, g),
+                ("se1", sio + "SIO_000230", "1", True, None, "k", g),
+                ("se1", flows, "se2", False, 0, None, g),
+                ("se2", schema + "about", "fit", True, None, None, g),
+                ("se2", schema + "text", "m.fit(x)", True, None, None, g),
+                ("se2", sio + "SIO_000061", loc, True, None, None, g),
+            ]
+        else:  # SAME node URIs, conflicting facts: ClsB feeding predict
+            rows += [
+                ("se1", rdfs + "label", "modB.ClsB.", True, None, None, g),
+                ("se1", sio + "SIO_000230", "2", True, None, "k", g),
+                ("se1", flows, "se2", False, 0, None, g),
+                ("se2", schema + "about", "predict", True, None, None, g),
+            ]
+    tri = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, is_literal boolean, "
+        "arg_pos int, arg_name string, graph string",
+    )
+
+    dist = {
+        (r["name"], r["param"], r["value"]): r["n"]
+        for r in hyperparameter_distributions(tri, "sklearn.base.ClassifierMixin").collect()
+    }
+    assert dist == {("modA.ClsA", "k", "1"): 60, ("modB.ClsB", "k", "2"): 60}
+
+    fits = single_model_fits(tri, "sklearn.base.ClassifierMixin").collect()
+    assert len(fits) == 60
+    assert {r["cls_name"] for r in fits} == {"modA.ClsA"}
+    assert {r["graph"] for r in fits} == {f"http://g/{i}" for i in range(0, 120, 2)}
+
+    # no graph contains BOTH a fit and a predict — any row here means a
+    # cross-graph wire
+    assert fit_predict_pairs(tri, "sklearn.base.ClassifierMixin").count() == 0
