@@ -315,6 +315,20 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
             # valid while var_producer[m] still IS the recorded read
             # node, so any reassignment self-invalidates the entry.
             var_bound: dict[str, tuple] = {}
+            # G8 members subset: node number -> class it constructs.
+            # Append-only and keyed by the immutable node number, so it
+            # can never go stale (unlike variable-keyed class bindings);
+            # lets method calls resolve through containers/loops whose
+            # members are tracked ctor results (`for m in models:
+            # m.fit(x)` — WALA's union points-to receiver).
+            node_klass: dict[int, str] = {}
+            # vars holding an ELEMENT of a container (for-loop targets
+            # and their aliases) — only these may resolve methods via
+            # members: the container variable itself is a list, not an
+            # instance (`ms.fit(x)` must stay unresolved).  A fuse is
+            # valid only while var_members[v] still equals the recorded
+            # element list, so rebinds self-invalidate.
+            var_elem: dict[str, list] = {}
             prev_in_snippet: list[int] = []     # indices of the CFG frontier
             # G5 fork-join subset: one active top-level if/elif/else chain
             # {"pre": frontier before the if, "tails": per-arm frontiers}
@@ -538,6 +552,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     path = None
                     produced_klass = None
                     recv_node = None
+                    recv_members: list[int] | None = None
                     fused_read = None
                     chain_start = m.start()  # expression start (chain origin)
                     bound = var_bound.get(cname) if "." not in cname else None
@@ -584,6 +599,25 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         if recv in var_klass and meth in methods_of.get(var_klass[recv], {}):
                             path = methods_of[var_klass[recv]][meth]
                             recv_node = var_producer.get(recv)
+                        elif (
+                            recv in var_elem
+                            and var_members.get(recv) == var_elem[recv]
+                        ):
+                            # G8 members: a loop ELEMENT whose tracked
+                            # members all construct the SAME class
+                            # resolves the method against it; the
+                            # invoke gets a DATA-0 edge from EVERY
+                            # member (union points-to receiver).
+                            # Heterogeneous member classes stay outside
+                            # the honest subset.
+                            klss = {node_klass.get(p) for p in var_members[recv]}
+                            if len(klss) == 1:
+                                kls = klss.pop()
+                                if kls is not None and meth in methods_of.get(kls, {}):
+                                    path = methods_of[kls][meth]
+                                    recv_members = list(
+                                        dict.fromkeys(var_members[recv])
+                                    )
                     if path is None and "." not in cname:
                         # suffix match: bare class/func tail used after
                         # import — O(1) probe of the precomputed tail index
@@ -623,6 +657,14 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     if recv_node is not None:
                         src = nodes[idx_of[recv_node]]
                         src["flows_to"] = _append_flow(src["flows_to"], "0", node["node_number"])
+                    elif recv_members:
+                        for p in recv_members:
+                            src = nodes[idx_of[p]]
+                            src["flows_to"] = _append_flow(
+                                src["flows_to"], "0", node["node_number"]
+                            )
+                    if produced_klass:
+                        node_klass[node["node_number"]] = produced_klass
                     # args: constants + variable dataflow (receiver=0 ⇒ args 1..n)
                     argtext = _call_args(line, m)
                     close = m.end() + len(argtext)  # index of the ')'
@@ -751,6 +793,31 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         if rnum is not None:
                             cur_def["ret"] = rnum
                             cur_def["ret_klass"] = line_call_klass.get(rx.start(1))
+                # container literal whose members are CALLS:
+                # `ms = [SVC(1), SVC(2)]` — the lhs is a container, not
+                # the last call's value; binding it as a call result
+                # (producer = last ctor, class = SVC) is exactly the
+                # G8 cross-wire (`ms.fit(x)` would resolve against a
+                # list).  Rebind the lhs as members: tracked variable
+                # parts + every top-level call node on the line.
+                if made_call_node:
+                    cm_call = _CONTAINER_RE.match(line)
+                    if cm_call:
+                        members = []
+                        for part in _split_args(cm_call.group(2)):
+                            val = part.split(":", 1)[-1].strip() if ":" in part else part
+                            if val in var_producer:
+                                members.append(var_producer[val])
+                        inner_starts = {s for s, _, _ in pending_nested}
+                        members.extend(
+                            num for start, num in line_call_nodes.items()
+                            if start not in inner_starts
+                        )
+                        v = cm_call.group(1)
+                        if members:
+                            var_members[v] = list(dict.fromkeys(members))
+                            var_producer.pop(v, None)
+                            var_klass.pop(v, None)
                 # container-literal assignment: v = [a, b] / (a, b) /
                 # {'k': a} — remember which tracked producers flow into
                 # the container so a later call taking v sees them
@@ -839,6 +906,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                                     else list(var_members[fm.group(2)]))
                         for v in (t.strip() for t in fm.group(1).split(",")):
                             var_members[v] = list(src_list)
+                            var_elem[v] = var_members[v]
                             var_producer.pop(v, None)
                             var_klass.pop(v, None)
                         continue
@@ -885,6 +953,10 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                                 var_klass.pop(v, None)
                         else:
                             var_members[v] = list(var_members[rhs])
+                            if rhs in var_elem and var_members.get(rhs) == var_elem[rhs]:
+                                var_elem[v] = var_members[v]
+                            else:
+                                var_elem.pop(v, None)
                             var_producer.pop(v, None)
                             var_klass.pop(v, None)
                     elif bm:

@@ -488,7 +488,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "r = f(df)\n"
                 "p = sklearn.svm.SVC(2.0)\n"
                 "p = p.predict(df)\n"
-                "p.fit(df)\n</code></pre>"
+                "p.fit(df)\n"
+                "ms = [sklearn.svm.SVC(3.0), sklearn.svm.SVC(4.0)]\n"
+                "for mm in ms:\n"
+                "    rr = mm.fit(df)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

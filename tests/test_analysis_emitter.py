@@ -560,3 +560,50 @@ def test_reassigned_method_result_clears_klass_g8():
     )
     assert by_vn["m1"]["flows_to"]["0"] == [fits[0]]
     assert by_vn["m2"]["flows_to"]["0"] == [fits[1]]
+
+
+def test_container_loop_receiver_g8_members():
+    """G8 members subset: a container/loop target whose tracked members
+    all construct the SAME class resolves method calls against it, with
+    a DATA-0 edge from EVERY member (union points-to receiver); a
+    container of calls binds the lhs as MEMBERS, never as the last
+    call's value; heterogeneous member classes stay unresolved."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "ms = [sklearn.svm.SVC(3.0), sklearn.svm.SVC(4.0)]\n"
+        "for mm in ms:\n"
+        "    rr = mm.fit(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    svcs = [n for n in nodes if ".".join(n["path"]) == "sklearn.svm.SVC"]
+    fits = [n for n in nodes if ".".join(n["path"]) == "sklearn.svm.SVC.fit"]
+    assert len(svcs) == 2 and len(fits) == 1
+    fit_num = fits[0]["node_number"]
+    for s in svcs:
+        assert s["flows_to"]["0"] == [fit_num]
+
+    # the container itself must NOT be callable as an instance
+    code2 = (
+        "import sklearn\n"
+        "ms = [sklearn.svm.SVC(1.0), sklearn.svm.SVC(2.0)]\n"
+        "ms.fit(x)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/2", [code2], cat)
+    assert not [n for n in nodes2 if n["path"][-1] == "fit"]
+
+    # heterogeneous members: outside the honest subset, no fit node
+    code3 = (
+        "import sklearn\n"
+        "ms = [sklearn.svm.SVC(1.0), sklearn.linear_model.LinearRegression()]\n"
+        "for mm in ms:\n"
+        "    rr = mm.fit(x)\n"
+    )
+    nodes3 = extract_page_flow_nodes("http://q/3", [code3], cat)
+    assert not [n for n in nodes3 if n["path"][-1] == "fit"]
