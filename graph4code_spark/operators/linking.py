@@ -38,7 +38,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graph4code_spark.analyzer import analyze, entity_required_tokens, good_match
+from graph4code_spark.analyzer import (
+    _PARTS,
+    analyze_joined,
+    entity_required_tokens,
+    must_terms,
+)
 from graph4code_spark.synth import entity_name, entity_type
 
 #: reference result cap per entity query (`utils.py:282`)
@@ -92,10 +97,14 @@ def corpus_token_stats(qa: DataFrame, catalog_records: list[dict]) -> CorpusStat
         for pdf in batches:
             out = []
             for url, content in zip(pdf["url"], pdf["content"]):
-                toks = analyze(content)
-                out.append((url, len(toks), None))
-                for t in set(toks) & vocab_set:
-                    out.append((url, len(toks), t))
+                # raw findall + case-fold distinct keys only (same token
+                # semantics as `analyze`; ~3× fewer .lower() calls)
+                toks = _PARTS.findall(content)
+                dl = len(toks)
+                out.append((url, dl, None))
+                seen_toks = {k.lower() for k in set(toks)}
+                for t in seen_toks & vocab_set:
+                    out.append((url, dl, t))
             yield pd.DataFrame(out, columns=["url", "dl", "tok"])
 
     raw = qa.select("url", "content").mapInPandas(
@@ -150,18 +159,47 @@ def detect_mentions(
     score the reference caps by).  Bad matches are kept (the reference
     caps before filtering them).  Without ``stats`` the BM25 column
     degrades to the raw tf sum (the pre-round-4 proxy) — the full path
-    (`link_entities`) always passes stats."""
+    (`link_entities`) always passes stats.
+
+    Everything loop-invariant is hoisted to UDF-construction time and
+    shipped in the broadcast closure: per-token Lucene idf (stats are
+    frozen for the run), per-entity sorted required-token tuples, and
+    per-entity must-term pairs for `good_match`.  The per-candidate
+    float expressions are kept textually identical to `bm25_score` (and
+    to the straight-line reference_impl oracle) — same operand order,
+    same summation order (sorted tokens) — so hoisting is bit-exact."""
     entities, index = build_entity_index(catalog_records)
     index_keys = frozenset(index)
+    # loop-invariant precomputation (idf depends only on the frozen stats)
+    idf: dict[str, float] = {}
+    if stats is not None:
+        n, davg, dfm = stats.n_docs, stats.avgdl, stats.df
+        for t in {tok for _, _, _, req in entities for tok in req}:
+            idf[t] = math.log(1.0 + (n - dfm.get(t, 0) + 0.5) / (dfm.get(t, 0) + 0.5))
+    k1p1 = BM25_K1 + 1.0
+    # per-entity: (name, etype, sorted required tuple, required set,
+    #              [(must_lower, must_analyzed)] for good_match)
+    prepped = []
+    for name, etype, qualified, required in entities:
+        musts = [(m.lower(), analyze_joined(m)) for m in must_terms(qualified)]
+        prepped.append((name, etype, tuple(sorted(required)), required, musts))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for url, qid, content in zip(pdf["url"], pdf["question_id"], pdf["content"]):
-                toks = analyze(content)
-                counts = Counter(toks)
-                tokset = set(counts)
+                toks = _PARTS.findall(content)
                 dl = len(toks)
+                # count raw tokens in the C fast path, then case-fold only
+                # the distinct keys (~3× fewer .lower() calls than per-token)
+                counts: dict[str, int] = {}
+                for k, v in Counter(toks).items():
+                    lk = k.lower()
+                    counts[lk] = counts.get(lk, 0) + v
+                tokset = counts.keys()
+                # identical expression/order to bm25_score's denominator
+                kden = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / stats.avgdl) \
+                    if stats is not None else 0.0
                 content_lower = content.lower()
                 seen: set[int] = set()
                 # C-level set intersection: probe only the (few) index
@@ -171,18 +209,25 @@ def detect_mentions(
                         if ei in seen:
                             continue
                         seen.add(ei)
-                        name, etype, qualified, required = entities[ei]
+                        name, etype, req_sorted, required, musts = prepped[ei]
                         if required <= tokset:
-                            tfs = {r: counts[r] for r in required}
-                            score = sum(tfs.values())
-                            rel = (
-                                bm25_score(tfs, dl, stats)
-                                if stats is not None
-                                else float(score)
+                            score = 0
+                            rel = 0.0
+                            if stats is not None:
+                                for r in req_sorted:
+                                    tf = counts[r]
+                                    score += tf
+                                    rel += idf[r] * (tf * k1p1) / (tf + kden)
+                            else:
+                                for r in req_sorted:
+                                    score += counts[r]
+                                rel = float(score)
+                            gm = all(
+                                ml in content_lower or mj in content_lower
+                                for ml, mj in musts
                             )
                             out.append(
-                                (url, qid, name, etype, score,
-                                 good_match(content_lower, qualified), rel)
+                                (url, qid, name, etype, score, gm, rel)
                             )
             yield pd.DataFrame(
                 out,
