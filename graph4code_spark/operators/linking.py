@@ -290,10 +290,139 @@ def link_entities(
     is ~1%.  Pass ``salt_buckets=0`` to fall back to the plain window
     (AQE skew splitting only).
 
-    The cap cut is ordered by BM25 (ES `most_fields` semantics) — the
-    corpus-stats pass runs first and is broadcast into the detection
-    UDF."""
-    stats = corpus_token_stats(qa, catalog_records)
-    return cap_per_entity(
-        detect_mentions(qa, catalog_records, stats), cap, salt_buckets=salt_buckets
+    The cap cut is ordered by BM25 (ES `most_fields` semantics).
+
+    **Single-tokenization plan** (round 4): the naive composition
+    (`corpus_token_stats` then `detect_mentions`) tokenizes every page
+    TWICE — once for the index statistics, once for detection.  ES
+    amortizes both in its inverted index; the Spark-native analogue is
+    one heavy scan that emits BOTH the per-doc stats contributions and
+    the AND-matched candidates with their term-frequency vectors, cached
+    as a small intermediate (no page content in it).  The global stats
+    are then aggregated JVM-side and broadcast into a *light* rescoring
+    pass over candidates only (~a few rows per page, a few floats each).
+    BM25 stays in CPython on both passes' data with the exact
+    `bm25_score` expressions and sorted-token summation order, so the
+    result is bit-identical to the two-pass composition (and to the
+    straight-line reference_impl oracle)."""
+    entities, index = build_entity_index(catalog_records)
+    index_keys = frozenset(index)
+    vocab_set = {t for _, _, _, req in entities for t in req}
+    req_sorted_by_id = [tuple(sorted(req)) for _, _, _, req in entities]
+    musts_by_id = [
+        [(m.lower(), analyze_joined(m)) for m in must_terms(qualified)]
+        for _, _, qualified, _ in entities
+    ]
+
+    scan_schema = (
+        "url string, question_id string, dl int, tok string, "
+        "entity_id int, tfs array<int>, gm boolean"
     )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, qid, content in zip(pdf["url"], pdf["question_id"], pdf["content"]):
+                toks = _PARTS.findall(content)
+                dl = len(toks)
+                counts: dict[str, int] = {}
+                for k, v in Counter(toks).items():
+                    lk = k.lower()
+                    counts[lk] = counts.get(lk, 0) + v
+                tokset = counts.keys()
+                # stats contributions: one anchor row (N, avgdl) + one
+                # row per catalog-vocab token present (df)
+                out.append((url, qid, dl, None, None, None, None))
+                for t in vocab_set & tokset:
+                    out.append((url, qid, dl, t, None, None, None))
+                content_lower = content.lower()
+                seen: set[int] = set()
+                for t in index_keys & tokset:
+                    for ei in index[t]:
+                        if ei in seen:
+                            continue
+                        seen.add(ei)
+                        required = entities[ei][3]
+                        if required <= tokset:
+                            tfs = [counts[r] for r in req_sorted_by_id[ei]]
+                            gm = all(
+                                ml in content_lower or mj in content_lower
+                                for ml, mj in musts_by_id[ei]
+                            )
+                            out.append((url, qid, dl, None, ei, tfs, gm))
+            yield pd.DataFrame(
+                out,
+                columns=["url", "question_id", "dl", "tok",
+                         "entity_id", "tfs", "gm"],
+            )
+
+    # Materialize the scan ONCE: the stats aggregation and the rescore
+    # pass both read it.  localCheckpoint (not .cache()) so the blocks
+    # are freed by the ContextCleaner when the result DataFrame is
+    # dropped — repeated invocations in one session (bench ladders)
+    # don't accumulate entries in the cache registry.  In the staged
+    # pipeline this boundary is a parquet checkpoint (plans/pipeline.py),
+    # which is the cluster-grade equivalent.
+    scanned = (
+        qa.select("url", "question_id", "content")
+        .mapInPandas(scan, schema=scan_schema)
+        .localCheckpoint(eager=True)
+    )
+
+    # global index statistics: ONE tiny aggregation over the stats rows
+    # (bounded by the catalog vocabulary), exactly as corpus_token_stats
+    rows = (
+        scanned.where(F.col("entity_id").isNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"), F.avg("dl").alias("a"))
+        .collect()
+    )
+    dfreq: dict = {}
+    n_docs, avgdl = 0, 0.0
+    for r in rows:
+        if r["tok"] is None:
+            n_docs, avgdl = r["c"], float(r["a"] or 0.0)
+        else:
+            dfreq[r["tok"]] = r["c"]
+    stats = CorpusStats(dfreq, n_docs, avgdl)
+
+    # light rescoring pass: candidates only, no page content
+    n, davg, dfm = stats.n_docs, stats.avgdl, stats.df
+    idf = {
+        t: math.log(1.0 + (n - dfm.get(t, 0) + 0.5) / (dfm.get(t, 0) + 0.5))
+        for t in vocab_set
+    }
+    k1p1 = BM25_K1 + 1.0
+    meta_by_id = [(name, etype) for name, etype, _, _ in entities]
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, qid, dl, ei, tfs, gm in zip(
+                pdf["url"], pdf["question_id"], pdf["dl"],
+                pdf["entity_id"], pdf["tfs"], pdf["gm"],
+            ):
+                # identical expression/order to bm25_score (dl back to a
+                # Python int so every operand is a plain double)
+                dl = int(dl)
+                kden = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / davg)
+                name, etype = meta_by_id[ei]
+                score = 0
+                rel = 0.0
+                for r, tf in zip(req_sorted_by_id[ei], tfs):
+                    tf = int(tf)
+                    score += tf
+                    rel += idf[r] * (tf * k1p1) / (tf + kden)
+                out.append((url, qid, name, etype, score, bool(gm), rel))
+            yield pd.DataFrame(
+                out,
+                columns=["url", "question_id", "entity", "etype", "score",
+                         "good_match", "bm25"],
+            )
+
+    links = (
+        scanned.where(F.col("entity_id").isNotNull())
+        .select("url", "question_id", "dl", "entity_id", "tfs", "gm")
+        .mapInPandas(rescore, schema=MENTIONS_SCHEMA)
+    )
+    return cap_per_entity(links, cap, salt_buckets=salt_buckets)
