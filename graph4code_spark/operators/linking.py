@@ -316,12 +316,27 @@ def link_entities(
 
     scan_schema = (
         "url string, question_id string, dl int, tok string, "
-        "entity_id int, tfs array<int>, gm boolean"
+        "cnt long, sumdl long, entity_id int, tfs array<int>, gm boolean"
     )
+    cols = ["url", "question_id", "dl", "tok", "cnt", "sumdl",
+            "entity_id", "tfs", "gm"]
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            # candidate columns (one row per AND-matched (doc, entity))
+            c_url: list = []
+            c_qid: list = []
+            c_dl: list = []
+            c_ei: list = []
+            c_tfs: list = []
+            c_gm: list = []
+            # map-side partial index statistics: per-token df plus the
+            # batch (doc count, summed length) anchor — the classic
+            # partial-aggregate move, done where the content already is
+            # so only O(vocab) stats rows leave the scan
+            df_part: dict[str, int] = {}
+            n_b = 0
+            sumdl_b = 0
             for url, qid, content in zip(pdf["url"], pdf["question_id"], pdf["content"]):
                 toks = _PARTS.findall(content)
                 dl = len(toks)
@@ -330,11 +345,10 @@ def link_entities(
                     lk = k.lower()
                     counts[lk] = counts.get(lk, 0) + v
                 tokset = counts.keys()
-                # stats contributions: one anchor row (N, avgdl) + one
-                # row per catalog-vocab token present (df)
-                out.append((url, qid, dl, None, None, None, None))
+                n_b += 1
+                sumdl_b += dl
                 for t in vocab_set & tokset:
-                    out.append((url, qid, dl, t, None, None, None))
+                    df_part[t] = df_part.get(t, 0) + 1
                 content_lower = content.lower()
                 seen: set[int] = set()
                 for t in index_keys & tokset:
@@ -344,17 +358,31 @@ def link_entities(
                         seen.add(ei)
                         required = entities[ei][3]
                         if required <= tokset:
-                            tfs = [counts[r] for r in req_sorted_by_id[ei]]
-                            gm = all(
+                            c_url.append(url)
+                            c_qid.append(qid)
+                            c_dl.append(dl)
+                            c_ei.append(ei)
+                            c_tfs.append([counts[r] for r in req_sorted_by_id[ei]])
+                            c_gm.append(all(
                                 ml in content_lower or mj in content_lower
                                 for ml, mj in musts_by_id[ei]
-                            )
-                            out.append((url, qid, dl, None, ei, tfs, gm))
-            yield pd.DataFrame(
-                out,
-                columns=["url", "question_id", "dl", "tok",
-                         "entity_id", "tfs", "gm"],
-            )
+                            ))
+            nc, ns = len(c_url), len(df_part) + 1
+            # typed nullable columns (not object) — cheaper Arrow path
+            yield pd.DataFrame({
+                "url": pd.array(c_url + [None] * ns, dtype="string"),
+                "question_id": pd.array(c_qid + [None] * ns, dtype="string"),
+                "dl": pd.array(c_dl + [None] * ns, dtype="Int32"),
+                "tok": pd.array([None] * nc + list(df_part) + [None],
+                                dtype="string"),
+                "cnt": pd.array([None] * nc + list(df_part.values()) + [n_b],
+                                dtype="Int64"),
+                "sumdl": pd.array([None] * (nc + ns - 1) + [sumdl_b],
+                                  dtype="Int64"),
+                "entity_id": pd.array(c_ei + [None] * ns, dtype="Int32"),
+                "tfs": c_tfs + [None] * ns,
+                "gm": pd.array(c_gm + [None] * ns, dtype="boolean"),
+            }, columns=cols)
 
     # Materialize the scan ONCE: the stats aggregation and the rescore
     # pass both read it.  localCheckpoint (not .cache()) so the blocks
@@ -369,22 +397,24 @@ def link_entities(
         .localCheckpoint(eager=True)
     )
 
-    # global index statistics: ONE tiny aggregation over the stats rows
-    # (bounded by the catalog vocabulary), exactly as corpus_token_stats
+    # global index statistics: ONE tiny aggregation over the partial
+    # stats rows (bounded by catalog vocabulary × batches).  Exact-int
+    # sums; avgdl = total_dl / n_docs is the same double as Spark's
+    # avg-over-ints in corpus_token_stats (long sum, one final divide).
     rows = (
         scanned.where(F.col("entity_id").isNull())
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"), F.avg("dl").alias("a"))
+        .agg(F.sum("cnt").alias("c"), F.sum("sumdl").alias("s"))
         .collect()
     )
     dfreq: dict = {}
-    n_docs, avgdl = 0, 0.0
+    n_docs, total_dl = 0, 0
     for r in rows:
         if r["tok"] is None:
-            n_docs, avgdl = r["c"], float(r["a"] or 0.0)
+            n_docs, total_dl = int(r["c"] or 0), int(r["s"] or 0)
         else:
-            dfreq[r["tok"]] = r["c"]
-    stats = CorpusStats(dfreq, n_docs, avgdl)
+            dfreq[r["tok"]] = int(r["c"])
+    stats = CorpusStats(dfreq, n_docs, (total_dl / n_docs) if n_docs else 0.0)
 
     # light rescoring pass: candidates only, no page content
     n, davg, dfm = stats.n_docs, stats.avgdl, stats.df
@@ -395,30 +425,46 @@ def link_entities(
     k1p1 = BM25_K1 + 1.0
     meta_by_id = [(name, etype) for name, etype, _, _ in entities]
 
+    out_cols = ["url", "question_id", "entity", "etype", "score",
+                "good_match", "bm25"]
+
     def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            out = []
-            for url, qid, dl, ei, tfs, gm in zip(
-                pdf["url"], pdf["question_id"], pdf["dl"],
-                pdf["entity_id"], pdf["tfs"], pdf["gm"],
-            ):
-                # identical expression/order to bm25_score (dl back to a
-                # Python int so every operand is a plain double)
-                dl = int(dl)
-                kden = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / davg)
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype=object) for c in out_cols},
+                    columns=out_cols)
+                continue
+            # vectorized per entity group: same per-term IEEE expression
+            # and the same sorted-token accumulation order as bm25_score
+            # (rel starts 0.0, += one term per token column), so every
+            # double is bit-identical to the scalar loop
+            dl_all = pdf["dl"].to_numpy(dtype=np.float64)
+            kden_all = BM25_K1 * (1.0 - BM25_B + BM25_B * dl_all / davg)
+            ei_all = pdf["entity_id"].to_numpy(dtype=np.int64)
+            parts = []
+            for ei in np.unique(ei_all):
+                m = ei_all == ei
+                ei = int(ei)
+                T = np.array(list(pdf["tfs"].to_numpy()[m]), dtype=np.float64)
+                kd = kden_all[m]
+                rel = np.zeros(T.shape[0], dtype=np.float64)
+                for j, r in enumerate(req_sorted_by_id[ei]):
+                    tf = T[:, j]
+                    rel += idf[r] * (tf * k1p1) / (tf + kd)
                 name, etype = meta_by_id[ei]
-                score = 0
-                rel = 0.0
-                for r, tf in zip(req_sorted_by_id[ei], tfs):
-                    tf = int(tf)
-                    score += tf
-                    rel += idf[r] * (tf * k1p1) / (tf + kden)
-                out.append((url, qid, name, etype, score, bool(gm), rel))
-            yield pd.DataFrame(
-                out,
-                columns=["url", "question_id", "entity", "etype", "score",
-                         "good_match", "bm25"],
-            )
+                parts.append(pd.DataFrame({
+                    "url": pdf["url"].to_numpy()[m],
+                    "question_id": pdf["question_id"].to_numpy()[m],
+                    "entity": name,
+                    "etype": etype,
+                    "score": T.sum(axis=1).astype(np.int32),
+                    "good_match": pdf["gm"].to_numpy()[m].astype(bool),
+                    "bm25": rel,
+                }, columns=out_cols))
+            yield pd.concat(parts, ignore_index=True)
 
     links = (
         scanned.where(F.col("entity_id").isNotNull())
