@@ -1639,6 +1639,69 @@ def _oracle_media_features() -> str:
     )
 
 
+def q_semforms_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semForms-analogue expression mining (adjacent subsystem,
+    `/root/reference/semForms/automl_eval/semforms.py:54-78`): observed
+    data-wrangling assignments are normalized (receiver variable →
+    ``df``), counted across the corpus, and the top-10 labeled
+    ``expr0..expr9`` — the reference's ``code2count`` → sort → truncate
+    → name loop, restated as hash-aggregate + TakeOrdered.
+
+    The per-doc observed assignment is synthesized deterministically
+    from the document's own tokens (column names) and doc_id (receiver
+    variable + operator choice), identically in the SQL oracle — the
+    real *extraction* half (read/write tracking through dataflow) lives
+    in `operators/flows.py`; this query exercises the *mining* half on
+    table-shaped input."""
+    from graph4code_spark.operators.expressions import mine_expressions
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = F.col("doc_id")
+    recv = F.concat(F.lit("v"), (d % 7).cast("string"))
+    tgt = F.element_at(toks, (F.lit(1) + d % 3).cast("int"))
+    a = F.element_at(toks, (F.lit(4) + d % 2).cast("int"))
+    b = F.element_at(toks, (F.lit(7) + d % 3).cast("int"))
+    op = (
+        F.when(d % 3 == 0, F.lit("/"))
+        .when(d % 3 == 1, F.lit("*"))
+        .otherwise(F.lit("-"))
+    )
+    code = F.concat(
+        recv, F.lit("['"), tgt, F.lit("'] = "),
+        recv, F.lit("['"), a, F.lit("'] "), op, F.lit(" "),
+        recv, F.lit("['"), b, F.lit("']"),
+    )
+    obs = docs.where(F.size(toks) >= 9).select(code.alias("code"))
+    return mine_expressions(obs)
+
+
+def _oracle_semforms_expressions() -> str:
+    return r"""
+WITH obs AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         'v' || CAST(doc_id % 7 AS VARCHAR) AS recv,
+         CASE doc_id % 3 WHEN 0 THEN '/' WHEN 1 THEN '*' ELSE '-' END AS op
+  FROM documents
+  WHERE len(str_split(text, ' ')) >= 9
+), code AS (
+  SELECT regexp_replace(
+    recv || '[''' || toks[CAST(1 + doc_id % 3 AS INT)] || '''] = ' ||
+    recv || '[''' || toks[CAST(4 + doc_id % 2 AS INT)] || '''] ' || op || ' ' ||
+    recv || '[''' || toks[CAST(7 + doc_id % 3 AS INT)] || ''']',
+    '[A-Za-z_][A-Za-z0-9_]*\[', 'df[', 'g') AS code
+  FROM obs
+), counted AS (
+  SELECT code, count(*) AS cnt FROM code GROUP BY code
+), ranked AS (
+  SELECT code, cnt, row_number() OVER (ORDER BY cnt DESC, code ASC) AS rk
+  FROM counted
+)
+SELECT 'expr' || CAST(rk - 1 AS VARCHAR) AS expr_name, code, cnt
+FROM ranked WHERE rk <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1695,6 +1758,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_md5_keys": q_doc_md5_keys,
         "posexplode_words": q_posexplode_words,
+        "semforms_expressions": q_semforms_expressions,
         # relational coverage
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_topk_orders": q_join_topk_orders,
@@ -1805,6 +1869,7 @@ def oracle_sql_full() -> dict[str, str]:
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "doc_md5_keys": _ORACLE_MD5_KEYS,
         "posexplode_words": _ORACLE_POSEXPLODE,
+        "semforms_expressions": _oracle_semforms_expressions(),
         "agg_pricing_summary": _ORACLE_PRICING,
         "join_topk_orders": _ORACLE_TOPK_ORDERS,
         "corpus_extraction_sql": _ORACLE_CORPUS_EXTRACTION,
