@@ -250,3 +250,43 @@ def test_cross_graph_node_reuse_stress(spark):
     # no graph contains BOTH a fit and a predict — any row here means a
     # cross-graph wire
     assert fit_predict_pairs(tri, "sklearn.base.ClassifierMixin").count() == 0
+
+
+def test_fused_link_entities_equals_two_pass_composition(spark):
+    """Round-4 fused single-tokenization plan (`link_entities`) must be
+    row-for-row AND bit-for-bit (bm25 doubles included) identical to the
+    legacy two-pass composition `cap_per_entity(detect_mentions(qa, cat,
+    corpus_token_stats(qa, cat)))` it replaced — randomized content with
+    case-change/digit token boundaries, hub skew, and short docs."""
+    import random
+
+    from graph4code_spark.operators.linking import (
+        cap_per_entity,
+        corpus_token_stats,
+        detect_mentions,
+        link_entities,
+    )
+
+    rng = random.Random(1234)
+    cat = [
+        {"module": "pandas", "klass": None, "function": "pandas.read_csv"},
+        {"module": "sklearn", "klass": "LinearSVC", "function": "fit"},
+        {"module": "numpy", "klass": None, "function": "numpy.argmax"},
+        {"module": "zlib", "klass": None, "function": "zlib"},
+    ]
+    words = ["pandas", "read_csv", "readCsv", "LinearSVC", "fit", "misfit",
+             "numpy", "argmax", "zlib", "x2go", "CSVFile", "the", "a", "b2b"]
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 40)
+        rows.append((f"u://{i}", str(i), " ".join(rng.choice(words) for _ in range(n))))
+    qa = spark.createDataFrame(rows, "url string, question_id string, content string")
+
+    fused = link_entities(qa, cat, cap=7, salt_buckets=3)
+    stats = corpus_token_stats(qa, cat)
+    legacy = cap_per_entity(detect_mentions(qa, cat, stats), cap=7, salt_buckets=0)
+
+    key = lambda r: (r["entity"], r["url"])
+    got = sorted((tuple(r) for r in fused.collect()), key=lambda t: (t[2], t[0]))
+    want = sorted((tuple(r) for r in legacy.collect()), key=lambda t: (t[2], t[0]))
+    assert got == want  # exact equality: ints, bools, and float bm25 bits
