@@ -5215,8 +5215,9 @@ _CURATED = [
     "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
     # similarity search
     "sim_cosine_topk", "sim_lsh_topk", "sim_ivf_recall",
-    # text analysis
-    "text_profile", "posexplode_words",
+    # text analysis (+ the semForms-analogue expression mining; W1's
+    # posexplode machinery keeps its hard record via kg_doc_triples)
+    "text_profile", "semforms_expressions",
     # relational / SQL coverage
     "agg_pricing_summary", "join_topk_orders", "corpus_extraction_sql",
     "join_region_drilldown", "window_top3_orders", "semi_anti_joins",
