@@ -73,6 +73,8 @@ HEADLINE = [
     # temporal operators
     "events_sessionize",
     "asof_join_events",
+    # round-4 entrant: semForms-analogue expression mining
+    "semforms_expressions",
 ]
 
 
