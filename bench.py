@@ -280,6 +280,14 @@ def _write_bench_md(result: dict) -> None:
         "both measured WORSE (run_s inflation 1.50×/1.48× — more bytes",
         "moved); the deserialized cache the bench uses is the right call.",
         "",
+        "Round-4 re-profile (same protocol, fused linking, 32k pages,",
+        "single shot): run_s 85.3→137.9 (1.62× inflation 2→8) on a session",
+        "whose PURE-ALU control itself scaled at only 0.807 — i.e. that",
+        "day's numbers are machine-state-dominated and not comparable to",
+        "the r3 table above; the interleaved-ladder bench on the SAME",
+        "session still measured 0.813 raw / 0.995 bandwidth-adjusted,",
+        "which is the protocol designed to survive exactly this state.",
+        "",
         "Practical ceiling for this bandwidth-bound workload on this",
         "single-socket VM: ~0.76 (bandwidth) × ~0.92 (residual fixed wall",
         "at 64k pages) ≈ **0.70**. On a real multi-executor cluster each",
