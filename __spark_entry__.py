@@ -1702,6 +1702,69 @@ FROM ranked WHERE rk <= 10
 """
 
 
+def q_datarinse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataRinse-analogue dataset→script association index (adjacent
+    subsystem, `/root/reference/dataRinse/scripts/python_process_csv.py:
+    25-56`): mine ``read_csv(...)`` mentions across a script corpus,
+    keep datasets with >10 mentioning lines, rank the top-12 by support,
+    record the first-5 witness scripts each.
+
+    The mention lines are synthesized deterministically from each
+    document's tokens (dataset names) and doc_id (script identity),
+    identically in the SQL oracle; the extract→support→rank→witness
+    relational pipeline under test is `operators/datarinse.py`."""
+    from graph4code_spark.operators.datarinse import dataset_script_index
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = F.col("doc_id")
+    script = F.concat(F.lit("s"), d.cast("string"), F.lit(".py"))
+    a = F.element_at(toks, (F.lit(4) + d % 2).cast("int"))
+    b = F.element_at(toks, (F.lit(7) + d % 3).cast("int"))
+    line_of = lambda t: F.concat(F.lit("df = pd.read_csv('data/"), t, F.lit(".csv')"))
+    mentions = (
+        docs.where(F.size(toks) >= 9)
+        .select(
+            script.alias("script"), d.alias("ord"),
+            F.explode(F.array(line_of(a), line_of(b))).alias("line"),
+        )
+    )
+    return dataset_script_index(mentions, order_col="ord")
+
+
+def _oracle_datarinse_index() -> str:
+    return r"""
+WITH docs AS (
+  SELECT doc_id, str_split(text, ' ') AS toks
+  FROM documents WHERE len(str_split(text, ' ')) >= 9
+), lines AS (
+  SELECT doc_id, 's' || CAST(doc_id AS VARCHAR) || '.py' AS script,
+         'df = pd.read_csv(''data/' || toks[CAST(4 + doc_id % 2 AS INT)] || '.csv'')' AS line
+  FROM docs
+  UNION ALL
+  SELECT doc_id, 's' || CAST(doc_id AS VARCHAR) || '.py' AS script,
+         'df = pd.read_csv(''data/' || toks[CAST(7 + doc_id % 3 AS INT)] || '.csv'')' AS line
+  FROM docs
+), obs AS (
+  SELECT regexp_extract(line, 'read_csv\(['']?(?:[^''()]*/)?([^''()/]+?\.csv)', 1) AS csv,
+         script, doc_id
+  FROM lines
+), obs2 AS (
+  SELECT * FROM obs WHERE csv <> ''
+), support AS (
+  SELECT csv, count(*) AS n_mentions FROM obs2 GROUP BY csv
+  HAVING count(*) > 10
+  ORDER BY n_mentions DESC, csv ASC LIMIT 12
+), witnesses AS (
+  SELECT o.csv, s.n_mentions, o.script,
+         row_number() OVER (PARTITION BY o.csv ORDER BY o.doc_id ASC, o.script ASC) AS script_rank
+  FROM obs2 o JOIN support s ON o.csv = s.csv
+)
+SELECT csv, n_mentions, script_rank, script
+FROM witnesses WHERE script_rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1759,6 +1822,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_md5_keys": q_doc_md5_keys,
         "posexplode_words": q_posexplode_words,
         "semforms_expressions": q_semforms_expressions,
+        "datarinse_index": q_datarinse_index,
         # relational coverage
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_topk_orders": q_join_topk_orders,
@@ -1870,6 +1934,7 @@ def oracle_sql_full() -> dict[str, str]:
         "doc_md5_keys": _ORACLE_MD5_KEYS,
         "posexplode_words": _ORACLE_POSEXPLODE,
         "semforms_expressions": _oracle_semforms_expressions(),
+        "datarinse_index": _oracle_datarinse_index(),
         "agg_pricing_summary": _ORACLE_PRICING,
         "join_topk_orders": _ORACLE_TOPK_ORDERS,
         "corpus_extraction_sql": _ORACLE_CORPUS_EXTRACTION,
