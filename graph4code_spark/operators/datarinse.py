@@ -46,12 +46,20 @@ def dataset_script_index(
     min_mentions: int = MIN_MENTIONS,
     top_datasets: int = TOP_DATASETS,
     scripts_per_dataset: int = SCRIPTS_PER_DATASET,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """One row per (dataset, witness script) for the association index.
 
     Output: ``csv`` (dataset basename), ``n_mentions`` (corpus support),
     ``script_rank`` (1-based, ≤ scripts_per_dataset), ``script``.
-    """
+
+    The witness window runs as a salted two-phase cap (same hub defense
+    as linking's `cap_per_entity`): a popular dataset (`train.csv`) is
+    exactly a skewed key at corpus scale, so phase 1 ranks within
+    (csv, hash(script) % S) — no task ever sees a hub's full mention
+    set and each bucket keeps ≤ scripts_per_dataset rows; phase 2 ranks
+    the ≤ S·k survivors per dataset.  Output identical to the unsalted
+    window (tests)."""
     obs = (
         mentions.select(
             F.regexp_extract(F.col(line_col), READ_CSV_RE, 1).alias("csv"),
@@ -67,10 +75,19 @@ def dataset_script_index(
         .orderBy(F.desc("n_mentions"), F.asc("csv"))
         .limit(top_datasets)
     )
-    w = Window.partitionBy("csv").orderBy(F.asc("_ord"), F.asc("script"))
+    cand = obs.join(F.broadcast(support), "csv")
+    order = [F.asc("_ord"), F.asc("script")]
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64("script"), F.lit(salt_buckets))
+        w1 = Window.partitionBy("csv", salt).orderBy(*order)
+        cand = (
+            cand.withColumn("rk", F.row_number().over(w1))
+            .where(F.col("rk") <= scripts_per_dataset)
+            .drop("rk")
+        )
+    w = Window.partitionBy("csv").orderBy(*order)
     witnesses = (
-        obs.join(F.broadcast(support), "csv")
-        .withColumn("script_rank", F.row_number().over(w))
+        cand.withColumn("script_rank", F.row_number().over(w))
         .where(F.col("script_rank") <= scripts_per_dataset)
     )
     return witnesses.select("csv", "n_mentions", "script_rank", "script")

@@ -39,3 +39,15 @@ def test_top12_cut_and_basename_extraction(spark):
     assert len(out) == 12 * 5
     # basename extracted (path stripped), double quotes handled
     assert all(r["csv"].startswith("ds") for r in out)
+
+
+def test_salted_cap_equals_plain_window(spark):
+    rows = []
+    for ds in range(3):
+        for i in range(30):
+            rows.append((f"w{i:02d}.py", i, f"pd.read_csv('hub{ds}.csv')"))
+    m = _mentions(spark, rows)
+    salted = dataset_script_index(m, order_col="ord", salt_buckets=4).collect()
+    plain = dataset_script_index(m, order_col="ord", salt_buckets=0).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    assert len(salted) == 3 * 5
