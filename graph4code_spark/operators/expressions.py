@@ -66,6 +66,9 @@ def mine_expressions(
     # merge on the driver — the aggregate is never globally sorted.
     # The labeling window then runs over only K rows.
     top = counted.orderBy(F.desc("cnt"), F.asc("code")).limit(k)
+    # unpartitioned window is intentional and safe: its input is ≤ k
+    # rows by construction (WindowExec's warning refers to the general
+    # case; a constant partition key would just be constant-folded away)
     w = Window.orderBy(F.desc("cnt"), F.asc("code"))
     return (
         top.withColumn("rk", F.row_number().over(w))
