@@ -7,6 +7,13 @@ survivors by mention count and keeps the **top 12**, then records the
 **first 5** scripts per dataset
 (`/root/reference/dataRinse/scripts/python_process_csv.py:25-56`).
 
+Deliberately NOT modeled: the reference's provenance filter also
+requires the dataset to come from exactly one source archive
+(``len(v['zip']) == 1``, `python_process_csv.py:46-48`).  This analogue
+has no zip/archive provenance column — mention lines arrive as a plain
+(script, line) corpus — so the support threshold is the only keep
+condition here.
+
 Spark-first restatement — every step is a stock relational op:
 
 - **extract** — ``regexp_extract`` pulls the csv basename out of each

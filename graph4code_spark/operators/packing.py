@@ -28,33 +28,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from graph4code_spark.functions.hashing import KNUTH, M32, mulmod32
+
 #: Knuth's multiplicative hash constant (2^32 / phi); applied mod 2^32
 #: it is a bijection on [0, 2^32), i.e. a deterministic permutation.
-HASH_MULT = 2654435761
-_KEYSPACE = 2**32
-
-
-def _mulmod32(k32: F.Column, mult: int) -> F.Column:
-    """(k32 · mult) mod 2^32 without int64 overflow (k32 in [0, 2^32)).
-
-    A direct ``k * 2654435761`` overflows int64 for k ≥ ~3.47e9 — Spark
-    wraps silently while other engines promote or error (ADVICE r3), so
-    the advertised cross-engine determinism would break exactly at the
-    10^12-id scale this targets.  Split the multiplicand into 16-bit
-    halves and reduce mod 2^32 between steps: every intermediate stays
-    below 2^49."""
-    hi = F.floor(k32 / F.lit(65536)).cast("long")
-    lo = k32 % F.lit(65536)
-    return (
-        (hi * F.lit(mult)) % F.lit(_KEYSPACE) * F.lit(65536) + lo * F.lit(mult)
-    ) % F.lit(_KEYSPACE)
+#: (shared overflow-safe implementation: functions/hashing.py)
+HASH_MULT = KNUTH
+_KEYSPACE = M32
 
 
 def shuffle_key(id_col: F.Column) -> F.Column:
     """Deterministic pseudo-random permutation key for an integer id —
     overflow-safe over the whole non-negative int64 id domain (the
     oracle computes the same value exactly via HUGEINT)."""
-    return _mulmod32(F.pmod(id_col.cast("long"), F.lit(_KEYSPACE)), HASH_MULT)
+    return mulmod32(id_col, HASH_MULT)
 
 
 def pack_sequences(

@@ -19,27 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-KNUTH = 2654435761
+from graph4code_spark.functions.hashing import KNUTH, M32, mulmod32
+
 STEP = 968665207  # odd constant decorrelating the rows
-_M32 = 2**32
-
-
-def _mulmod32(k: F.Column) -> F.Column:
-    """(k · KNUTH) mod 2^32 without int64 overflow, for k in [0, 2^33):
-    split the (pre-reduced) multiplicand into 16-bit halves with a mod
-    between steps — a direct ``k * 2654435761`` wraps int64 for
-    k ≥ ~3.47e9 (ADVICE r3), silently diverging from any engine that
-    promotes.  The oracle computes the same value exactly via HUGEINT."""
-    k32 = F.pmod(k, F.lit(_M32))
-    hi = F.floor(k32 / F.lit(65536)).cast("long")
-    lo = k32 % F.lit(65536)
-    return (
-        (hi * F.lit(KNUTH)) % F.lit(_M32) * F.lit(65536) + lo * F.lit(KNUTH)
-    ) % F.lit(_M32)
+_M32 = M32
 
 
 def _cms_col(key: F.Column, row: int, width: int) -> F.Column:
-    return _mulmod32(F.pmod(key.cast("long"), F.lit(_M32)) + row * STEP) % width
+    # pmod BEFORE adding row·STEP so the sum stays < 2^33 (no int64
+    # wrap even for keys near the int64 edge); mulmod32 re-reduces.
+    return mulmod32(F.pmod(key.cast("long"), F.lit(_M32)) + row * STEP) % width
 
 
 def cms_build(
@@ -104,7 +93,7 @@ def kmv_estimate(df: DataFrame, key_col: str, group_col: str, k: int = 64):
     per-group distinct cardinality, not by k.  When that bound is the
     problem (true HLL territory), swap the collect for a per-group
     row_number()<=k window; the estimate math is unchanged."""
-    h = _mulmod32(F.col(key_col).cast("long")) + 1
+    h = mulmod32(F.col(key_col)) + 1
     hashes = (
         df.select(F.col(group_col).alias("grp"), h.alias("h"))
         .distinct()

@@ -291,6 +291,7 @@ def forum_pipeline_quads(pages_rows, records, forum_prefix) -> set[Quad]:
     operator's broadcast-stats implementation.  Raw tf then url break
     ties."""
     import math as _math
+    from collections import Counter as _Counter
 
     from graph4code_spark.analyzer import analyze, entity_required_tokens, good_match
     from graph4code_spark.reference_impl.qa_oracle import (
@@ -307,13 +308,15 @@ def forum_pipeline_quads(pages_rows, records, forum_prefix) -> set[Quad]:
         if rec:
             docs.append(rec)
 
-    # index statistics, straight-line over every parsed doc
+    # index statistics, straight-line over every parsed doc; one Counter
+    # per doc so tf is a lookup, not a rescan per required token
     doc_toks = [analyze(d["content"]) for d in docs]
+    doc_counts = [_Counter(toks) for toks in doc_toks]
     n_docs = max(len(docs), 1)
     avgdl = max(sum(len(t) for t in doc_toks) / n_docs, 1.0) if docs else 1.0
     dfreq: dict = {}
-    for toks in doc_toks:
-        for t in set(toks):
+    for cnt in doc_counts:
+        for t in cnt:
             dfreq[t] = dfreq.get(t, 0) + 1
 
     out: set[Quad] = set()
@@ -327,16 +330,15 @@ def forum_pipeline_quads(pages_rows, records, forum_prefix) -> set[Quad]:
             required = entity_required_tokens(name)
             qualified = name
         hits = []
-        for d, toks in zip(docs, doc_toks):
-            tokset = set(toks)
-            if required <= tokset:
-                score = sum(1 for t in toks if t in required)
+        for d, toks, cnt in zip(docs, doc_toks, doc_counts):
+            if all(t in cnt for t in required):
+                score = sum(cnt[t] for t in required)
                 dl = len(toks)
                 rel = 0.0
                 # sorted: same float summation order as the operator
                 # (set iteration order is per-process hash-randomized)
                 for t in sorted(required):
-                    tf = sum(1 for x in toks if x == t)
+                    tf = cnt[t]
                     df_t = dfreq.get(t, 0)
                     idf = _math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
                     rel += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
