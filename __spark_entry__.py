@@ -2423,17 +2423,34 @@ def _oracle_kg_rst_docstrings() -> str:
 # ---------------------------------------------------------------------------
 
 _GOLDEN_NQ = "/root/reference/sample_graph/example1.nq"
+#: all four reference sample graphs — example2/3 exercise the
+#: reads/slice/unpack node shapes flows.py added in r3/r4 (VERDICT r4 #3)
+_GOLDEN_NQS = [
+    "/root/reference/sample_graph/example1.nq",
+    "/root/reference/sample_graph/example2.nq",
+    "/root/reference/sample_graph/example3.nq",
+    "/root/reference/sample_graph/docstrings_sample.nq",
+]
 
 
 def q_kg_golden_nq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parse the reference's shipped example1.nq (615 quads incl. RDF*
-    `<< s p o >>` annotations) with the column-expression N-Quads parser
-    and aggregate per predicate.  Oracle: an independent `re`-based
-    Python parse of the same file."""
+    """Parse ALL FOUR reference sample graphs (example1/2/3.nq — 615/
+    692/664 quads incl. RDF* `<< s p o >>` annotations — and
+    docstrings_sample.nq, 803) with the column-expression N-Quads
+    parser and aggregate per (file, predicate).  example2/3 carry the
+    reads/slice/unpack node shapes `operators/flows.py` implements, so
+    this is the cheapest independent check that the subset matches
+    WALA's emitted output.  Oracle: an independent `re`-based Python
+    parse of the same files."""
     from graph4code_spark.nq import parse_nq_lines
 
-    g = parse_nq_lines(spark.read.text(_GOLDEN_NQ))
-    return g.groupBy("pred").agg(
+    g = parse_nq_lines(
+        spark.read.text(_GOLDEN_NQS).withColumn(
+            "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        ),
+        keep_cols=["file"],
+    )
+    return g.groupBy("file", "pred").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("is_literal"), 1).otherwise(0)).cast("long").alias("n_lit"),
         F.sum(
@@ -2455,31 +2472,33 @@ def _oracle_kg_golden_nq() -> str:
     ann = re.compile(
         rf'^<< <([^>]*)> <([^>]*)> {obj} >> <([^>]*)> "({lit})" <([^>]*)> \.$'
     )
-    per: dict[str, list] = defaultdict(lambda: [0, 0, 0, set()])
-    with open(_GOLDEN_NQ) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            m = ann.match(line)
-            annotated = m is not None
-            if m is None:
-                m = plain.match(line)
-            assert m is not None, line
-            subj, pred, o = m.group(1), m.group(2), m.group(3)
-            e = per[pred]
-            e[0] += 1
-            e[1] += 1 if o.startswith('"') else 0
-            e[2] += 1 if annotated else 0
-            e[3].add(subj)
+    per: dict[tuple, list] = defaultdict(lambda: [0, 0, 0, set()])
+    for path in _GOLDEN_NQS:
+        fname = path.rsplit("/", 1)[-1]
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                m = ann.match(line)
+                annotated = m is not None
+                if m is None:
+                    m = plain.match(line)
+                assert m is not None, line
+                subj, pred, o = m.group(1), m.group(2), m.group(3)
+                e = per[(fname, pred)]
+                e[0] += 1
+                e[1] += 1 if o.startswith('"') else 0
+                e[2] += 1 if annotated else 0
+                e[3].add(subj)
     rows = [
-        (pred, n, n_lit, n_ann, len(subjs))
-        for pred, (n, n_lit, n_ann, subjs) in sorted(per.items())
+        (fname, pred, n, n_lit, n_ann, len(subjs))
+        for (fname, pred), (n, n_lit, n_ann, subjs) in sorted(per.items())
     ]
     return _values_table(
         rows,
-        ["pred", "n", "n_lit", "n_ann", "n_subj"],
-        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+        ["file", "pred", "n", "n_lit", "n_ann", "n_subj"],
+        ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
     )
 
 

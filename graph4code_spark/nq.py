@@ -109,9 +109,12 @@ _ANN_RE = (
 )
 
 
-def parse_nq_lines(lines: DataFrame) -> DataFrame:
+def parse_nq_lines(lines: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
     """``value`` lines → quad table (plain + RDF*-annotated lines; the
-    annotation predicate folds back into arg_pos/arg_name)."""
+    annotation predicate folds back into arg_pos/arg_name).
+
+    ``keep_cols``: extra input columns carried through unchanged (e.g.
+    a per-file label from ``input_file_name()``)."""
     v = F.trim(F.col("value"))
     is_ann = v.startswith("<<")
 
@@ -125,7 +128,9 @@ def parse_nq_lines(lines: DataFrame) -> DataFrame:
     ann_pred = F.when(is_ann, ext(_ANN_RE, 4))
     ann_val = F.when(is_ann, _unescape(ext(_ANN_RE, 5)))
 
+    extra = [F.col(c) for c in (keep_cols or [])]
     step1 = lines.where(v.rlike(_PLAIN_RE) | v.rlike(_ANN_RE)).select(
+        *extra,
         subj.alias("subj"),
         pred.alias("pred"),
         raw_obj.alias("_raw_obj"),
@@ -150,7 +155,7 @@ def parse_nq_lines(lines: DataFrame) -> DataFrame:
             F.when(F.col("_ann_pred").isin(SIO_NAME, SIO_ACCESS), F.col("_ann_val")),
         )
     )
-    return parsed.select(*TRIPLE_COLS)
+    return parsed.select(*(keep_cols or []), *TRIPLE_COLS)
 
 
 def write_nq(quads: DataFrame, path: str) -> None:

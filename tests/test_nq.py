@@ -7,6 +7,8 @@ from graph4code_spark.nq import parse_nq_lines, to_nq_lines
 from graph4code_spark.schemas import TRIPLES_SCHEMA
 
 EX1 = "/root/reference/sample_graph/example1.nq"
+EX2 = "/root/reference/sample_graph/example2.nq"
+EX3 = "/root/reference/sample_graph/example3.nq"
 DOCS = "/root/reference/sample_graph/docstrings_sample.nq"
 
 QUIRK_QUADS = [
@@ -37,17 +39,59 @@ def test_roundtrip_quirk_quads(spark):
 
 
 def test_goldens_parse_completely(spark):
-    for path, want in [(EX1, 615), (DOCS, 803)]:
+    for path, want in [(EX1, 615), (EX2, 692), (EX3, 664), (DOCS, 803)]:
         raw = spark.read.text(path).where(F.trim("value") != "")
         parsed = parse_nq_lines(raw)
         assert parsed.count() == want == raw.count(), path
 
 
 def test_goldens_roundtrip_identity(spark):
-    for path in (EX1, DOCS):
+    for path in (EX1, EX2, EX3, DOCS):
         g = parse_nq_lines(spark.read.text(path))
         rt = parse_nq_lines(to_nq_lines(g))
         assert set(map(tuple, rt.collect())) == set(map(tuple, g.collect())), path
+
+
+def test_examples_vocabulary_and_rdfstar_shape_parity(spark):
+    """example2/3 exercise the reads/slice/unpack node shapes flows.py
+    added in r3/r4; all three examples share one predicate vocabulary,
+    and every RDF* annotation uses exactly the annotation predicate our
+    serializer would pick for that base predicate
+    (`PythonTurtleAnalysisEngine.java:400-414` → nq.py mapping)."""
+    from graph4code_spark.nq import SIO_ACCESS, SIO_NAME, SIO_POS
+
+    vocab = {}
+    shapes = {}
+    for path in (EX1, EX2, EX3):
+        g = parse_nq_lines(spark.read.text(path)).cache()
+        vocab[path] = {r.pred for r in g.select("pred").distinct().collect()}
+        # recover the annotation predicate exactly as the parser folded
+        # it: arg_pos → SIO_000613; arg_name on read/write → SIO_000420,
+        # else SIO_000116 — then assert the file round-trips through the
+        # same rule (to_nq_lines uses it), i.e. shape parity.
+        ann = g.where(F.col("arg_pos").isNotNull() | F.col("arg_name").isNotNull())
+        rows = ann.select("pred", "arg_pos", "arg_name").collect()
+        seen = set()
+        for r in rows:
+            if r.arg_pos is not None:
+                seen.add((r.pred, SIO_POS))
+            elif r.pred.endswith("/read") or r.pred.endswith("/write"):
+                seen.add((r.pred, SIO_ACCESS))
+            else:
+                seen.add((r.pred, SIO_NAME))
+        shapes[path] = seen
+    assert vocab[EX1] == vocab[EX2] == vocab[EX3]
+    flows_to = "http://purl.org/twc/graph4code/flowsTo"
+    sio_arg = "http://semanticscience.org/resource/SIO_000230"
+    g4c_read = "http://purl.org/twc/graph4code/read"
+    expected = {
+        (flows_to, SIO_POS),
+        (sio_arg, SIO_POS),
+        (sio_arg, SIO_NAME),
+        (g4c_read, SIO_ACCESS),
+    }
+    for path in (EX1, EX2, EX3):
+        assert shapes[path] == expected, path
 
 
 def test_flow_vocabulary_parity(spark):

@@ -56,6 +56,80 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def _windows(p: str) -> int:
+    import re
+
+    return len(re.findall(r"\bWindow\b", p))
+
+
+def _exchanges(p: str) -> list:
+    import re
+
+    return re.findall(
+        r"Exchange (hashpartitioning\([^,#]*|rangepartitioning\([^,#]*|SinglePartition)", p
+    )
+
+
+# --- top-5 bench-query plan pins (VERDICT r4 #4): a future round that
+# reintroduces an Exchange / global sort / unpartitioned window fails
+# here deterministically instead of showing up as bench noise. ---
+
+
+def test_pack_sequences_plan_pinned(spark):
+    """Exactly one window, partitioned by _bucket; the 64-row bucket
+    totals join is broadcast; the only shuffles are the deterministic
+    range partition and the _bucket hash."""
+    p = _plan(E.queries_full()["pack_sequences"](spark, SF))
+    assert _windows(p) == 1
+    assert "windowspecdefinition(_bucket" in p
+    ex = _exchanges(p)
+    assert len(ex) == 2 and "SinglePartition" not in ex, ex
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_top_modules_volume_plan_pinned(spark):
+    """Single wide hash aggregate + TakeOrdered — no window, no sort,
+    exactly one shuffle (the agg exchange)."""
+    p = _plan(E.queries_full()["top_modules_volume"](spark, SF))
+    assert _windows(p) == 0
+    assert "TakeOrderedAndProject" in p
+    ex = _exchanges(p)
+    assert len(ex) == 1 and ex[0].startswith("hashpartitioning"), ex
+    assert "SortMergeJoin" not in p
+
+
+def test_corpus_pipeline_plan_pinned(spark):
+    """redact→decontaminate→line-dedup→gate→pack composes to exactly
+    two designed shuffles (deterministic range partition + _bucket
+    hash); the packing window stays _bucket-partitioned."""
+    p = _plan(E.queries_full()["corpus_pipeline"](spark, SF))
+    ex = _exchanges(p)
+    assert len(ex) == 2 and "SinglePartition" not in ex, ex
+    assert _windows(p) == 1
+    assert "windowspecdefinition(_bucket" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_linking_cap_windows_all_partitioned(spark):
+    """The BM25-ordered salted cap runs as partitioned windows only —
+    no Exchange SinglePartition anywhere in the full forum pipeline
+    (the global-window collapse would be the 100-TB killer)."""
+    p = _plan(E.queries_full()["kg_pipeline_forum"](spark, SF))
+    assert p.count("Exchange SinglePartition") == 0
+    assert _windows(p) == 4  # salted + final cap, two linking legs
+    assert "SortMergeJoin" not in p
+
+
+def test_mining_plan_pinned(spark):
+    """Expression mining: hash-agg → TakeOrdered; the only shuffle is
+    the count aggregate's (the ≤10-row label window's SinglePartition
+    exchange is post-limit and bounded — allowed)."""
+    p = _plan(E.queries_full()["semforms_expressions"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    hashex = [e for e in _exchanges(p) if e.startswith("hashpartitioning")]
+    assert len(hashex) == 1, hashex
+
+
 def test_whole_stage_codegen_on_textstats(spark):
     # quality features are pure column exprs: single Project over the
     # scan — no Python eval nodes, no aggregation shuffle (AQE hides the
