@@ -67,6 +67,15 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   boundary (the arg/return turtle-flow shapes of
   `PythonTurtleAnalysisEngine.java:1970-2025`, context-insensitive like
   WALA's default; defs must precede their call sites in the snippet)
+- G8 call-site contexts (r5): a method call on a def PARAMETER
+  (`def train(m): m.fit(X)`) defers — each call site clones it into its
+  own node resolved against that site's receiver class, so calling with
+  `SVC()` then `LinearRegression()` yields two fit nodes with distinct
+  receiver DATA-0 edges, WALA's receiver-type + call-site contexts
+  (`…Engine.java:456-486`).  Clone args: constants, other parameters
+  (re-bound per site), and body-local tracked producers (those stay
+  shared — body nodes themselves remain context-insensitive); the clone
+  chains into the CALLER's control flow at the call site.
 
 Runs as one Arrow-batched pass over (url, codes); node numbers are
 sequential per page so URIs are unique within the page's named graph.
@@ -517,6 +526,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                         # turtles and user code is flowed through)
                         d = local_defs[cname]
                         upos = 0
+                        binding: dict[str, str] = {}  # param -> caller value
                         for a in _split_args(_call_args(line, m)):
                             nm_ = _NAMED_ARG.match(a)
                             if nm_:
@@ -525,6 +535,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                                 # uses of x), same callee binding WALA
                                 # resolves
                                 param, val = nm_.group(1), nm_.group(2)
+                                binding[param] = val
                                 if val in var_producer and param in d["param_uses"]:
                                     for nnum, use_pos in d["param_uses"][param]:
                                         src = nodes[idx_of[var_producer[val]]]
@@ -533,12 +544,57 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                                         )
                                 continue
                             upos += 1
+                            if upos <= len(d["params"]):
+                                binding[d["params"][upos - 1]] = a
                             if a in var_producer and upos <= len(d["params"]):
                                 param = d["params"][upos - 1]
                                 for nnum, use_pos in d["param_uses"].get(param, ()):
                                     src = nodes[idx_of[var_producer[a]]]
                                     src["flows_to"] = _append_flow(
                                         src["flows_to"], str(use_pos), nnum
+                                    )
+                        # G8 call-site contexts: clone each deferred
+                        # body receiver-call against THIS site's receiver
+                        # class — one node per (call site, body call),
+                        # WALA's call-site context (`…Engine.java:456-486`)
+                        for rc in d.get("recv_calls", ()):
+                            val = binding.get(rc["param"])
+                            kls = var_klass.get(val) if val else None
+                            if kls is None or rc["meth"] not in methods_of.get(kls, {}):
+                                continue
+                            cnode = new_node(
+                                list(methods_of[kls][rc["meth"]]),
+                                rc["ln"], rc["phys"], rc["text"],
+                            )
+                            rprod = var_producer.get(val)
+                            if rprod is not None:
+                                src = nodes[idx_of[rprod]]
+                                src["flows_to"] = _append_flow(
+                                    src["flows_to"], "0", cnode["node_number"]
+                                )
+                            for kind, key, v in rc["args"]:
+                                if kind == "const_pos":
+                                    cnode["constant_positional_args"][key] = v
+                                elif kind == "const_named":
+                                    cnode["constant_named_args"][key] = v
+                                elif kind == "param":
+                                    # arg was another parameter: resolve
+                                    # against this site's binding of it
+                                    bval = binding.get(v)
+                                    if bval is not None and bval in var_producer:
+                                        src = nodes[idx_of[var_producer[bval]]]
+                                        src["flows_to"] = _append_flow(
+                                            src["flows_to"], str(key),
+                                            cnode["node_number"],
+                                        )
+                                elif kind == "tracked":
+                                    # body-local producer (shared across
+                                    # contexts — body nodes themselves
+                                    # stay context-insensitive)
+                                    src = nodes[idx_of[v]]
+                                    src["flows_to"] = _append_flow(
+                                        src["flows_to"], str(key),
+                                        cnode["node_number"],
                                     )
                         if lhs_vars and d["ret"] is not None:
                             for v in lhs_vars:
@@ -629,6 +685,54 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                             if qual in methods_of:
                                 produced_klass = qual
                     if path is None:
+                        # G8 call-site contexts (WALA's receiver-type +
+                        # call-site contexts, `…Engine.java:456-486`):
+                        # a method call whose receiver is a PARAMETER of
+                        # the enclosing def can't resolve here — its
+                        # class is only known per call site.  Record a
+                        # deferred receiver-call; each call site clones
+                        # it into its own node against that site's
+                        # receiver class, so `def train(m): m.fit(X)`
+                        # called with SVC() then LinearRegression()
+                        # yields TWO fit nodes with distinct receiver
+                        # edges (not one merged context).
+                        if cur_def is not None and "." in cname:
+                            recv, meth = cname.rsplit(".", 1)
+                            if recv in cur_def["params"]:
+                                spec = []
+                                dpos = 0
+                                for a in _split_args(_call_args(line, m)):
+                                    dm_ = _NAMED_ARG.match(a)
+                                    if dm_ and not _NAMED_ARG.match(dm_.group(2)):
+                                        dpos += 1
+                                        key, val = dm_.group(1), dm_.group(2)
+                                        dsm = _STR_ARG.match(val)
+                                        if dsm:
+                                            spec.append(("const_named", key,
+                                                         dsm.group(1) or dsm.group(2) or ""))
+                                        elif _NUM_ARG.match(val):
+                                            spec.append(("const_named", key, val))
+                                        elif val in cur_def["params"]:
+                                            spec.append(("param", dpos, val))
+                                        elif val in var_producer:
+                                            spec.append(("tracked", dpos, var_producer[val]))
+                                        continue
+                                    dpos += 1
+                                    dsm = _STR_ARG.match(a)
+                                    if dsm:
+                                        spec.append(("const_pos", str(dpos),
+                                                     dsm.group(1) or dsm.group(2) or ""))
+                                    elif _NUM_ARG.match(a):
+                                        spec.append(("const_pos", str(dpos), a))
+                                    elif a in cur_def["params"]:
+                                        spec.append(("param", dpos, a))
+                                    elif a in var_producer:
+                                        spec.append(("tracked", dpos, var_producer[a]))
+                                cur_def.setdefault("recv_calls", []).append({
+                                    "param": recv, "meth": meth, "args": spec,
+                                    "ln": ln, "phys": list(phys),
+                                    "text": m.group(0).rstrip("( \t") + "(...)",
+                                })
                         continue
                     made_call_node = True
                     node = new_node(list(path), ln, phys, m.group(0).rstrip("( \t") + "(...)")

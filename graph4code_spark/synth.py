@@ -498,7 +498,11 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
         if a == 0 and special in (3, 4):
             # interprocedural G3 subset: flows through a user-defined def
             if special == 3:
-                # tracked arg INTO the body + returned ctor OUT of it
+                # tracked arg INTO the body + returned ctor OUT of it;
+                # r5: plus a def-body helper whose receiver is a PARAM,
+                # called with two different model classes — the G8
+                # call-site-context shape (two fit nodes, distinct
+                # receiver edges)
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     "df = pandas.read_csv('t.csv')\n"
@@ -506,7 +510,13 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "    m = sklearn.svm.SVC(d)\n"
                     "    return m\n"
                     "clf = train(df)\n"
-                    "p = clf.predict(df)\n</code></pre>"
+                    "p = clf.predict(df)\n"
+                    "def run(m2, d2):\n"
+                    "    r2 = m2.fit(d2, 2)\n"
+                    "s1 = sklearn.svm.SVC(1.0)\n"
+                    "s2 = sklearn.linear_model.LinearRegression()\n"
+                    "run(s1, df)\n"
+                    "run(s2, df)\n</code></pre>"
                 )
             else:
                 # returned library value used by later calls

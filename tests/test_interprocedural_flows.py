@@ -128,6 +128,59 @@ def test_multiple_call_sites_fan_in_context_insensitively():
         assert (r, "1", svc) in fl
 
 
+def test_call_site_contexts_for_def_body_helpers():
+    """G8 r5 slice (`PythonTurtleAnalysisEngine.java:456-486`): the same
+    helper reached from two call sites keeps distinct node contexts —
+    `def train(m): m.fit(d)` called with SVC() then LinearRegression()
+    produces TWO fit nodes (one per receiver class) with distinct
+    receiver DATA-0 edges, not one merged context."""
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def train(m, d):\n"
+        "    m.fit(d, 2)\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "s = sklearn.svm.SVC(1.0)\n"
+        "r = sklearn.linear_model.LinearRegression()\n"
+        "train(s, df)\n"
+        "train(r, df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/ctx", [code], CAT)
+    by = _by_path(nodes)
+    fl = _flows(nodes)
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    lin = by[("sklearn", "linear_model", "LinearRegression")]["node_number"]
+    read = by[("pandas", "read_csv")]["node_number"]
+    svc_fit = by[("sklearn", "svm", "SVC", "fit")]
+    lin_fit = by[("sklearn", "linear_model", "LinearRegression", "fit")]
+    assert svc_fit["node_number"] != lin_fit["node_number"]
+    # each clone's receiver edge comes from ITS call site's ctor only
+    assert (svc, "0", svc_fit["node_number"]) in fl
+    assert (lin, "0", lin_fit["node_number"]) in fl
+    assert (svc, "0", lin_fit["node_number"]) not in fl
+    assert (lin, "0", svc_fit["node_number"]) not in fl
+    # the other param re-binds per site: df feeds both clones at pos 1
+    assert (read, "1", svc_fit["node_number"]) in fl
+    assert (read, "1", lin_fit["node_number"]) in fl
+    # constants recorded on the clones; clones chain at the call sites
+    assert svc_fit["constant_positional_args"] == {"2": "2"}
+    assert lin_fit["constant_positional_args"] == {"2": "2"}
+    assert svc_fit["node_number"] in by[("sklearn", "linear_model",
+                                         "LinearRegression")]["immediately_precedes"]
+    assert lin_fit["node_number"] in svc_fit["immediately_precedes"]
+
+
+def test_call_site_context_unknown_receiver_is_inert():
+    """A call site whose arg has no tracked class produces no clone."""
+    code = (
+        "import sklearn\n"
+        "def train(m):\n"
+        "    m.fit(1)\n"
+        "train(whatever)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/ctx2", [code], CAT)
+    assert all("fit" not in n["path"] for n in nodes)
+
+
 def test_binop_propagation_and_alias():
     # G7 subset: c = a + b then d = c — both producers reach the ctor
     code = (
