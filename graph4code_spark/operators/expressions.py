@@ -27,8 +27,12 @@ read/write edges).  This module restates the *mining* half Spark-first:
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 #: reference keeps the 10 most frequent normalized expressions
 #: (`semforms.py:72`)
@@ -47,17 +51,63 @@ def normalize_receivers(code: F.Column) -> F.Column:
     return F.regexp_replace(code, _RECEIVER_RE, "df[")
 
 
+#: (url, code, bases) — one row per dataflow-mined expression occurrence
+EXPRESSIONS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("code", StringType()),
+    StructField("bases", ArrayType(StringType())),
+])
+
+
+def extract_expressions(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
+    """Dataflow-normalized expression extraction over (url, codes) pages
+    — the reference mines expressions out of ANALYSIS output, not raw
+    text (`semforms.py:54-78` consumes the index the analysis service
+    builds), so this runs the flow extractor's def-use tracking
+    (`operators/flows.py`) per page and emits one row per expression
+    whose receivers are all tracked values, receivers canonized by
+    producer identity (``df0``, ``df1``, …).  Aliased receivers unify;
+    distinct frames stay distinct; untracked receivers mine nothing —
+    the three behaviors the raw-text regex normalization cannot give.
+
+    Same Arrow-batched one-pass shape as `extract_flow_nodes`: no
+    shuffle, scales with page partitions."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog, extract_page_expressions,
+    )
+
+    flow_catalog = build_flow_catalog(catalog_records)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "code", "bases"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, codes in zip(pdf["url"], pdf["codes"]):
+                for e in extract_page_expressions(
+                    url, list(codes) if codes is not None else [], flow_catalog
+                ):
+                    rows.append({"url": url, **e})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return qa.select("url", "codes").mapInPandas(run, schema=EXPRESSIONS_SCHEMA)
+
+
 def mine_expressions(
-    code_df: DataFrame, code_col: str = "code", k: int = TOP_EXPRESSIONS
+    code_df: DataFrame, code_col: str = "code", k: int = TOP_EXPRESSIONS,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """``code2count`` → top-K → ``expr<idx>`` labels.
 
     Input: one row per observed expression occurrence.  Output columns:
     ``expr_name`` (rank label), ``code`` (normalized), ``cnt``.
     Deterministic: ties broken by code text ascending.
-    """
+    ``pre_normalized=True`` skips the receiver regex — for input from
+    `extract_expressions`, whose receivers are already canonical by
+    producer identity (a strictly finer normalization)."""
+    code = (F.col(code_col) if pre_normalized
+            else normalize_receivers(F.col(code_col)))
     counted = (
-        code_df.select(normalize_receivers(F.col(code_col)).alias("code"))
+        code_df.select(code.alias("code"))
         .where(F.col("code").isNotNull())
         .groupBy("code")
         .agg(F.count(F.lit(1)).alias("cnt"))

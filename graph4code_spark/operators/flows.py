@@ -146,6 +146,15 @@ _BINOP_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*"
     r"([A-Za-z_]\w*(?:\s*[-+*/%&|]\s*[A-Za-z_0-9.]+)+)\s*$"
 )
+#: semForms expression shape: an assignment whose rhs is a binary op
+#: over two string-subscript reads — `x = a['p'] / b['q']` or
+#: `v['t'] = v['p'] * v['q']` (groups: 1 plain lhs | 2-4 lhs
+#: receiver+field, 5-7 rhs1 receiver+field, 8 op, 9-11 rhs2)
+_SUBSCR = r"([A-Za-z_]\w*)\[\s*(?:'([^'\]]*)'|\"([^\"\]]*)\")\s*\]"
+_EXPR_BINOP_RE = re.compile(
+    r"^\s*(?:([A-Za-z_]\w*)|" + _SUBSCR + r")\s*=\s*"
+    + _SUBSCR + r"\s*([-+*/])\s*" + _SUBSCR + r"\s*$"
+)
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -251,6 +260,39 @@ def extract_page_flow_nodes(
     return _page_nodes(url, codes, by_name, methods_of, modules, tail_first)
 
 
+def extract_page_expressions(
+    url: str, codes: list[str], flow_catalog
+) -> list[dict]:
+    """Dataflow-normalized semForms expression extraction (the reference
+    mines expressions OUT of analysis output — graph-derived, not raw
+    text: `/root/reference/semForms/automl_eval/semforms.py:54-78`
+    consumes the expression index the analysis service builds).
+
+    Runs the SAME per-page def-use tracking as the flow-node extractor
+    and records every binary-op-over-subscript-reads assignment whose
+    receivers are all TRACKED values, with receivers canonized by
+    PRODUCER IDENTITY in first-occurrence order (``df0``, ``df1``, …):
+
+    - aliased receivers unify — `h = df; out = h['a'] / df['b']` mines
+      `df0['a'] / df0['b']` (one frame), where the raw-text regex
+      normalization cannot see the alias;
+    - distinct frames stay distinct — `out = a['p'] / b['q']` over two
+      read_csv results mines `df0['p'] / df1['q']`, which the regex
+      path would wrongly conflate with the within-frame transform;
+    - untracked receivers (a config dict, an unknown name) mine nothing
+      — the reference only indexes expressions over analysis-tracked
+      values.
+
+    Returns dicts ``{"code", "bases"}`` — ``bases`` is the dotted
+    producer path per canonical frame, in df0/df1 order (graph
+    provenance the raw-text path cannot produce)."""
+    by_name, methods_of, modules, tail_first = flow_catalog
+    exprs: list[dict] = []
+    _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
+                exprs=exprs)
+    return exprs
+
+
 def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
     """(url, codes) → ANALYSIS_NODES_SCHEMA rows, graph_uri = page url."""
     flow_catalog = build_flow_catalog(catalog_records)
@@ -309,7 +351,8 @@ def _logical_lines(lines: list[str]):
     return out
 
 
-def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
+def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
+                exprs=None):
         nodes: list[dict] = []
         idx_of: dict[int, int] = {}  # node_number -> index in `nodes` (O(1) edge wiring)
         counter = 0
@@ -937,6 +980,54 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first):
                     # (the slice builtin's container argument).  One read
                     # node per statement — the reference's per-occurrence
                     # duplicate read nodes are outside the honest subset.
+                    # semForms expression shape (dataflow-normalized
+                    # mining, see extract_page_expressions): record the
+                    # expression when every receiver is tracked, then
+                    # FALL THROUGH — the write/read scan below still
+                    # owns the subscript-write edge, and a plain-lhs
+                    # line matches no later handler.
+                    em = _EXPR_BINOP_RE.match(line)
+                    if em:
+                        plain_lhs, lrecv = em.group(1), em.group(2)
+                        lfield = em.group(3) if em.group(3) is not None else em.group(4)
+                        r1 = em.group(5)
+                        f1 = em.group(6) if em.group(6) is not None else em.group(7)
+                        op = em.group(8)
+                        r2 = em.group(9)
+                        f2 = em.group(10) if em.group(10) is not None else em.group(11)
+                        recvs = ([lrecv] if lrecv else []) + [r1, r2]
+                        if all(r in var_producer for r in recvs):
+                            canon: dict[int, str] = {}
+
+                            def _frame(r):
+                                p = var_producer[r]
+                                if p not in canon:
+                                    canon[p] = f"df{len(canon)}"
+                                return canon[p]
+
+                            parts = []
+                            if lrecv:
+                                parts.append(f"{_frame(lrecv)}['{lfield}'] = ")
+                            parts.append(
+                                f"{_frame(r1)}['{f1}'] {op} {_frame(r2)}['{f2}']"
+                            )
+                            if exprs is not None:
+                                exprs.append({
+                                    "code": "".join(parts),
+                                    "bases": [
+                                        ".".join(nodes[idx_of[p]]["path"])
+                                        for p in canon
+                                    ],
+                                })
+                            if plain_lhs:
+                                # G7 binop propagation: the target holds
+                                # values read from both frames
+                                members = list(dict.fromkeys(
+                                    [var_producer[r1], var_producer[r2]]
+                                ))
+                                var_members[plain_lhs] = members
+                                var_producer.pop(plain_lhs, None)
+                                var_klass.pop(plain_lhs, None)
                     srm = _SLICE_ASSIGN_RE.match(line)
                     if srm and srm.group(2) in var_producer:
                         x, v, attr = srm.group(1), srm.group(2), srm.group(3)
