@@ -451,6 +451,14 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             # outside the honest subset)
                             cur_def["ret"] = var_producer.get(rm.group(1))
                             cur_def["ret_klass"] = var_klass.get(rm.group(1))
+                            if cur_def["ret"] is None:
+                                # v may be bound by a DEFERRED receiver
+                                # call (G8): the return value then exists
+                                # only per call site — mark the deferred
+                                # call so each site binds its own clone
+                                for rc in cur_def.get("recv_calls", ()):
+                                    if rm.group(1) in rc.get("binds", ()):
+                                        rc["is_ret"] = True
                             continue
                         # body line: processed below under the def-local env
                     else:
@@ -639,6 +647,15 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                         src["flows_to"], str(key),
                                         cnode["node_number"],
                                     )
+                            if rc.get("is_ret") and lhs_vars:
+                                # the def returns the deferred call's
+                                # value: THIS site's assigned variable
+                                # tracks THIS site's clone (class stays
+                                # unknown — the r4 non-ctor-rebind rule)
+                                for v in lhs_vars:
+                                    var_producer[v] = cnode["node_number"]
+                                    var_klass.pop(v, None)
+                                    var_members.pop(v, None)
                         if lhs_vars and d["ret"] is not None:
                             for v in lhs_vars:
                                 var_producer[v] = d["ret"]
@@ -771,10 +788,18 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                         spec.append(("param", dpos, a))
                                     elif a in var_producer:
                                         spec.append(("tracked", dpos, var_producer[a]))
+                                rx_ = _RETURN_EXPR_RE.match(line)
                                 cur_def.setdefault("recv_calls", []).append({
                                     "param": recv, "meth": meth, "args": spec,
                                     "ln": ln, "phys": list(phys),
                                     "text": m.group(0).rstrip("( \t") + "(...)",
+                                    # the def returns this call's value —
+                                    # directly (`return m.fit(d)`) or via
+                                    # the variable it binds (marked later
+                                    # by the `return v` handler)
+                                    "is_ret": (rx_ is not None
+                                               and m.start(1) == rx_.start(1)),
+                                    "binds": list(lhs_vars),
                                 })
                         continue
                     made_call_node = True

@@ -513,10 +513,13 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "p = clf.predict(df)\n"
                     "def run(m2, d2):\n"
                     "    r2 = m2.fit(d2, 2)\n"
+                    "    return r2\n"
                     "s1 = sklearn.svm.SVC(1.0)\n"
                     "s2 = sklearn.linear_model.LinearRegression()\n"
-                    "run(s1, df)\n"
-                    "run(s2, df)\n</code></pre>"
+                    "f1 = run(s1, df)\n"
+                    "f2 = run(s2, df)\n"
+                    "parts = sklearn.model_selection.train_test_split(f1, f2)\n"
+                    "</code></pre>"
                 )
             else:
                 # returned library value used by later calls

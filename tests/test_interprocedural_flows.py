@@ -376,3 +376,50 @@ def test_blank_lines_do_not_break_blocks():
     assert out2["node_number"] in df2["immediately_precedes"]
     assert a2["immediately_precedes"] == [out2["node_number"]]
     assert b2["immediately_precedes"] == [out2["node_number"]]
+
+
+def test_deferred_return_binds_per_site_clone():
+    """G8 r5: `def train(m, d): return m.fit(d)` — each call site's
+    assigned variable tracks THAT site's clone, and the clone's value
+    flows into downstream calls."""
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def train(m, d):\n"
+        "    return m.fit(d)\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "s = sklearn.svm.SVC(1.0)\n"
+        "a = train(s, df)\n"
+        "parts = sklearn.model_selection.train_test_split(a)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/ret", [code], CAT)
+    by = _by_path(nodes)
+    fl = _flows(nodes)
+    fit = by[("sklearn", "svm", "SVC", "fit")]["node_number"]
+    split = by[("sklearn", "model_selection", "train_test_split")]["node_number"]
+    assert (fit, "1", split) in fl
+
+
+def test_deferred_return_via_bound_variable():
+    """Same, through an intermediate body variable:
+    `z = m.fit(d); return z` marks the deferred call as the return."""
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def train(m, d):\n"
+        "    z = m.fit(d)\n"
+        "    return z\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "s = sklearn.svm.SVC(1.0)\n"
+        "r = sklearn.linear_model.LinearRegression()\n"
+        "a = train(s, df)\n"
+        "b = train(r, df)\n"
+        "parts = sklearn.model_selection.train_test_split(a, b)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/ret2", [code], CAT)
+    by = _by_path(nodes)
+    fl = _flows(nodes)
+    svc_fit = by[("sklearn", "svm", "SVC", "fit")]["node_number"]
+    lin_fit = by[("sklearn", "linear_model", "LinearRegression", "fit")]["node_number"]
+    split = by[("sklearn", "model_selection", "train_test_split")]["node_number"]
+    # a carries the SVC-site clone, b the LinearRegression-site clone
+    assert (svc_fit, "1", split) in fl
+    assert (lin_fit, "2", split) in fl
