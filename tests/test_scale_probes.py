@@ -53,3 +53,42 @@ def test_pack_sequences_at_1m_docs(spark):
     assert agg["end"] == total                      # offsets tile exactly
     assert agg["distinct_offsets"] == 1_000_000     # no overlap anywhere
     assert agg["max_seq"] == (total - 1) // 2048
+
+
+def test_expression_extraction_at_30k_pages(spark):
+    """30k code pages through the dataflow expression extractor (the
+    Arrow-batched zero-shuffle pass) + the miner: page content is
+    generated DISTRIBUTED (format_string over spark.range, no driver
+    lists), counts asserted via the miner's aggregate only.  Every page
+    carries an aliased one-frame expression and a two-frame expression;
+    field names cycle mod 4, so each (shape, field) class must count
+    exactly n_pages/4."""
+    from graph4code_spark.operators.expressions import (
+        extract_expressions, mine_expressions,
+    )
+    from graph4code_spark.synth import FIXED_CATALOG
+
+    n = 30_000
+    code = F.format_string(
+        "import pandas\n"
+        "df%s = pandas.read_csv('a.csv')\n"
+        "h%s = df%s\n"
+        "out = h%s['f%s'] / df%s['g']\n"
+        "u%s = pandas.read_csv('x.csv')\n"
+        "w%s = pandas.read_csv('y.csv')\n"
+        "out2 = u%s['f%s'] / w%s['g']\n",
+        *(["id"] * 4), F.col("id") % 4, "id",
+        *(["id"] * 2), "id", F.col("id") % 4, "id",
+    )
+    pages = spark.range(n).select(
+        F.format_string("http://p/%s", "id").alias("url"),
+        F.array(code).alias("codes"),
+    )
+    mined = mine_expressions(
+        extract_expressions(pages, FIXED_CATALOG), pre_normalized=True
+    ).collect()
+    got = {r["code"]: r["cnt"] for r in mined}
+    assert len(got) == 8  # 2 shapes x 4 field classes, nothing conflated
+    for i in range(4):
+        assert got[f"df0['f{i}'] / df0['g']"] == n // 4   # aliased: ONE frame
+        assert got[f"df0['f{i}'] / df1['g']"] == n // 4   # two frames
