@@ -1830,6 +1830,60 @@ def _oracle_semforms_dataflow() -> str:
     )
 
 
+def q_semforms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataflow expression mining over the REAL corpus spine at volume
+    (the `top_modules_volume` pattern): synthesis → QA parse → the
+    Arrow-batched dataflow expression extractor run distributed over an
+    8000-page corpus, while the strict oracle compare mines the
+    deterministic 1-in-40 page subset (qid % 40 == 0; qid = 100000 +
+    page_id, and 100000 ≡ 0 mod 40), which the straight-line oracle
+    regenerates exactly through the SHARED per-page worker (the
+    `_oracle_corpus` precedent — the miner/normalizer comparison is the
+    independent part, plus `semforms_dataflow`'s fully independent
+    interpreter oracle on the fixture corpus)."""
+    from graph4code_spark.operators.expressions import (
+        extract_expressions, mine_expressions,
+    )
+    from graph4code_spark.sources.qa import extract_qa
+
+    pages = synth_pages(spark, 8000, seed=42)
+    qa = extract_qa(pages).select("url", "codes")
+    obs = extract_expressions(qa, FIXED_CATALOG)
+    qid = F.element_at(F.split(F.col("url"), "/"), -1).cast("long")
+    sampled = obs.where(qid % 40 == 0)
+    return mine_expressions(sampled, pre_normalized=True)
+
+
+def _oracle_semforms_corpus() -> str:
+    from collections import Counter
+
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog, extract_page_expressions,
+    )
+    from graph4code_spark.reference_impl.qa_oracle import (
+        oracle_parse_qa_page as parse_qa_page,
+    )
+    from graph4code_spark.synth import HUB_ENTITY, _page_record, entity_type
+
+    names = sorted({entity_name(r) for r in FIXED_CATALOG})
+    etypes = {entity_name(r): entity_type(r) for r in FIXED_CATALOG}
+    hub = HUB_ENTITY if HUB_ENTITY in names else names[0]
+    cat = build_flow_catalog(FIXED_CATALOG)
+    counts: Counter = Counter()
+    for pid in range(0, 8000, 40):
+        page = _page_record(pid, 42, names, hub, etypes)
+        rec = parse_qa_page(page["url"], page["html"].decode("utf-8"))
+        if rec is None:
+            continue
+        for e in extract_page_expressions(page["url"], rec["codes"], cat):
+            counts[e["code"]] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = [(f"expr{idx}", code, cnt) for idx, (code, cnt) in enumerate(top)]
+    return _values_table(
+        rows, ["expr_name", "code", "cnt"], ["VARCHAR", "VARCHAR", "BIGINT"]
+    )
+
+
 def q_datarinse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dataRinse-analogue dataset→script association index (adjacent
     subsystem, `/root/reference/dataRinse/scripts/python_process_csv.py:
@@ -2016,6 +2070,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_words": q_posexplode_words,
         "semforms_expressions": q_semforms_expressions,
         "semforms_dataflow": q_semforms_dataflow,
+        "semforms_corpus": q_semforms_corpus,
         "datarinse_index": q_datarinse_index,
         "mining_suite": q_mining_suite,
         # relational coverage
@@ -2130,6 +2185,7 @@ def oracle_sql_full() -> dict[str, str]:
         "posexplode_words": _ORACLE_POSEXPLODE,
         "semforms_expressions": _oracle_semforms_expressions(),
         "semforms_dataflow": _oracle_semforms_dataflow(),
+        "semforms_corpus": _oracle_semforms_corpus(),
         "datarinse_index": _oracle_datarinse_index(),
         "mining_suite": _oracle_mining_suite(),
         "agg_pricing_summary": _ORACLE_PRICING,

@@ -75,6 +75,9 @@ HEADLINE = [
     "asof_join_events",
     # round-4 entrant: semForms-analogue expression mining
     "semforms_expressions",
+    # round-5 entrant: dataflow-normalized mining over the 8000-page
+    # corpus spine (extraction at volume, the top_modules_volume shape)
+    "semforms_corpus",
 ]
 
 

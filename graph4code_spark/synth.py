@@ -392,14 +392,22 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             continue
         if a == 0 and special == 5:
             # G7 subset: binary-op propagation + copy aliasing — both
-            # read_csv producers must reach the DataFrame ctor through c
+            # read_csv producers must reach the DataFrame ctor through c.
+            # r5: plus the two semForms expression shapes the dataflow
+            # miner separates — an ALIASED one-frame transform and a
+            # genuine two-frame transform (field names vary by page for
+            # a non-degenerate count distribution)
+            fa, fb = f"f{page_id % 3}", f"g{page_id % 2}"
             abody += (
                 "<pre><code>import pandas\n"
                 "a = pandas.read_csv('x.csv')\n"
                 "b = pandas.read_csv('y.csv')\n"
                 "c = a + b\n"
                 "d = c\n"
-                "out = pandas.DataFrame(d)\n</code></pre>"
+                "out = pandas.DataFrame(d)\n"
+                "e = a\n"
+                f"r1 = e['{fa}'] / a['{fb}']\n"
+                f"r2 = a['{fa}'] / b['{fb}']\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue
