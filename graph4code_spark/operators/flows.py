@@ -59,14 +59,20 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   Ctor(...)`` (same SSA def in WALA); ``for v in x:`` propagates x's
   producers into the loop targets as members (EachElementGet shape);
   ``x op= a`` folds a's producers into x (G7 augmented form)
-- interprocedural G3 subset: single-level ``def f(params):`` blocks —
-  a call-site arg's producer flows to the body nodes that consume the
-  matching parameter (at their recorded positions), and a ``return v``
-  value's producer becomes the caller's assigned-variable producer, so
-  receiver calls on the returned value chain through the function
-  boundary (the arg/return turtle-flow shapes of
+- interprocedural G3 subset: ``def f(params):`` blocks — a call-site
+  arg's producer flows to the body nodes that consume the matching
+  parameter (at their recorded positions), and a ``return v`` value's
+  producer becomes the caller's assigned-variable producer, so receiver
+  calls on the returned value chain through the function boundary (the
+  arg/return turtle-flow shapes of
   `PythonTurtleAnalysisEngine.java:1970-2025`, context-insensitive like
-  WALA's default; defs must precede their call sites in the snippet)
+  WALA's default; defs must precede their call sites in the snippet).
+  Depth-2 (r5): a def body calling an EARLIER helper def wires
+  body-local producers into the helper's parameter uses immediately,
+  and values bound to the enclosing def's own parameters FORWARD —
+  param-use lists and deferred receiver-calls cascade one level out so
+  the outer call site resolves them (WALA's transitive call-graph reach
+  through helper frames; no recursion, helpers precede callers)
 - G8 call-site contexts (r5): a method call on a def PARAMETER
   (`def train(m): m.fit(X)`) defers — each call site clones it into its
   own node resolved against that site's receiver class, so calling with
@@ -568,13 +574,25 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         head, _, rest = cname.partition(".")
                         if head in aliases and head not in var_klass:
                             cname = aliases[head] + ("." + rest if rest else "")
-                    if cname in local_defs and cur_def is None:
+                    if cname in local_defs and (
+                        cur_def is None or cname != cur_def["name"]
+                    ):
                         # call of a user-defined function: wire call-site
                         # arg producers to the body's parameter uses and
                         # propagate the return producer to the assigned
                         # variable (no turtle node of its own — matching
                         # the reference, where only library calls become
-                        # turtles and user code is flowed through)
+                        # turtles and user code is flowed through).
+                        # Depth-2 (r5): the same wiring runs INSIDE a def
+                        # body — body-local producers wire immediately
+                        # (body nodes are shared/context-insensitive);
+                        # values bound to the ENCLOSING def's parameters
+                        # FORWARD one level out (param-use lists and
+                        # deferred receiver-calls cascade into cur_def,
+                        # so the outer call site resolves them — WALA's
+                        # transitive call-graph reach through helper
+                        # frames, `…Engine.java:1970-2025`).  Honest
+                        # subset: helpers precede callers, no recursion.
                         d = local_defs[cname]
                         upos = 0
                         binding: dict[str, str] = {}  # param -> caller value
@@ -593,6 +611,14 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                         src["flows_to"] = _append_flow(
                                             src["flows_to"], str(use_pos), nnum
                                         )
+                                elif cur_def is not None and val in cur_def["params"]:
+                                    # outer param forwarded by keyword:
+                                    # the helper body's uses become uses
+                                    # of the OUTER def's parameter
+                                    for use in d["param_uses"].get(param, ()):
+                                        cur_def["param_uses"].setdefault(
+                                            val, []
+                                        ).append(use)
                                 continue
                             upos += 1
                             if upos <= len(d["params"]):
@@ -604,12 +630,71 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     src["flows_to"] = _append_flow(
                                         src["flows_to"], str(use_pos), nnum
                                     )
+                            elif (
+                                cur_def is not None
+                                and a in cur_def["params"]
+                                and upos <= len(d["params"])
+                            ):
+                                # outer param forwarded positionally
+                                param = d["params"][upos - 1]
+                                for use in d["param_uses"].get(param, ()):
+                                    cur_def["param_uses"].setdefault(
+                                        a, []
+                                    ).append(use)
                         # G8 call-site contexts: clone each deferred
                         # body receiver-call against THIS site's receiver
                         # class — one node per (call site, body call),
                         # WALA's call-site context (`…Engine.java:456-486`)
                         for rc in d.get("recv_calls", ()):
                             val = binding.get(rc["param"])
+                            if (
+                                cur_def is not None
+                                and val is not None
+                                and val in cur_def["params"]
+                            ):
+                                # deferred call on a value that is ITSELF
+                                # the outer def's parameter: forward the
+                                # deferral one level out, remapping the
+                                # arg spec to this body's frame (params
+                                # of the helper → this site's bindings)
+                                spec2 = []
+                                for kind, key, v in rc["args"]:
+                                    if kind != "param":
+                                        spec2.append((kind, key, v))
+                                        continue
+                                    bval = binding.get(v)
+                                    if bval is None:
+                                        continue
+                                    if bval in cur_def["params"]:
+                                        spec2.append(("param", key, bval))
+                                    elif bval in var_producer:
+                                        spec2.append(
+                                            ("tracked", key, var_producer[bval])
+                                        )
+                                    else:
+                                        sm_ = _STR_ARG.match(bval)
+                                        if sm_:
+                                            spec2.append((
+                                                "const_pos", str(key),
+                                                sm_.group(1) or sm_.group(2) or "",
+                                            ))
+                                        elif _NUM_ARG.match(bval):
+                                            spec2.append(
+                                                ("const_pos", str(key), bval)
+                                            )
+                                fwd = dict(rc, param=val, args=spec2)
+                                if rc.get("is_ret") and lhs_vars:
+                                    # the helper returns the deferred
+                                    # call's value and this body binds it:
+                                    # only a `return <var>` of the bound
+                                    # variable re-marks it (handled by
+                                    # the return-v scanner via binds)
+                                    fwd["is_ret"] = False
+                                    fwd["binds"] = tuple(lhs_vars)
+                                else:
+                                    fwd["binds"] = ()
+                                cur_def.setdefault("recv_calls", []).append(fwd)
+                                continue
                             kls = var_klass.get(val) if val else None
                             if kls is None or rc["meth"] not in methods_of.get(kls, {}):
                                 continue
@@ -638,6 +723,19 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                             src["flows_to"], str(key),
                                             cnode["node_number"],
                                         )
+                                    elif (
+                                        cur_def is not None
+                                        and bval is not None
+                                        and bval in cur_def["params"]
+                                    ):
+                                        # depth-2: the clone sits in a def
+                                        # body and this arg is the OUTER
+                                        # def's parameter — record the
+                                        # clone as one of its uses so the
+                                        # outer call site wires it
+                                        cur_def["param_uses"].setdefault(
+                                            bval, []
+                                        ).append((cnode["node_number"], key))
                                 elif kind == "tracked":
                                     # body-local producer (shared across
                                     # contexts — body nodes themselves

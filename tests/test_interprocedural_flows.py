@@ -423,3 +423,124 @@ def test_deferred_return_via_bound_variable():
     # a carries the SVC-site clone, b the LinearRegression-site clone
     assert (svc_fit, "1", split) in fl
     assert (lin_fit, "2", split) in fl
+
+
+def test_depth2_arg_flows_through_helper_chain():
+    """G3 depth-2 (r5): a def body calling an EARLIER helper def forwards
+    its own parameter's uses one level out — `run(df)` reaches the SVC
+    ctor inside `train` through `run`'s frame, and the returned ctor
+    chains out two levels."""
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def train(d):\n"
+        "    m = sklearn.svm.SVC(d)\n"
+        "    return m\n"
+        "def run(x):\n"
+        "    c = train(x)\n"
+        "    return c\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "clf = run(df)\n"
+        "p = clf.predict(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/d2a", [code], CAT)
+    by = _by_path(nodes)
+    fl = _flows(nodes)
+    read = by[("pandas", "read_csv")]["node_number"]
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    pred = by[("sklearn", "svm", "SVC", "predict")]["node_number"]
+    # top-level df reaches the helper body's ctor through BOTH frames
+    assert (read, "1", svc) in fl
+    # the returned ctor propagates out through both returns
+    assert (svc, "0", pred) in fl
+
+
+def test_depth2_deferred_receiver_forwards_to_outer_site():
+    """G3+G8 depth-2: a helper's deferred receiver-call (`m.fit(d)`)
+    forwarded through a middle def resolves per OUTER call site — two
+    models through the two-level chain yield two fit clones with
+    distinct receiver edges and per-site return bindings."""
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def fit_it(m, d):\n"
+        "    r = m.fit(d)\n"
+        "    return r\n"
+        "def run(m, d):\n"
+        "    out = fit_it(m, d)\n"
+        "    return out\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "s = sklearn.svm.SVC(1.0)\n"
+        "r = sklearn.linear_model.LinearRegression()\n"
+        "a = run(s, df)\n"
+        "b = run(r, df)\n"
+        "parts = sklearn.model_selection.train_test_split(a, b)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/d2b", [code], CAT)
+    by = _by_path(nodes)
+    fl = _flows(nodes)
+    read = by[("pandas", "read_csv")]["node_number"]
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    lin = by[("sklearn", "linear_model", "LinearRegression")]["node_number"]
+    svc_fit = by[("sklearn", "svm", "SVC", "fit")]["node_number"]
+    lin_fit = by[("sklearn", "linear_model", "LinearRegression", "fit")][
+        "node_number"]
+    split = by[("sklearn", "model_selection", "train_test_split")][
+        "node_number"]
+    assert svc_fit != lin_fit
+    # receiver edges stay per-site through the forwarded deferral
+    assert (svc, "0", svc_fit) in fl and (lin, "0", lin_fit) in fl
+    assert (svc, "0", lin_fit) not in fl and (lin, "0", svc_fit) not in fl
+    # the data arg rides the forwarded spec into both clones
+    assert (read, "1", svc_fit) in fl and (read, "1", lin_fit) in fl
+    # per-site return bindings survive the two-level is_ret relay
+    assert (svc_fit, "1", split) in fl
+    assert (lin_fit, "2", split) in fl
+
+
+def test_depth2_body_local_receiver_clones_at_inner_site():
+    """A helper's deferred call whose receiver binds to a BODY-LOCAL
+    ctor clones at the inner site, and its data arg (the outer def's
+    parameter) registers as an outer param use."""
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def train(m, d):\n"
+        "    m.fit(d)\n"
+        "def run(d):\n"
+        "    s = sklearn.svm.SVC(1.0)\n"
+        "    train(s, d)\n"
+        "    return s\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "clf = run(df)\n"
+        "p = clf.predict(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/d2c", [code], CAT)
+    by = _by_path(nodes)
+    fl = _flows(nodes)
+    read = by[("pandas", "read_csv")]["node_number"]
+    svc = by[("sklearn", "svm", "SVC")]["node_number"]
+    fit = by[("sklearn", "svm", "SVC", "fit")]["node_number"]
+    pred = by[("sklearn", "svm", "SVC", "predict")]["node_number"]
+    # inner-site clone: receiver from the body ctor
+    assert (svc, "0", fit) in fl
+    # outer call site wires df into the clone's data position
+    assert (read, "1", fit) in fl
+    # returned body ctor chains out of run
+    assert (svc, "0", pred) in fl
+
+
+def test_depth2_self_recursion_is_inert():
+    """A def calling its own (earlier) name re-binding does not wire into
+    itself — recursion stays outside the honest subset."""
+    code = (
+        "import sklearn\n"
+        "def train(m):\n"
+        "    m.fit(1)\n"
+        "def train(m):\n"
+        "    train(m)\n"
+        "s = sklearn.svm.SVC(1.0)\n"
+        "train(s)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/d2d", [code], CAT)
+    # the second (live) train body forwards nothing from the shadowed
+    # one; the call site resolves against the re-binding, which defers
+    # no receiver calls of its own
+    assert [n["path"] for n in nodes] == [["sklearn"], ["sklearn", "svm", "SVC"]]
