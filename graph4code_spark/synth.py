@@ -530,7 +530,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "</code></pre>"
                 )
             else:
-                # returned library value used by later calls
+                # returned library value used by later calls; r5: plus a
+                # DEPTH-2 helper chain — the outer def forwards its
+                # params to an earlier helper whose deferred m.fit
+                # resolves per OUTER call site (G3 depth-2 + G8 relay)
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     "def load(path):\n"
@@ -538,7 +541,16 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "    return d\n"
                     "x = load('data.csv')\n"
                     "m = sklearn.svm.SVC(x)\n"
-                    "r = m.fit(x, 2)\n</code></pre>"
+                    "r = m.fit(x, 2)\n"
+                    "def fit_it(m3, d3):\n"
+                    "    r3 = m3.fit(d3)\n"
+                    "    return r3\n"
+                    "def run(m4, d4):\n"
+                    "    out = fit_it(m4, d4)\n"
+                    "    return out\n"
+                    "s4 = sklearn.linear_model.LinearRegression()\n"
+                    "f4 = run(s4, x)\n"
+                    "q4 = pandas.DataFrame(f4)\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue
