@@ -138,3 +138,16 @@ def test_whole_stage_codegen_on_textstats(spark):
     p = _plan(E.q_text_quality(spark, SF))
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_semforms_corpus_plan_pinned(spark):
+    """Corpus-spine dataflow mining: one Arrow-batched MapInPandas
+    extraction (zero-shuffle), then the vocabulary-keyed hash-agg and
+    TakeOrdered — same shape as semforms_expressions with the extractor
+    swapped in; no SortMergeJoin, exactly one hash shuffle."""
+    p = _plan(E.queries_full()["semforms_corpus"](spark, SF))
+    assert "MapInPandas" in p  # the tracker runs per page partition
+    assert "TakeOrderedAndProject" in p
+    hashex = [e for e in _exchanges(p) if e.startswith("hashpartitioning")]
+    assert len(hashex) == 1, hashex
+    assert "SortMergeJoin" not in p
