@@ -29,6 +29,17 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   catalog entries (incl. constructed-class tracking through the alias)
 - attribute/string-subscript reads+writes on tracked values (the honest
   G2 subset of AstPropertyRead/Write, `…Engine.java:1892-1954`)
+- field store/load through UNTRACKED objects (r5): `h.data = df` then
+  `SVC(h.data)` / `x = h.data` propagates df's producer through the
+  field — plain value flow, no intermediate node (when the object is
+  not a turtle the store/load pair is SSA plumbing WALA resolves in
+  the pointer analysis); whole-object rebinds invalidate the store
+- ternary phi (r5): `c = a if cond else b` flows BOTH arms into c
+  (member union, like the loop-element shape; method calls on c resolve
+  through the union-receiver path when the arms' classes agree)
+- `xs.append(v)` membership (r5): appending a tracked value (plain var
+  or same-line call result) to an untracked list variable adds it to
+  the container members later iteration/args see
 - multi-line call spans: physical lines with open parens merge into one
   logical statement with a first_line≠last_line source span
 - container def-use chaining: ``v = [a, b]`` then ``f(v)`` flows a's and
@@ -148,6 +159,19 @@ _RETURN_RE = re.compile(r"^\s+return\s+([A-Za-z_]\w*)\s*$")
 #: (chain-final) node becomes the def's return producer
 _RETURN_EXPR_RE = re.compile(r"^\s+return\s+(\S.*)$")
 _ALIAS_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$")
+#: `obj.field` / `obj['field']` as a whole argument expression — the
+#: load half of the untracked-object field store/load pair
+_FIELD_REF_RE = re.compile(
+    r"^([A-Za-z_]\w*)(?:\.([A-Za-z_]\w*)"
+    r"|\[\s*(?:'([^']*)'|\"([^\"]*)\")\s*\])$"
+)
+#: `x = a if cond else b` — WALA's phi: both arms flow into x
+_TERNARY_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s+if\s+.+?\s+else\s+"
+    r"([A-Za-z_]\w*)\s*$"
+)
+#: `xs.append(v)` on an untracked variable — container membership add
+_APPEND_RE = re.compile(r"^\s*([A-Za-z_]\w*)\.append\(\s*(.+?)\s*\)\s*$")
 _BINOP_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*"
     r"([A-Za-z_]\w*(?:\s*[-+*/%&|]\s*[A-Za-z_0-9.]+)+)\s*$"
@@ -387,6 +411,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
             # valid only while var_members[v] still equals the recorded
             # element list, so rebinds self-invalidate.
             var_elem: dict[str, list] = {}
+            # G2 field store/load through UNTRACKED objects (the def-use
+            # half of `…Engine.java:1892-1954`'s AstPropertyWrite→Read
+            # chaining WALA resolves via pointer analysis): storing a
+            # tracked value into `obj.field` / `obj['field']` records
+            # (producer, class); a later load of the same field — as an
+            # assignment rhs or a whole call argument — propagates the
+            # stored value (no intermediate node: when obj is not a
+            # turtle the store/load pair is SSA plumbing, not a graph
+            # node).  Whole-object rebinds drop the map entry.
+            var_fields: dict[str, dict[str, tuple]] = {}
             prev_in_snippet: list[int] = []     # indices of the CFG frontier
             # G5 fork-join subset: one active top-level if/elif/else chain
             # {"pre": frontier before the if, "tails": per-arm frontiers}
@@ -439,6 +473,17 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 nodes.append(n)
                 return n
 
+            def field_ref(text):
+                """Producer stored under `obj.field`/`obj['field']`, or
+                None — resolves whole-argument field loads against the
+                var_fields store (current binding via closure)."""
+                fr = _FIELD_REF_RE.match(text)
+                if not fr:
+                    return None
+                field = fr.group(2) or fr.group(3) or fr.group(4)
+                ent = var_fields.get(fr.group(1), {}).get(field)
+                return ent[0] if ent is not None else None
+
             for ln, phys, line in _logical_lines(lines):
                 # blank lines are not statements: a blank line between an
                 # if-arm and its elif/else must not join the open branch
@@ -470,7 +515,8 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     else:
                         # dedent ends the def block; restore the outer env
                         local_defs[cur_def["name"]] = cur_def
-                        var_producer, var_klass, var_members, prev_in_snippet = outer_env
+                        (var_producer, var_klass, var_members,
+                         var_fields, prev_in_snippet) = outer_env
                         cur_def, outer_env = None, None
                 # G5 fork-join subset (`GraphSlicer.project` CFG shape,
                 # `…Engine.java:2116-2256`): calls in different arms of a
@@ -517,8 +563,10 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     }
                     # def body gets its own variable environment and its
                     # own control-flow chain (a separate method in WALA)
-                    outer_env = (var_producer, var_klass, var_members, prev_in_snippet)
-                    var_producer, var_klass, var_members, prev_in_snippet = {}, {}, {}, []
+                    outer_env = (var_producer, var_klass, var_members,
+                                 var_fields, prev_in_snippet)
+                    var_producer, var_klass, var_members, var_fields, \
+                        prev_in_snippet = {}, {}, {}, {}, []
                     continue
                 im = _IMPORT_RE.match(line)
                 if im:
@@ -557,6 +605,9 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     wm_ = _WITH_RE.match(line)
                     if wm_:
                         lhs_vars = [wm_.group(2)]
+                for v in lhs_vars:
+                    # whole-object rebind invalidates its field store
+                    var_fields.pop(v, None)
                 made_call_node = False
                 last_chain = None  # (index after ')', node#, klass, chain start)
                 # nested-call arg flow (`g(f(x))`: WALA flows f's result
@@ -973,6 +1024,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 cur_def["param_uses"].setdefault(val, []).append(
                                     (node["node_number"], pos)
                                 )
+                            elif (fp := field_ref(val)) is not None:
+                                # `obj.field` / `obj['field']` keyword
+                                # arg loading a stored tracked value
+                                src = nodes[idx_of[fp]]
+                                src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
                             elif _CALL_RE.match(val):
                                 pending_nested.append(
                                     (m.end() + aoff + nm.start(2),
@@ -1003,6 +1059,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             cur_def["param_uses"].setdefault(a, []).append(
                                 (node["node_number"], pos)
                             )
+                        elif (fp := field_ref(a)) is not None:
+                            # `obj.field` / `obj['field']` positional arg
+                            # loading a stored tracked value — the value
+                            # flows; the untracked object contributes no
+                            # node (store/load is SSA plumbing in WALA)
+                            src = nodes[idx_of[fp]]
+                            src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
                         elif _CALL_RE.match(a):
                             # nested call as positional arg: resolve after
                             # the whole line's calls are discovered
@@ -1088,6 +1151,26 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             var_members[v] = list(dict.fromkeys(members))
                             var_producer.pop(v, None)
                             var_klass.pop(v, None)
+                # `xs.append(v)` on an untracked variable: container
+                # membership add — the tracked value (a plain variable
+                # or a call made on this line) joins xs's members, so a
+                # later `for d in xs:` or `f(xs)` sees it (the list-new
+                # half of `…Engine.java:1905-1920`'s def-use recursion;
+                # append on a TRACKED value stays a method call)
+                apm = _APPEND_RE.match(line)
+                if apm and apm.group(1) not in var_producer:
+                    argt = apm.group(2)
+                    prod = None
+                    if argt in var_producer:
+                        prod = var_producer[argt]
+                    elif made_call_node:
+                        prod = line_call_nodes.get(apm.start(2))
+                    if prod is not None:
+                        obj = apm.group(1)
+                        mem = var_members.setdefault(obj, [])
+                        if prod not in mem:
+                            mem.append(prod)
+                        continue
                 # container-literal assignment: v = [a, b] / (a, b) /
                 # {'k': a} — remember which tracked producers flow into
                 # the container so a later call taking v sees them
@@ -1212,6 +1295,27 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     methods_of[var_klass[v]][field],
                                 )
                             continue
+                    if rm_ and rm_.group(2) not in var_producer:
+                        # field LOAD from an UNTRACKED object: if a
+                        # tracked value was stored under this field, the
+                        # lhs aliases it — plain value propagation, no
+                        # read node (the object is not a turtle; WALA
+                        # resolves the store/load pair in the pointer
+                        # analysis, `…Engine.java:1892-1954`)
+                        field = (rm_.group(3) if arm
+                                 else (krm.group(3) if krm.group(3) is not None
+                                       else krm.group(4)))
+                        ent = (var_fields.get(rm_.group(2), {}).get(field)
+                               if field else None)
+                        if ent is not None:
+                            x = rm_.group(1)
+                            var_producer[x] = ent[0]
+                            var_members.pop(x, None)
+                            if ent[1]:
+                                var_klass[x] = ent[1]
+                            else:
+                                var_klass.pop(x, None)
+                            continue
                     fm = _FOR_RE.match(line)
                     if fm and (fm.group(2) in var_producer or fm.group(2) in var_members):
                         # `for v in x:` — iteration propagates x's
@@ -1227,6 +1331,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             var_elem[v] = var_members[v]
                             var_producer.pop(v, None)
                             var_klass.pop(v, None)
+                            var_fields.pop(v, None)
                         continue
                     gm = _AUG_RE.match(line)
                     if gm and (gm.group(2) in var_producer or gm.group(2) in var_members):
@@ -1244,6 +1349,27 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         var_members[gm.group(1)] = members
                         var_producer.pop(gm.group(1), None)
                         var_klass.pop(gm.group(1), None)
+                        continue
+                    tm = _TERNARY_RE.match(line)
+                    if tm and any(
+                        r in var_producer or r in var_members
+                        for r in (tm.group(2), tm.group(3))
+                    ):
+                        # `x = a if cond else b` — WALA's phi: both arms
+                        # flow into x (union, like the loop-element
+                        # shape); method calls on x resolve through the
+                        # union-receiver path when the arms' classes
+                        # agree
+                        members = []
+                        for r in (tm.group(2), tm.group(3)):
+                            if r in var_producer:
+                                members.append(var_producer[r])
+                            members.extend(var_members.get(r, ()))
+                        v = tm.group(1)
+                        var_members[v] = list(dict.fromkeys(members))
+                        var_elem[v] = var_members[v]
+                        var_producer.pop(v, None)
+                        var_klass.pop(v, None)
                         continue
                     cm = _CONTAINER_RE.match(line)
                     am = None if cm else _ALIAS_RE.match(line)
@@ -1313,6 +1439,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 if wm and w_field and not w_field.isdigit() and wm.group(1) in var_producer:
                     src = nodes[idx_of[var_producer[wm.group(1)]]]
                     src["writes"] = src["writes"] + [{"container": None, "field": w_field}]
+                if wm and w_field and not w_field.isdigit():
+                    # field STORE of a tracked value into any object —
+                    # remember (producer, class) so later loads of the
+                    # same field propagate the value (WALA def-use
+                    # through AstPropertyWrite, `…Engine.java:1892-1954`)
+                    rhs_txt = line.split("=", 1)[1].strip()
+                    if rhs_txt in var_producer:
+                        var_fields.setdefault(wm.group(1), {})[w_field] = (
+                            var_producer[rhs_txt], var_klass.get(rhs_txt)
+                        )
                 for rm in _ATTR_READ_RE.finditer(line):
                     if wm is not None and rm.start(1) == wm.start(1):
                         continue  # the write target itself is not a read
@@ -1322,7 +1458,8 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
             if cur_def is not None:
                 # def block runs to the end of the snippet
                 local_defs[cur_def["name"]] = cur_def
-                var_producer, var_klass, var_members, prev_in_snippet = outer_env
+                (var_producer, var_klass, var_members,
+                 var_fields, prev_in_snippet) = outer_env
                 cur_def, outer_env = None, None
         if any(n.get("_dead") for n in nodes):
             # sweep G4-collapsed read turtles: splice each dead node out

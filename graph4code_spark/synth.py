@@ -468,7 +468,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 )
             else:
                 # round-3 statement forms: with-as binding, for-loop
-                # iteration flow, augmented assignment
+                # iteration flow, augmented assignment; r5: field
+                # store/load through an untracked object, ternary phi,
+                # and list-append membership (the new G2 shapes)
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     "with sklearn.svm.SVC() as model:\n"
@@ -478,7 +480,16 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "    out = pandas.DataFrame(row)\n"
                     "acc = pandas.read_csv('u.csv')\n"
                     "acc += df\n"
-                    "fin = pandas.DataFrame(acc)\n</code></pre>"
+                    "fin = pandas.DataFrame(acc)\n"
+                    "store = Holder()\n"
+                    "store.frame = df\n"
+                    "m5 = sklearn.svm.SVC(store.frame)\n"
+                    "pick = df if acc else fin\n"
+                    "m6 = pandas.DataFrame(pick)\n"
+                    "bag = []\n"
+                    "bag.append(pandas.read_csv('v.csv'))\n"
+                    "bag.append(df)\n"
+                    "m7 = sklearn.model_selection.train_test_split(bag)\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue

@@ -607,3 +607,139 @@ def test_container_loop_receiver_g8_members():
     )
     nodes3 = extract_page_flow_nodes("http://q/3", [code3], cat)
     assert not [n for n in nodes3 if n["path"][-1] == "fit"]
+
+
+def _edges(nodes):
+    out = set()
+    for n in nodes:
+        for pos, ds in n["flows_to"].items():
+            for d in ds:
+                out.add((n["node_number"], pos, d))
+    return out
+
+
+def test_field_store_load_through_untracked_object():
+    """G2 r5: storing a tracked value into an untracked object's field
+    (`h.data = df` / `cfg['d'] = df`) and loading it later — as a whole
+    call argument or an assignment rhs — propagates the value with no
+    intermediate node (the WALA store/load pair resolved by pointer
+    analysis, `…Engine.java:1892-1954`); a whole-object rebind drops
+    the store."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog, extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "h = H()\n"
+        "h.data = df\n"
+        "m1 = sklearn.svm.SVC(h.data)\n"      # field ref as call arg
+        "cfg = {}\n"
+        "cfg['d'] = df\n"
+        "m2 = sklearn.svm.SVC(cfg['d'])\n"    # subscript field ref
+        "y = h.data\n"                         # field load as assignment
+        "m3 = sklearn.svm.SVC(y)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/fs", [code], cat)
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fl = _edges(nodes)
+    assert len(svcs) == 3
+    for svc in svcs:
+        assert (read["node_number"], "1", svc["node_number"]) in fl
+    # no read NODE was created for the untracked-object loads
+    assert all(not n["reads"] for n in nodes if n["path"][-1] == "SVC")
+
+    code2 = (
+        "import pandas\nimport sklearn\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "h = H()\n"
+        "h.data = df\n"
+        "h = G()\n"                            # rebind invalidates
+        "m = sklearn.svm.SVC(h.data)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/fs2", [code2], cat)
+    assert _edges(nodes2) == set()
+
+
+def test_ternary_phi_flows_both_arms():
+    """G2/G7 r5: `c = a if cond else b` flows BOTH arms (WALA phi);
+    method calls on c resolve through the union receiver when the arms'
+    classes agree, and stay unresolved when they differ."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog, extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "a = pandas.read_csv('x.csv')\n"
+        "b = pandas.read_csv('y.csv')\n"
+        "c = a if True else b\n"
+        "m = sklearn.svm.SVC(c)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/t1", [code], cat)
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    svc = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"])
+    fl = _edges(nodes)
+    assert len(reads) == 2
+    for r in reads:
+        assert (r["node_number"], "1", svc["node_number"]) in fl
+
+    code2 = (
+        "import sklearn\n"
+        "a = sklearn.svm.SVC(1.0)\n"
+        "b = sklearn.svm.SVC(2.0)\n"
+        "c = a if True else b\n"
+        "r = c.fit(1)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/t2", [code2], cat)
+    fit = [n for n in nodes2 if n["path"][-1] == "fit"]
+    assert len(fit) == 1
+    ctors = [n for n in nodes2 if n["path"] == ["sklearn", "svm", "SVC"]]
+    fl2 = _edges(nodes2)
+    for c_ in ctors:
+        assert (c_["node_number"], "0", fit[0]["node_number"]) in fl2
+
+    code3 = (
+        "import sklearn\n"
+        "a = sklearn.svm.SVC(1.0)\n"
+        "b = sklearn.linear_model.LinearRegression()\n"
+        "c = a if True else b\n"
+        "r = c.fit(1)\n"
+    )
+    nodes3 = extract_page_flow_nodes("http://q/t3", [code3], cat)
+    assert not [n for n in nodes3 if n["path"][-1] == "fit"]
+
+
+def test_append_membership():
+    """G2 r5: `xs.append(v)` on an untracked list adds the tracked value
+    (plain var or same-line call result) to the container members that
+    later iteration and call args see."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog, extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "dfs = []\n"
+        "dfs.append(pandas.read_csv('a.csv'))\n"   # same-line call result
+        "x = pandas.read_csv('b.csv')\n"
+        "dfs.append(x)\n"                           # plain tracked var
+        "for d in dfs:\n"
+        "    m = sklearn.svm.SVC(d)\n"
+        "out = sklearn.model_selection.train_test_split(dfs)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/ap", [code], cat)
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    svc = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"])
+    split = next(n for n in nodes
+                 if n["path"] == ["sklearn", "model_selection", "train_test_split"])
+    fl = _edges(nodes)
+    assert len(reads) == 2
+    for r in reads:
+        assert (r["node_number"], "1", svc["node_number"]) in fl
+        assert (r["node_number"], "1", split["node_number"]) in fl
