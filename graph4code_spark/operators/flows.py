@@ -40,6 +40,15 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
 - `xs.append(v)` membership (r5): appending a tracked value (plain var
   or same-line call result) to an untracked list variable adds it to
   the container members later iteration/args see
+- method calls THROUGH field/element loads (r5): `h.model = SVC()`
+  then `h.model.fit(df)` resolves fit against the stored ctor result
+  (which becomes the DATA-0 receiver); `models[0].fit(x)` resolves
+  against the EXACT member a literal index selects (precise, unlike
+  the loop-element union); `cfg['m'].fit(x)` likewise through the
+  subscript store — the AstPropertyRead→invoke chain of
+  `…Engine.java:1892-1954` with the holder contributing no node.  A
+  tracked subscript receiver with an uncataloged method emits no node
+  (parity with dotted calls on tracked variables)
 - multi-line call spans: physical lines with open parens merge into one
   logical statement with a first_line≠last_line source span
 - container def-use chaining: ``v = [a, b]`` then ``f(v)`` flows a's and
@@ -155,6 +164,11 @@ _SLICE_ASSIGN_RE = re.compile(
     r"\[([^\]]*:[^\]]*)\]\s*$"
 )
 _RETURN_RE = re.compile(r"^\s+return\s+([A-Za-z_]\w*)\s*$")
+#: `return a, b` — tuple return of plain variables from a local def;
+#: call-site unpack binds each lhs to the matching producer
+_RETURN_TUPLE_RE = re.compile(
+    r"^\s+return\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*$"
+)
 #: `return <call expression>` inside a def body — the expression's
 #: (chain-final) node becomes the def's return producer
 _RETURN_EXPR_RE = re.compile(r"^\s+return\s+(\S.*)$")
@@ -172,6 +186,12 @@ _TERNARY_RE = re.compile(
 )
 #: `xs.append(v)` on an untracked variable — container membership add
 _APPEND_RE = re.compile(r"^\s*([A-Za-z_]\w*)\.append\(\s*(.+?)\s*\)\s*$")
+#: `obj[0].` / `obj['k'].` immediately preceding a method-call name —
+#: subscript element/field load used as the call's receiver (anchored at
+#: the end of the prefix slice line[:call_start])
+_SUBSCR_RECV_RE = re.compile(
+    r"([A-Za-z_]\w*)\[\s*(?:(\d+)|'([^']*)'|\"([^\"]*)\")\s*\]\.$"
+)
 _BINOP_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*"
     r"([A-Za-z_]\w*(?:\s*[-+*/%&|]\s*[A-Za-z_0-9.]+)+)\s*$"
@@ -511,6 +531,21 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     if rm.group(1) in rc.get("binds", ()):
                                         rc["is_ret"] = True
                             continue
+                        tm_ = _RETURN_TUPLE_RE.match(line)
+                        if tm_:
+                            # `return a, b` (r5): the def returns a tuple
+                            # of body producers — the caller's unpack
+                            # binds each lhs to the matching producer
+                            # (plain value flow through user code, like
+                            # the single-name return; the tuple object
+                            # itself is no turtle)
+                            rnames = [s.strip()
+                                      for s in tm_.group(1).split(",")]
+                            cur_def["ret_tuple"] = [
+                                (var_producer.get(s), var_klass.get(s))
+                                for s in rnames
+                            ]
+                            continue
                         # body line: processed below under the def-local env
                     else:
                         # dedent ends the def block; restore the outer env
@@ -560,6 +595,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         "param_uses": {},
                         "ret": None,
                         "ret_klass": None,
+                        "ret_tuple": None,
                     }
                     # def body gets its own variable environment and its
                     # own control-flow chain (a separate method in WALA)
@@ -805,7 +841,38 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     var_producer[v] = cnode["node_number"]
                                     var_klass.pop(v, None)
                                     var_members.pop(v, None)
-                        if lhs_vars and d["ret"] is not None:
+                        if lhs_vars and d.get("ret_tuple"):
+                            # tuple return from a local def (r5):
+                            # `tr, te = load()` binds each lhs to the
+                            # matching body producer; assigned WHOLE
+                            # (`x = load()`), the producers become x's
+                            # container members (iteration/call args see
+                            # them, like a container literal)
+                            rt = d["ret_tuple"]
+                            if len(lhs_vars) == len(rt):
+                                for v, (p_, k_) in zip(lhs_vars, rt):
+                                    var_members.pop(v, None)
+                                    if p_ is not None:
+                                        var_producer[v] = p_
+                                        if k_:
+                                            var_klass[v] = k_
+                                        else:
+                                            var_klass.pop(v, None)
+                                    else:
+                                        var_producer.pop(v, None)
+                                        var_klass.pop(v, None)
+                            elif len(lhs_vars) == 1:
+                                v = lhs_vars[0]
+                                var_members[v] = [p_ for p_, _ in rt
+                                                  if p_ is not None]
+                                var_producer.pop(v, None)
+                                var_klass.pop(v, None)
+                            else:
+                                for v in lhs_vars:
+                                    var_producer.pop(v, None)
+                                    var_klass.pop(v, None)
+                                    var_members.pop(v, None)
+                        elif lhs_vars and d["ret"] is not None:
                             for v in lhs_vars:
                                 var_producer[v] = d["ret"]
                                 var_members.pop(v, None)
@@ -820,6 +887,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     recv_members: list[int] | None = None
                     fused_read = None
                     chain_start = m.start()  # expression start (chain origin)
+                    call_txt = m.group(0).rstrip("( \t") + "(...)"
                     bound = var_bound.get(cname) if "." not in cname else None
                     if (
                         last_chain is not None
@@ -855,6 +923,43 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         path = list(bound[2])
                         recv_node = bound[1]
                         fused_read = bound[0]
+                    elif "." not in cname and (
+                        sub_ := _SUBSCR_RECV_RE.search(line[: m.start()])
+                    ) is not None and (
+                        sub_.group(1) in var_members
+                        or sub_.group(1) in var_fields
+                    ):
+                        # subscript receiver on a TRACKED container/field
+                        # store (r5, the element-load half of
+                        # `…Engine.java:1892-1954`): `models[0].fit(x)`
+                        # resolves against the EXACT member the literal
+                        # index selects (precise, unlike the loop-element
+                        # union — the index names one allocation site);
+                        # `cfg['m'].fit(x)` loads the stored field.  A
+                        # tracked receiver whose method is not in the
+                        # catalog emits no node (same as dotted calls on
+                        # tracked vars), instead of falling through to
+                        # the position-blind bare-tail match.
+                        prod_ = klass_ = None
+                        if sub_.group(2) is not None:
+                            mem = var_members.get(sub_.group(1), [])
+                            idx = int(sub_.group(2))
+                            if idx < len(mem):
+                                prod_ = mem[idx]
+                                klass_ = node_klass.get(prod_)
+                        else:
+                            fld = (sub_.group(3) if sub_.group(3) is not None
+                                   else sub_.group(4))
+                            ent = var_fields.get(sub_.group(1), {}).get(fld)
+                            if ent is not None:
+                                prod_, klass_ = ent
+                        if klass_ is not None and cname in methods_of.get(klass_, {}):
+                            path = methods_of[klass_][cname]
+                            recv_node = prod_
+                            chain_start = sub_.start(1)
+                            call_txt = line[sub_.start(1): m.end(1)] + "(...)"
+                        else:
+                            continue
                     elif cname in by_name:
                         path = by_name[cname]
                         if cname in methods_of:  # class ctor call
@@ -883,6 +988,23 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     recv_members = list(
                                         dict.fromkeys(var_members[recv])
                                     )
+                        elif "." in recv:
+                            # method call THROUGH a stored field (r5):
+                            # `h.model = SVC()` then `h.model.fit(df)` —
+                            # the field load resolves to the stored ctor
+                            # result, which becomes the receiver (the
+                            # AstPropertyRead→invoke chain of
+                            # `…Engine.java:1892-1954`, value-flow only:
+                            # the untracked holder contributes no node)
+                            fr_ = _FIELD_REF_RE.match(recv)
+                            if fr_ is not None:
+                                fld = (fr_.group(2) or fr_.group(3)
+                                       or fr_.group(4))
+                                ent = var_fields.get(fr_.group(1), {}).get(fld)
+                                if (ent is not None and ent[1]
+                                        and meth in methods_of.get(ent[1], {})):
+                                    path = methods_of[ent[1]][meth]
+                                    recv_node = ent[0]
                     if path is None and "." not in cname:
                         # suffix match: bare class/func tail used after
                         # import — O(1) probe of the precomputed tail index
@@ -952,7 +1074,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 })
                         continue
                     made_call_node = True
-                    node = new_node(list(path), ln, phys, m.group(0).rstrip("( \t") + "(...)")
+                    node = new_node(list(path), ln, phys, call_txt)
                     # the FINAL node of the postfix expression starting at
                     # chain_start (a later `.meth(` continuation overwrites)
                     line_call_nodes[chain_start] = node["node_number"]
@@ -1449,6 +1571,20 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         var_fields.setdefault(wm.group(1), {})[w_field] = (
                             var_producer[rhs_txt], var_klass.get(rhs_txt)
                         )
+                    else:
+                        # rhs is a call made on THIS line (`h.model =
+                        # SVC()`): the chain-final node at the rhs
+                        # expression's start offset is the stored value.
+                        # An UNTRACKED rhs overwrite drops a previous
+                        # store of the same field (stale-binding rule).
+                        rstart = len(line) - len(line.split("=", 1)[1].lstrip())
+                        if made_call_node and rstart in line_call_nodes:
+                            var_fields.setdefault(wm.group(1), {})[w_field] = (
+                                line_call_nodes[rstart],
+                                line_call_klass.get(rstart),
+                            )
+                        else:
+                            var_fields.get(wm.group(1), {}).pop(w_field, None)
                 for rm in _ATTR_READ_RE.finditer(line):
                     if wm is not None and rm.start(1) == wm.start(1):
                         continue  # the write target itself is not a read

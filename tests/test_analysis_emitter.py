@@ -743,3 +743,179 @@ def test_append_membership():
     for r in reads:
         assert (r["node_number"], "1", svc["node_number"]) in fl
         assert (r["node_number"], "1", split["node_number"]) in fl
+
+
+def test_subscript_element_receiver():
+    """G2 r5: `models[0].fit(x)` resolves the method against the EXACT
+    member the literal index selects (precise allocation site, unlike
+    the loop-element union), with a DATA-0 receiver edge from that
+    member only; `cfg['m'].fit(x)` resolves through the subscript field
+    store.  A tracked receiver with an uncataloged method emits no node
+    instead of falling through to the position-blind bare-tail match;
+    untracked subscripts keep the old fall-through."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog, extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "a = sklearn.svm.SVC()\n"
+        "b = sklearn.linear_model.LinearRegression()\n"
+        "models = [a, b]\n"
+        "models[0].fit(df)\n"
+        "models[1].fit(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/sub", [code], cat)
+    svc = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"])
+    lin = next(n for n in nodes
+               if n["path"] == ["sklearn", "linear_model", "LinearRegression"])
+    svc_fit = next(n for n in nodes
+                   if n["path"] == ["sklearn", "svm", "SVC", "fit"])
+    lin_fit = next(
+        n for n in nodes
+        if n["path"] == ["sklearn", "linear_model", "LinearRegression", "fit"])
+    fl = _edges(nodes)
+    assert (svc["node_number"], "0", svc_fit["node_number"]) in fl
+    assert (lin["node_number"], "0", lin_fit["node_number"]) in fl
+    assert (svc["node_number"], "0", lin_fit["node_number"]) not in fl
+    assert svc_fit["source_text"] == "models[0].fit(...)"
+
+    code2 = (
+        "import sklearn\n"
+        "cfg = {}\n"
+        "cfg['m'] = sklearn.svm.SVC()\n"
+        "cfg['m'].fit(x)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/sub2", [code2], cat)
+    svc2 = next(n for n in nodes2 if n["path"] == ["sklearn", "svm", "SVC"])
+    fit2 = next(n for n in nodes2
+                if n["path"] == ["sklearn", "svm", "SVC", "fit"])
+    assert (svc2["node_number"], "0", fit2["node_number"]) in _edges(nodes2)
+
+    # tracked container + uncataloged method: NO node (no bare-tail leak)
+    code3 = (
+        "import sklearn\n"
+        "a = sklearn.svm.SVC()\n"
+        "models = [a]\n"
+        "models[0].transform(x)\n"
+    )
+    nodes3 = extract_page_flow_nodes("http://q/sub3", [code3], cat)
+    assert not [n for n in nodes3 if n["path"][-1] == "transform"]
+
+    # untracked subscript keeps the historical bare-tail fall-through
+    code4 = "import sklearn\nthings[0].fit(x)\n"
+    nodes4 = extract_page_flow_nodes("http://q/sub4", [code4], cat)
+    assert [n for n in nodes4 if n["path"][-1] == "fit"]
+
+
+def test_method_call_through_stored_field():
+    """G2 r5: `h.model = SVC()` then `h.model.fit(df)` — the field load
+    resolves fit against the stored ctor result, which becomes the
+    DATA-0 receiver (the untracked holder contributes no node); an
+    untracked rhs overwrite of the field drops the store."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog, extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "h = H()\n"
+        "h.model = sklearn.svm.SVC()\n"
+        "h.model.fit(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/fld", [code], cat)
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    svc = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"])
+    fit = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"])
+    fl = _edges(nodes)
+    assert (svc["node_number"], "0", fit["node_number"]) in fl
+    assert (read["node_number"], "1", fit["node_number"]) in fl
+    assert fit["source_text"] == "h.model.fit(...)"
+
+    code2 = (
+        "import pandas\nimport sklearn\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "h = H()\n"
+        "h.model = sklearn.svm.SVC()\n"
+        "h.model = unknown_thing\n"
+        "h.model.fit(df)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/fld2", [code2], cat)
+    assert not [n for n in nodes2 if n["path"][-1] == "fit"]
+
+
+def test_tuple_return_from_local_def():
+    """G3 r5: `return a, b` from a local def — call-site unpack binds
+    each lhs to the matching body producer (element-wise value flow);
+    assigned WHOLE the producers become container members; arity
+    mismatch unbinds; a ctor in the tuple keeps its class so methods
+    on the unpacked var resolve with a receiver edge."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog, extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def load():\n"
+        "    a = pandas.read_csv('x.csv')\n"
+        "    b = pandas.read_csv('y.csv')\n"
+        "    return a, b\n"
+        "tr, te = load()\n"
+        "m = sklearn.svm.SVC(tr)\n"
+        "n = sklearn.svm.SVC(te)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/tr", [code], cat)
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fl = _edges(nodes)
+    assert len(reads) == 2 and len(svcs) == 2
+    # element-wise: first read -> first SVC, second read -> second SVC
+    assert (reads[0]["node_number"], "1", svcs[0]["node_number"]) in fl
+    assert (reads[1]["node_number"], "1", svcs[1]["node_number"]) in fl
+    assert (reads[0]["node_number"], "1", svcs[1]["node_number"]) not in fl
+
+    code2 = (
+        "import pandas\nimport sklearn\n"
+        "def mk():\n"
+        "    c = sklearn.svm.SVC()\n"
+        "    d = pandas.read_csv('t.csv')\n"
+        "    return c, d\n"
+        "clf, df = mk()\n"
+        "clf.fit(df)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/tr2", [code2], cat)
+    svc2 = next(n for n in nodes2 if n["path"] == ["sklearn", "svm", "SVC"])
+    fit2 = next(n for n in nodes2
+                if n["path"] == ["sklearn", "svm", "SVC", "fit"])
+    read2 = next(n for n in nodes2 if n["path"] == ["pandas", "read_csv"])
+    fl2 = _edges(nodes2)
+    assert (svc2["node_number"], "0", fit2["node_number"]) in fl2
+    assert (read2["node_number"], "1", fit2["node_number"]) in fl2
+
+    # assigned whole -> members feed iteration; arity mismatch unbinds
+    code3 = (
+        "import pandas\nimport sklearn\n"
+        "def load():\n"
+        "    a = pandas.read_csv('x.csv')\n"
+        "    b = pandas.read_csv('y.csv')\n"
+        "    return a, b\n"
+        "pair = load()\n"
+        "for d in pair:\n"
+        "    m = sklearn.svm.SVC(d)\n"
+        "x, y, z = load()\n"
+        "k = sklearn.svm.SVC(x)\n"
+    )
+    nodes3 = extract_page_flow_nodes("http://q/tr3", [code3], cat)
+    svcs3 = [n for n in nodes3 if n["path"] == ["sklearn", "svm", "SVC"]]
+    reads3 = [n for n in nodes3 if n["path"] == ["pandas", "read_csv"]]
+    fl3 = _edges(nodes3)
+    loop_svc = svcs3[0]["node_number"]
+    for r in reads3:
+        assert (r["node_number"], "1", loop_svc) in fl3
+    mismatch_svc = svcs3[1]["node_number"]
+    assert not [e for e in fl3 if e[2] == mismatch_svc]
