@@ -470,7 +470,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 # round-3 statement forms: with-as binding, for-loop
                 # iteration flow, augmented assignment; r5: field
                 # store/load through an untracked object, ternary phi,
-                # and list-append membership (the new G2 shapes)
+                # list-append membership, method calls through
+                # field/element loads, and a tuple-return def with
+                # element-wise call-site unpack (the new G2/G3 shapes)
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     "with sklearn.svm.SVC() as model:\n"
@@ -489,7 +491,17 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "bag = []\n"
                     "bag.append(pandas.read_csv('v.csv'))\n"
                     "bag.append(df)\n"
-                    "m7 = sklearn.model_selection.train_test_split(bag)\n</code></pre>"
+                    "m7 = sklearn.model_selection.train_test_split(bag)\n"
+                    "store.clf = sklearn.svm.SVC()\n"
+                    "store.clf.fit(df)\n"
+                    "duo = [m5, m7]\n"
+                    "duo[0].predict(df)\n"
+                    "def both(u, v):\n"
+                    "    p = pandas.DataFrame(u)\n"
+                    "    q = pandas.DataFrame(v)\n"
+                    "    return p, q\n"
+                    "left, right = both(df, fin)\n"
+                    "m8 = sklearn.svm.SVC(left, right)\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue
