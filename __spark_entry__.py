@@ -2096,6 +2096,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patched_types": q_kg_patched_types,
         "kg_rst_docstrings": q_kg_rst_docstrings,
         "kg_golden_nq": q_kg_golden_nq,
+        "kg_golden_emitter": q_kg_golden_emitter,
         "top_modules": q_top_modules,
         "posts_xml_volume": q_posts_xml_volume,
         "posts_xml_volume_agg": q_posts_xml_volume_agg,
@@ -2206,6 +2207,7 @@ def oracle_sql_full() -> dict[str, str]:
         "kg_patched_types": _oracle_kg_patched_types(),
         "kg_rst_docstrings": _oracle_kg_rst_docstrings(),
         "kg_golden_nq": _oracle_kg_golden_nq(),
+        "kg_golden_emitter": _oracle_kg_golden_emitter(),
         "top_modules": _oracle_top_modules(),
         "posts_xml_volume": _oracle_posts_xml_volume(),
         "posts_xml_volume_agg": _oracle_posts_xml_volume_agg(),
@@ -2643,8 +2645,13 @@ def q_kg_golden_nq(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser and aggregate per (file, predicate).  example2/3 carry the
     reads/slice/unpack node shapes `operators/flows.py` implements, so
     this is the cheapest independent check that the subset matches
-    WALA's emitted output.  Oracle: an independent `re`-based Python
-    parse of the same files."""
+    WALA's emitted output.  PLUS (r5, under the `emitter:` pred rows):
+    the q_kg_golden_emitter parity counts — the shipped analysis-JSON
+    documents loaded by `sources/analysis_json.py`, re-emitted by
+    `emitters/analysis.py`, and matched quad-for-quad against these
+    same WALA-emitted graphs — folded into the curated family row.
+    Oracle: an independent `re`-based Python parse of the same files
+    (+ the straight-line emitter recomputation for the parity rows)."""
     from graph4code_spark.nq import parse_nq_lines
 
     g = parse_nq_lines(
@@ -2653,7 +2660,7 @@ def q_kg_golden_nq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         keep_cols=["file"],
     )
-    return g.groupBy("file", "pred").agg(
+    vocab = g.groupBy("file", "pred").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("is_literal"), 1).otherwise(0)).cast("long").alias("n_lit"),
         F.sum(
@@ -2663,6 +2670,14 @@ def q_kg_golden_nq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_ann"),
         F.count_distinct("subj").alias("n_subj"),
     )
+    zero = F.lit(0).cast("long")
+    parity = q_kg_golden_emitter(spark, sf_dir).select(
+        "file",
+        F.concat(F.lit("emitter:"), F.col("status")).alias("pred"),
+        F.col("n"),
+        zero.alias("n_lit"), zero.alias("n_ann"), zero.alias("n_subj"),
+    )
+    return vocab.unionAll(parity)
 
 
 def _oracle_kg_golden_nq() -> str:
@@ -2698,10 +2713,213 @@ def _oracle_kg_golden_nq() -> str:
         (fname, pred, n, n_lit, n_ann, len(subjs))
         for (fname, pred), (n, n_lit, n_ann, subjs) in sorted(per.items())
     ]
+    rows += [
+        (fname, f"emitter:{status}", n, 0, 0, 0)
+        for fname, status, n in _golden_emitter_rows()
+    ]
     return _values_table(
         rows,
         ["file", "pred", "n", "n_lit", "n_ann", "n_subj"],
         ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+    )
+
+
+#: (analysis-JSON document, WALA-emitted .nq) golden pairs — the
+#: reference ships both artifacts for each example script
+_GOLDEN_PAIRS = [
+    (
+        f"/root/reference/sample_graph/example{i}.json",
+        f"/root/reference/sample_graph/example{i}.nq",
+    )
+    for i in (1, 2, 3)
+]
+
+
+def _quad_md5() -> F.Column:
+    return F.md5(
+        F.concat_ws(
+            "\x1f", "subj", "pred", "obj",
+            F.col("is_literal").cast("string"),
+            F.coalesce(F.col("arg_pos").cast("string"), F.lit("")),
+            F.coalesce(F.col("arg_name"), F.lit("")),
+            "graph",
+        )
+    )
+
+
+def q_kg_golden_emitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 loader + E6/E7 emitter vs real WALA output: load each shipped
+    analysis-JSON document (`sources/analysis_json.py`), emit quads with
+    `emitters/analysis.py`, and bucket them against the reference's own
+    .nq graph — per file, counts of matched / gold-only / ours-only
+    quads.  example1/3 match quad-for-quad (615/664); example2 carries
+    the reference toolchain's own org.json trailing-zero artifact (the
+    live analysis emitted "1.0", the shipped JSON stores 1 — see
+    tests/test_golden_analysis_json.py), so its diff is exactly 2+2.
+    Oracle: independent straight-line JSON→quads recomputation
+    (`reference_impl.analysis_quads`) + an independent `re` N-Quads
+    parse.  One union + one hash-agg per file; no joins."""
+    from graph4code_spark.emitters.analysis import analysis_triples
+    from graph4code_spark.nq import parse_nq_lines
+    from graph4code_spark.sources.analysis_json import load_analysis_json
+
+    parts = []
+    for jpath, npath in _GOLDEN_PAIRS:
+        fname = npath.rsplit("/", 1)[-1]
+        ours = (
+            analysis_triples(load_analysis_json(spark, jpath))
+            .select(_quad_md5().alias("h"))
+            .distinct()
+            .select(F.lit(fname).alias("file"), "h", F.lit("ours").alias("side"))
+        )
+        gold = parse_nq_lines(spark.read.text(npath)).select(
+            F.lit(fname).alias("file"), _quad_md5().alias("h"),
+            F.lit("gold").alias("side"),
+        )
+        parts.append(ours.unionAll(gold))
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionAll(p)
+    status = (
+        both.groupBy("file", "h")
+        .agg(
+            F.max(F.when(F.col("side") == "ours", 1).otherwise(0)).alias("o"),
+            F.max(F.when(F.col("side") == "gold", 1).otherwise(0)).alias("g"),
+        )
+        .select(
+            "file",
+            F.when(F.col("o") * F.col("g") == 1, "matched")
+            .when(F.col("g") == 1, "gold_only")
+            .otherwise("ours_only")
+            .alias("status"),
+        )
+    )
+    return status.groupBy("file", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _golden_emitter_rows() -> list[tuple]:
+    """Straight-line recomputation of q_kg_golden_emitter's counts:
+    independent JSON→node conversion + `reference_impl.analysis_quads`
+    on one side, an independent regex N-Quads parse on the other."""
+    import json as _json
+    import re as _re
+
+    from graph4code_spark.reference_impl.emitters import analysis_quads
+
+    def jstr(v):
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (list, dict)):
+            return _json.dumps(v, separators=(",", ":"))
+        return str(v)
+
+    def convert(node, g):  # reference JSON keys → ANALYSIS_NODES dict shape
+        edges = node.get("edges") or {}
+        loc = node.get("sourceLocation")
+        return {
+            "graph_uri": g,
+            "node_number": node["nodeNumber"],
+            "path": node.get("path") or [],
+            "normalized_label": node.get("normalizedLabel"),
+            "is_import": node.get("is_import", False),
+            "flows_to": edges.get("flowsTo"),
+            "immediately_precedes": edges.get("immediatelyPrecedes"),
+            "reads": [
+                {"container": r.get("container") or [], "field": str(r["field"])}
+                for r in node.get("reads") or []
+            ],
+            "writes": [
+                {"container": r.get("container") or [], "field": str(r["field"])}
+                for r in node.get("writes") or []
+            ],
+            "constant_positional_args": {
+                k: jstr(v)
+                for k, v in (node.get("constant_positional_args") or {}).items()
+            },
+            "constant_named_args": {
+                k: jstr(v)
+                for k, v in (node.get("constant_named_args") or {}).items()
+            },
+            "value_names": node.get("value_names"),
+            "source_location": None
+            if loc is None
+            else {
+                "first_line": loc.get("firstLine"),
+                "last_line": loc.get("lastLine"),
+                "first_col": loc.get("firstCol"),
+                "last_col": loc.get("lastCol"),
+                "first_offset": loc.get("firstOffset"),
+                "last_offset": loc.get("lastOffset"),
+                "url": loc.get("url"),
+            },
+            "source_text": node.get("sourceText"),
+            "source_lines": node.get("sourceLines"),
+        }
+
+    lit = r'[^"\\]*(?:\\.[^"\\]*)*'
+    obj = rf'(<[^>]*>|"{lit}"(?:\^\^<[^>]*>)?)'
+    plain = _re.compile(rf"^<([^>]*)> <([^>]*)> {obj} <([^>]*)> \.$")
+    ann = _re.compile(
+        rf'^<< <([^>]*)> <([^>]*)> {obj} >> <([^>]*)> "({lit})" <([^>]*)> \.$'
+    )
+    sio = "http://semanticscience.org/resource/"
+
+    def unescape(s):
+        s = s.replace("\\\\", "\x00")
+        for raw, esc in [("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"), ('"', '\\"')]:
+            s = s.replace(esc, raw)
+        return s.replace("\x00", "\\")
+
+    def term(raw):
+        if raw.startswith("<"):
+            return raw[1:-1], False
+        return unescape(_re.match(rf'^"({lit})"', raw).group(1)), True
+
+    rows = []
+    for jpath, npath in _GOLDEN_PAIRS:
+        fname = npath.rsplit("/", 1)[-1]
+        doc = _json.load(open(jpath))
+        g_uri = f"http://github/{doc['repo']}/{doc['repoPath']}"
+        ours: set = set()
+        for node in doc["turtle_analysis"]:
+            if node is not None:
+                ours |= analysis_quads(convert(node, g_uri))
+        gold: set = set()
+        with open(npath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                m = ann.match(line)
+                if m is not None:
+                    o, is_lit = term(m.group(3))
+                    val = unescape(m.group(5))
+                    pos = int(val) if m.group(4) == sio + "SIO_000613" else None
+                    name = val if m.group(4) != sio + "SIO_000613" else None
+                    gold.add((m.group(1), m.group(2), o, is_lit, pos, name, m.group(6)))
+                else:
+                    m = plain.match(line)
+                    o, is_lit = term(m.group(3))
+                    gold.add((m.group(1), m.group(2), o, is_lit, None, None, m.group(4)))
+        for statname, cnt in [
+            ("matched", len(ours & gold)),
+            ("gold_only", len(gold - ours)),
+            ("ours_only", len(ours - gold)),
+        ]:
+            if cnt:
+                rows.append((fname, statname, cnt))
+    return sorted(rows)
+
+
+def _oracle_kg_golden_emitter() -> str:
+    return _values_table(
+        _golden_emitter_rows(),
+        ["file", "status", "n"],
+        ["VARCHAR", "VARCHAR", "BIGINT"],
     )
 
 

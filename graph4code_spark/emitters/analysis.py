@@ -80,15 +80,19 @@ def analysis_triples(nodes: DataFrame) -> DataFrame:
     )
 
     loc = F.col("source_location")
+    # key order is Java's HashMap iteration order for this key set — the
+    # reference emits the literal via JSONObject.toString()
+    # (`…Engine.java:335-337`), and all 74 SIO_000061 literals across
+    # `sample_graph/example{1,2,3}.nq` show exactly this sequence
     loc_json = F.to_json(
         F.struct(
-            loc["first_line"].alias("firstLine"),
-            loc["first_col"].alias("firstCol"),
             loc["last_line"].alias("lastLine"),
+            loc["first_col"].alias("firstCol"),
+            loc["last_offset"].alias("lastOffset"),
             loc["last_col"].alias("lastCol"),
             loc["first_offset"].alias("firstOffset"),
-            loc["last_offset"].alias("lastOffset"),
             loc["url"].alias("url"),
+            loc["first_line"].alias("firstLine"),
         )
     )
     opt = F.concat(

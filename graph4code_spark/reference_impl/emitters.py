@@ -404,10 +404,13 @@ def analysis_quads(node: dict) -> set[AnnQuad]:
     if loc is not None:
         import json as _json
 
-        keys = [("firstLine", "first_line"), ("firstCol", "first_col"),
-                ("lastLine", "last_line"), ("lastCol", "last_col"),
-                ("firstOffset", "first_offset"), ("lastOffset", "last_offset"),
-                ("url", "url")]
+        # Java HashMap iteration order for this key set — see
+        # emitters/analysis.py (verified against all SIO_000061 literals
+        # in sample_graph/example{1,2,3}.nq)
+        keys = [("lastLine", "last_line"), ("firstCol", "first_col"),
+                ("lastOffset", "last_offset"), ("lastCol", "last_col"),
+                ("firstOffset", "first_offset"), ("url", "url"),
+                ("firstLine", "first_line")]
         obj = {k: loc[v] for k, v in keys if loc.get(v) is not None}
         add(_SIO + "SIO_000061", _json.dumps(obj, separators=(",", ":")), True)
     if node.get("source_text") is not None:
