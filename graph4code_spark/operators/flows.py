@@ -6,7 +6,31 @@ the webtext tier the inputs are forum code snippets, so this operator is
 the honest subset SURVEY.md §7.7 scopes: lightweight sequential-call
 extraction per snippet, emitting the reference's node/edge vocabulary —
 
-- one node per recognized API call or import (catalog-driven)
+- one node per API call rooted at a catalog module or import: cataloged
+  calls keep their catalog path; an UNCATALOGED invoke on a tracked
+  turtle extends the receiver's path (G1 full turtle shape, r5 —
+  `data.fillna(...)` on a read_csv result is `pandas.read_csv.fillna`,
+  golden example1.json node 82; `model.predict(...)` on a fit result is
+  `….SVC.fit.predict`, example2.json node 106), and an uncataloged call
+  THROUGH an import binding roots at the module (`pd.notnull(...)` →
+  `pandas.notnull`, example3.json node 84).  Calls with no catalog-module
+  root stay out (the honest scope bound)
+- import statements materialize the reference's member-read chains
+  (r5): `import a.b.c` emits the root import node plus one member-read
+  node per dotted segment (each with a reads-entry naming the field and
+  a DATA-0 edge from its container, example1.json nodes 76-79);
+  `from a.b import N` reads the module segments (the last carrying an
+  importTree<k> temp name), `from a import N` reads N itself; calls
+  through any import binding take a DATA-0 edge from the binding's
+  import/member-read node (example2.json: pandas(74) →0→ read_csv(85))
+- lhs binding is SSA-faithful (r5): the binding belongs to the call
+  whose postfix expression IS the rhs (nested arg calls never bind) and
+  applies after the whole line's uses resolve, so `data =
+  data.where(pd.notnull(data), …)` lets notnull read the OLD binding
+  and the where-result REBINDS the turtle (example3.json nodes 80-84)
+- whole-subscript selection with a complex index (r5): `X =
+  data[data.columns[:…]]` mints one path-unchanged node fed at DATA-0
+  (the subscript-read shape of example1.json node 84)
 - ``flowsTo`` at ordinal 0 for receiver dataflow: ``v = Ctor(...)`` then
   ``v.method(...)`` links the constructor node to the method node, the
   shape the reference's DATA-0 edges take (`…Engine.java:1892-1954`)
@@ -162,6 +186,14 @@ _SUBSCR_READ_RE = re.compile(
 _SLICE_ASSIGN_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)(?:\.([A-Za-z_]\w*))?"
     r"\[([^\]]*:[^\]]*)\]\s*$"
+)
+#: `x = v[<any expression>]` — whole-subscript selection on a tracked
+#: value whose index is too complex for the string-key/simple-slice
+#: forms (nested brackets, computed slices); the reference mints a
+#: subscript-read node with path = producer.path fed at DATA-0
+#: (`sample_graph/example1.json` node 84, `X = data[data.columns[:…]]`)
+_SUBSCR_SEL_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\[(.+)\]\s*$", re.S
 )
 _RETURN_RE = re.compile(r"^\s+return\s+([A-Za-z_]\w*)\s*$")
 #: `return a, b` — tuple return of plain variables from a local def;
@@ -454,8 +486,40 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
             # import svm as s` / `from sklearn.svm import SVC as Clf` —
             # alias -> canonical dotted prefix, applied to call names
             # before catalog resolution (WALA resolves through the
-            # module binding the same way)
+            # module binding the same way).  Plain `from M import N`
+            # binds N, and a plain dotted `import a.b.c` binds the LEAF
+            # name c (WALA's Python frontend shape — the reference's own
+            # example1.py calls bare `train_test_split` after
+            # `import sklearn.model_selection.train_test_split`).
             aliases: dict[str, str] = {}
+            # binding name -> node number of the import/member-read node
+            # the binding holds: calls THROUGH the binding get a DATA-0
+            # edge from it (`example2.json`: import pandas(74) →0→
+            # read_csv(85); member-read sklearn.svm(78) →0→ SVC(101))
+            alias_src: dict[str, int] = {}
+            # `from a.b import N` materializes member-read nodes for the
+            # module segments after the root (NOT for N itself), the last
+            # carrying an importTree<k> temp name; `from a import N`
+            # reads N directly (vn = bound name) — example2.json nodes
+            # 78/81/82, example3.json nodes 75/79
+            import_tree_counter = 0
+
+            def import_member_chain(segs, ln, phys):
+                """Emit the import node + member-read chain for dotted
+                module segments; returns the last node's number."""
+                inode = new_node([segs[0]], ln, phys, segs[0], is_import=True)
+                prev_num, prev_path = inode["node_number"], [segs[0]]
+                for seg in segs[1:]:
+                    rnode = new_node(prev_path + [seg], ln, phys, seg)
+                    rnode["reads"] = [{"container": [prev_num], "field": seg}]
+                    rnode["constant_positional_args"]["1"] = seg
+                    src = nodes[idx_of[prev_num]]
+                    src["flows_to"] = _append_flow(
+                        src["flows_to"], "0", rnode["node_number"]
+                    )
+                    prev_num = rnode["node_number"]
+                    prev_path = prev_path + [seg]
+                return prev_num
 
             def new_node(path, line_no, phys, text, is_import=False):
                 nonlocal counter, prev_in_snippet
@@ -608,30 +672,73 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 if im:
                     pim = _PLAIN_IMPORT_RE.match(line)
                     if pim:
-                        # `import a, b as c, d.e` — one node per known
-                        # module, aliases registered as they bind
+                        # `import a, b as c, d.e` — import node per known
+                        # root module + member-read chain per dotted
+                        # segment (WALA reads each segment off the module
+                        # object: example1.json node 76); `import a.b.c`
+                        # binds the LEAF name c, `import a.b as y` binds y
                         made_any = False
                         for item in pim.group(1).split(","):
                             mi = _IMPORT_ITEM_RE.match(item.strip())
                             if not mi or mi.group(1).split(".")[0] not in modules:
                                 continue
+                            full = mi.group(1)
+                            segs = full.split(".")
                             if mi.group(2):
-                                aliases[mi.group(2)] = mi.group(1)
-                            new_node([mi.group(1)], ln, phys, mi.group(1),
-                                     is_import=True)
+                                last = import_member_chain(segs, ln, phys)
+                                aliases[mi.group(2)] = full
+                                alias_src[mi.group(2)] = last
+                            elif len(segs) > 1:
+                                # leaf binding: reads cover the segments
+                                # UP TO the leaf — the leaf access is the
+                                # call itself (example1.json: only the
+                                # model_selection read exists; the
+                                # train_test_split call takes DATA-0 from
+                                # it)
+                                last = import_member_chain(segs[:-1], ln, phys)
+                                aliases[segs[-1]] = full
+                                alias_src[segs[-1]] = last
+                            else:
+                                last = import_member_chain(segs, ln, phys)
+                                alias_src[segs[0]] = last
                             made_any = True
                         if made_any:
                             continue
                     if im.group(1).split(".")[0] in modules:
                         fa = _FROM_IMPORT_RE.match(line)
-                        if fa and fa.group(3):
-                            aliases[fa.group(3)] = f"{fa.group(1)}.{fa.group(2)}"
-                        new_node([im.group(1)], ln, phys, im.group(1),
-                                 is_import=True)
+                        if fa:
+                            mod_path, name = fa.group(1), fa.group(2)
+                            bound = fa.group(3) or name
+                            segs = mod_path.split(".")
+                            if len(segs) > 1:
+                                # member reads cover the module segments
+                                # only; the last gets an importTree temp
+                                # (example2.json nodes 78/81)
+                                last = import_member_chain(segs, ln, phys)
+                                import_tree_counter += 1
+                                nodes[idx_of[last]]["value_names"] = [
+                                    f"importTree{import_tree_counter}"
+                                ]
+                            else:
+                                # `from a import N` reads N itself off
+                                # the module (example3.json node 79)
+                                last = import_member_chain(
+                                    [segs[0], name], ln, phys
+                                )
+                                nodes[idx_of[last]]["value_names"] = [bound]
+                            aliases[bound] = f"{mod_path}.{name}"
+                            alias_src[bound] = last
+                        else:
+                            new_node([im.group(1)], ln, phys, im.group(1),
+                                     is_import=True)
                         continue
                 assign = _ASSIGN_RE.match(line)
                 lhs_vars = (
                     [v.strip() for v in assign.group(1).split(",")] if assign else []
+                )
+                rhs_start = (
+                    len(line) - len(line.split("=", 1)[1].lstrip())
+                    if assign else None
                 )
                 if not lhs_vars:
                     # `with Ctor(...) as v:` binds v to the call's value
@@ -641,11 +748,20 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     wm_ = _WITH_RE.match(line)
                     if wm_:
                         lhs_vars = [wm_.group(2)]
+                        rhs_start = wm_.start(1)
                 for v in lhs_vars:
                     # whole-object rebind invalidates its field store
                     var_fields.pop(v, None)
                 made_call_node = False
                 last_chain = None  # (index after ')', node#, klass, chain start)
+                # lhs binding belongs to the call whose postfix expression
+                # IS the rhs (chain-final node of the expression starting
+                # at rhs_start) — never a nested arg call — and applies
+                # AFTER the whole line's calls resolve their args, so
+                # `data = data.where(pd.notnull(data), …)` lets notnull
+                # read the OLD binding (WALA SSA: uses before the def),
+                # golden example3.json nodes 80/82/84
+                deferred_binds: list = []
                 # nested-call arg flow (`g(f(x))`: WALA flows f's result
                 # into g — `…Engine.java` visit(CAstNode.CALL) evaluates
                 # inner calls first): calls are discovered textually, so
@@ -657,10 +773,17 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 pending_nested: list = []   # (inner start, outer node#, ordinal)
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
-                    if aliases:
+                    # a call THROUGH an import binding gets a DATA-0 edge
+                    # from the binding's import/member-read node
+                    # (`example2.json`: pandas(74) →0→ read_csv(85),
+                    # sklearn.svm read(78) →0→ SVC(101))
+                    import_src = None
+                    if aliases or alias_src:
                         head, _, rest = cname.partition(".")
-                        if head in aliases and head not in var_klass:
-                            cname = aliases[head] + ("." + rest if rest else "")
+                        if head not in var_klass and head not in var_producer:
+                            import_src = alias_src.get(head)
+                            if head in aliases:
+                                cname = aliases[head] + ("." + rest if rest else "")
                     if cname in local_defs and (
                         cur_def is None or cname != cur_def["name"]
                     ):
@@ -894,14 +1017,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         and "." not in cname
                         and m.start() == last_chain[0] + 1
                         and line[last_chain[0] : last_chain[0] + 1] == "."
-                        and last_chain[2] is not None
-                        and cname in methods_of.get(last_chain[2], {})
                     ):
                         # call chaining — the collapse-rewrite analogue
                         # (`…Engine.java:2069-2112`): `Ctor(...).meth(...)`
                         # links the ctor node to the method node at DATA-0
-                        # without an intermediate variable
-                        path = methods_of[last_chain[2]][cname]
+                        # without an intermediate variable.  A cataloged
+                        # method keeps its catalog path; anything else is
+                        # a G1 turtle-path extension (WALA mints a node
+                        # for EVERY invoke on a tracked turtle — golden
+                        # example2.json node 106, sklearn.SVC.fit.predict)
+                        if (last_chain[2] is not None
+                                and cname in methods_of.get(last_chain[2], {})):
+                            path = methods_of[last_chain[2]][cname]
+                        else:
+                            path = list(
+                                nodes[idx_of[last_chain[1]]]["path"]
+                            ) + [cname]
                         recv_node = last_chain[1]
                         chain_start = last_chain[3]
                     elif (
@@ -955,6 +1086,15 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 prod_, klass_ = ent
                         if klass_ is not None and cname in methods_of.get(klass_, {}):
                             path = methods_of[klass_][cname]
+                            recv_node = prod_
+                            chain_start = sub_.start(1)
+                            call_txt = line[sub_.start(1): m.end(1)] + "(...)"
+                        elif prod_ is not None:
+                            # G1 turtle-path extension through the loaded
+                            # member: uncataloged methods extend the
+                            # producer's path (WALA mints every invoke on
+                            # a tracked turtle)
+                            path = list(nodes[idx_of[prod_]]["path"]) + [cname]
                             recv_node = prod_
                             chain_start = sub_.start(1)
                             call_txt = line[sub_.start(1): m.end(1)] + "(...)"
@@ -1015,6 +1155,34 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             qual, path = hit
                             if qual in methods_of:
                                 produced_klass = qual
+                    if path is None and "." in cname:
+                        # G1 turtle-path extension (full turtle shape,
+                        # `…Engine.java:1413-1704`): WALA mints a node for
+                        # EVERY invoke on a tracked turtle, cataloged or
+                        # not — `data.fillna(...)` on a read_csv result is
+                        # pandas.read_csv.fillna (golden example1.json node
+                        # 82), `data = data.where(...)` REBINDS the turtle
+                        # (golden example3.json node 82).  Receiver must be
+                        # a tracked producer (not a def parameter — those
+                        # stay deferred for per-site G8 contexts).
+                        xrecv, xmeth = cname.rsplit(".", 1)
+                        if (
+                            not xmeth.isdigit()
+                            and xrecv in var_producer
+                            and not (cur_def is not None
+                                     and xrecv in cur_def["params"])
+                        ):
+                            recv_node = var_producer[xrecv]
+                            path = list(
+                                nodes[idx_of[recv_node]]["path"]
+                            ) + [xmeth]
+                    if path is None and import_src is not None:
+                        # call THROUGH an import binding whose function the
+                        # catalog does not know — the turtle still roots at
+                        # the module (golden example3.json node 84,
+                        # pandas.notnull); the binding's DATA-0 edge is
+                        # wired below like any recognized call
+                        path = cname.split(".")
                     if path is None:
                         # G8 call-site contexts (WALA's receiver-type +
                         # call-site contexts, `…Engine.java:456-486`):
@@ -1106,6 +1274,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             src["flows_to"] = _append_flow(
                                 src["flows_to"], "0", node["node_number"]
                             )
+                    elif import_src is not None:
+                        src = nodes[idx_of[import_src]]
+                        src["flows_to"] = _append_flow(
+                            src["flows_to"], "0", node["node_number"]
+                        )
                     if produced_klass:
                         node_klass[node["node_number"]] = produced_klass
                     # args: constants + variable dataflow (receiver=0 ⇒ args 1..n)
@@ -1194,40 +1367,54 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             pending_nested.append(
                                 (m.end() + aoff, node["node_number"], pos)
                             )
-                    if len(lhs_vars) > 1:
-                        # tuple unpack of a recognized call: one element
-                        # node per output with an ORDINAL path extension —
-                        # `train, test = train_test_split(...)` yields
-                        # nodes path+['0'] / path+['1'] fed by the call at
-                        # DATA-0, each carrying its variable name (the
-                        # reference shape: `sample_graph/example2.json`
-                        # nodes 87/89/90)
-                        for i, v in enumerate(lhs_vars):
-                            elem = new_node(list(path) + [str(i)], ln, phys, v)
-                            elem["value_names"] = [v]
-                            node["flows_to"] = _append_flow(
-                                node["flows_to"], "0", elem["node_number"]
-                            )
-                            var_producer[v] = elem["node_number"]
-                            var_members.pop(v, None)
-                            var_klass.pop(v, None)
-                    elif lhs_vars:
-                        node["value_names"] = lhs_vars
-                        for v in lhs_vars:
-                            var_producer[v] = node["node_number"]
-                            var_members.pop(v, None)
-                            if produced_klass:
-                                var_klass[v] = produced_klass
-                            else:
-                                # G8 receiver-context subset (WALA keys
-                                # receivers by allocation site,
-                                # `…Engine.java:456-486`): a non-ctor
-                                # result REBINDS the variable to a value
-                                # of unknown class — keeping the old
-                                # binding would resolve later `v.meth()`
-                                # against the stale class and cross-wire
-                                # the receiver edge onto this node
-                                var_klass.pop(v, None)
+                    if lhs_vars and chain_start == rhs_start:
+                        if len(lhs_vars) > 1:
+                            # tuple unpack of a recognized call: one
+                            # element node per output with an ORDINAL path
+                            # extension — `train, test =
+                            # train_test_split(...)` yields nodes
+                            # path+['0'] / path+['1'] fed by the call at
+                            # DATA-0, each carrying its variable name (the
+                            # reference shape: `sample_graph/example2.json`
+                            # nodes 87/89/90)
+                            deferred_binds = []
+                            for i, v in enumerate(lhs_vars):
+                                elem = new_node(list(path) + [str(i)],
+                                                ln, phys, v)
+                                elem["value_names"] = [v]
+                                node["flows_to"] = _append_flow(
+                                    node["flows_to"], "0",
+                                    elem["node_number"]
+                                )
+                                deferred_binds.append(
+                                    (v, elem["node_number"], None)
+                                )
+                        else:
+                            node["value_names"] = lhs_vars
+                            # a chain continuation (`….meth()`) shares
+                            # rhs_start via chain_start, so the
+                            # chain-FINAL node overwrites — WALA binds
+                            # the postfix expression's value
+                            deferred_binds = [
+                                (v, node["node_number"], produced_klass)
+                                for v in lhs_vars
+                            ]
+                # apply the rhs-head call's lhs binding now that every
+                # call on the line has read the OLD bindings (SSA: uses
+                # before the def)
+                for v, num, kls_ in deferred_binds:
+                    var_producer[v] = num
+                    var_members.pop(v, None)
+                    if kls_:
+                        var_klass[v] = kls_
+                    else:
+                        # G8 receiver-context subset (WALA keys receivers
+                        # by allocation site, `…Engine.java:456-486`): a
+                        # non-ctor result REBINDS the variable to a value
+                        # of unknown class — keeping the old binding
+                        # would resolve later `v.meth()` against the
+                        # stale class and cross-wire the receiver edge
+                        var_klass.pop(v, None)
                 # resolve nested-call args now that every call expression
                 # on the line has its (final) node: inner result flows to
                 # the outer call at the arg's source-order ordinal
@@ -1438,6 +1625,28 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             else:
                                 var_klass.pop(x, None)
                             continue
+                    sel = _SUBSCR_SEL_RE.match(line)
+                    if sel and sel.group(2) in var_producer:
+                        # whole-subscript selection with a complex index
+                        # (`X = data[data.columns[:…]]`): one node, path
+                        # unchanged, fed at DATA-0 — the reference's
+                        # subscript-read shape (`example1.json` node 84;
+                        # its node-ref reads-field is outside the honest
+                        # subset, so the reads list stays empty)
+                        x, v = sel.group(1), sel.group(2)
+                        p = var_producer[v]
+                        snode = new_node(list(nodes[idx_of[p]]["path"]),
+                                         ln, phys,
+                                         line.split("=", 1)[1].strip())
+                        snode["value_names"] = [x]
+                        psrc = nodes[idx_of[p]]
+                        psrc["flows_to"] = _append_flow(
+                            psrc["flows_to"], "0", snode["node_number"]
+                        )
+                        var_producer[x] = snode["node_number"]
+                        var_members.pop(x, None)
+                        var_klass.pop(x, None)
+                        continue
                     fm = _FOR_RE.match(line)
                     if fm and (fm.group(2) in var_producer or fm.group(2) in var_members):
                         # `for v in x:` — iteration propagates x's

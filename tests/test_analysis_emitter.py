@@ -197,9 +197,14 @@ def test_flow_call_chaining_collapse_analogue():
     assert fit["constant_positional_args"] == {"2": "7"}
     # the chained result is the method node's value
     assert fit["value_names"] == ["result"]
-    # unknown chained method: no node, no edge
-    assert svc2["flows_to"] == {}
-    assert len(nodes) == 4
+    # uncataloged chained method: G1 turtle-path extension — WALA mints
+    # a node for EVERY invoke on a tracked turtle (golden example2.json
+    # node 106, sklearn.SVC.fit.predict), path = receiver.path + [meth]
+    nosuch = next(n for n in nodes
+                  if n["path"] == ["sklearn", "svm", "SVC", "nosuch"])
+    assert svc2["flows_to"] == {"0": [nosuch["node_number"]]}
+    assert nosuch["value_names"] == ["bogus"]
+    assert len(nodes) == 5
 
 
 def test_flow_catalog_scales_to_100k_entities():
@@ -661,7 +666,12 @@ def test_field_store_load_through_untracked_object():
         "m = sklearn.svm.SVC(h.data)\n"
     )
     nodes2 = extract_page_flow_nodes("http://q/fs2", [code2], cat)
-    assert _edges(nodes2) == set()
+    # the rebind drops the store: no ARG edge survives — only the
+    # import bindings' DATA-0 edges into the calls made through them
+    assert all(e[1] == "0" for e in _edges(nodes2))
+    svc2 = next(n for n in nodes2 if n["path"][-1] == "SVC")
+    assert not [e for e in _edges(nodes2)
+                if e[2] == svc2["node_number"] and e[1] != "0"]
 
 
 def test_ternary_phi_flows_both_arms():
@@ -750,7 +760,8 @@ def test_subscript_element_receiver():
     member the literal index selects (precise allocation site, unlike
     the loop-element union), with a DATA-0 receiver edge from that
     member only; `cfg['m'].fit(x)` resolves through the subscript field
-    store.  A tracked receiver with an uncataloged method emits no node
+    store.  A tracked receiver with an uncataloged method extends the
+    turtle path (G1: WALA mints every invoke on a tracked turtle)
     instead of falling through to the position-blind bare-tail match;
     untracked subscripts keep the old fall-through."""
     from graph4code_spark.operators.flows import (
@@ -794,7 +805,8 @@ def test_subscript_element_receiver():
                 if n["path"] == ["sklearn", "svm", "SVC", "fit"])
     assert (svc2["node_number"], "0", fit2["node_number"]) in _edges(nodes2)
 
-    # tracked container + uncataloged method: NO node (no bare-tail leak)
+    # tracked container + uncataloged method: G1 turtle-path extension
+    # off the selected member (never the position-blind bare-tail match)
     code3 = (
         "import sklearn\n"
         "a = sklearn.svm.SVC()\n"
@@ -802,7 +814,10 @@ def test_subscript_element_receiver():
         "models[0].transform(x)\n"
     )
     nodes3 = extract_page_flow_nodes("http://q/sub3", [code3], cat)
-    assert not [n for n in nodes3 if n["path"][-1] == "transform"]
+    svc3 = next(n for n in nodes3 if n["path"] == ["sklearn", "svm", "SVC"])
+    tr3 = next(n for n in nodes3
+               if n["path"] == ["sklearn", "svm", "SVC", "transform"])
+    assert (svc3["node_number"], "0", tr3["node_number"]) in _edges(nodes3)
 
     # untracked subscript keeps the historical bare-tail fall-through
     code4 = "import sklearn\nthings[0].fit(x)\n"
@@ -918,4 +933,6 @@ def test_tuple_return_from_local_def():
     for r in reads3:
         assert (r["node_number"], "1", loop_svc) in fl3
     mismatch_svc = svcs3[1]["node_number"]
-    assert not [e for e in fl3 if e[2] == mismatch_svc]
+    # arity mismatch unbinds the values: no ARG edge reaches the call —
+    # the import binding's DATA-0 edge legitimately remains
+    assert not [e for e in fl3 if e[2] == mismatch_svc and e[1] != "0"]

@@ -103,7 +103,11 @@ def test_def_without_recognized_calls_is_inert():
     )
     nodes = extract_page_flow_nodes("http://q/4", [code], CAT)
     assert [tuple(n["path"]) for n in nodes] == [("pandas",), ("pandas", "read_csv")]
-    assert all(n["flows_to"] == {} for n in nodes)
+    # the def contributes nothing; the only edge is the import binding's
+    # DATA-0 into the call made through it (example2.json node 74)
+    imp, call = nodes
+    assert imp["flows_to"] == {"0": [call["node_number"]]}
+    assert call["flows_to"] == {}
 
 
 def test_multiple_call_sites_fan_in_context_insensitively():
@@ -222,7 +226,13 @@ def test_binop_of_untracked_vars_is_inert():
         "out = pandas.DataFrame(c)\n"
     )
     nodes = extract_page_flow_nodes("http://q/8", [code], CAT)
-    assert all(n["flows_to"] == {} for n in nodes)
+    # the binop of untracked vars contributes nothing; the only edge is
+    # the import binding's DATA-0 into the call made through it
+    by = _by_path(nodes)
+    imp = by[("pandas",)]
+    df = by[("pandas", "DataFrame")]
+    assert imp["flows_to"] == {"0": [df["node_number"]]}
+    assert df["flows_to"] == {}
 
 
 def test_nested_call_arg_flows_into_outer():
