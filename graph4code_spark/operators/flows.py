@@ -195,6 +195,21 @@ _SLICE_ASSIGN_RE = re.compile(
 _SUBSCR_SEL_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\[(.+)\]\s*$", re.S
 )
+#: the index expression of a whole-subscript selection when it slices an
+#: attribute of a tracked value (`data.columns[:len(data.columns)-1]`) —
+#: the reference materializes the inner read→slice chain
+_INNER_ATTR_SLICE_RE = re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\[(.*:.*)\]$", re.S
+)
+#: a call argument that is a binary op over two atoms (number, string,
+#: call expression, or plain variable) — the reference mints a turtle
+#: `<operand-path>.expr` node with operands at 0-based ordinals
+#: (`example2.json` node 102: `kernel=1.0 * RBF(1.0)`)
+_EXPR_ATOM = (r"(-?\d+(?:\.\d+)?|'[^']*'|\"[^\"]*\""
+              r"|[A-Za-z_][\w.]*\([^()]*\)|[A-Za-z_]\w*)")
+_ARG_BINOP_RE = re.compile(
+    rf"^{_EXPR_ATOM}\s*[-+*/%&|]\s*{_EXPR_ATOM}$"
+)
 _RETURN_RE = re.compile(r"^\s+return\s+([A-Za-z_]\w*)\s*$")
 #: `return a, b` — tuple return of plain variables from a local def;
 #: call-site unpack binds each lhs to the matching producer
@@ -568,6 +583,33 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 ent = var_fields.get(fr.group(1), {}).get(field)
                 return ent[0] if ent is not None else None
 
+            def tracked_field(text):
+                """(producer, field) for `v.attr` / `v['k']` where v is a
+                TRACKED turtle — the reference mints a read NODE per arg
+                occurrence, fed DATA-0 by the container and flowing at
+                the arg's ordinal (`example2.json` node 88:
+                `stratify=data['Dataset']` → Dataset read '4'→ tts)."""
+                fr = _FIELD_REF_RE.match(text)
+                if not fr or fr.group(1) not in var_producer:
+                    return None
+                field = fr.group(2) or fr.group(3) or fr.group(4)
+                if not field or field.isdigit():
+                    return None
+                return var_producer[fr.group(1)], field
+
+            def mint_field_read(prod_field, text, ln, phys):
+                p, field = prod_field
+                rnode = new_node(
+                    list(nodes[idx_of[p]]["path"]) + [field], ln, phys, text
+                )
+                rnode["reads"] = [{"container": [p], "field": field}]
+                rnode["constant_positional_args"]["1"] = field
+                psrc = nodes[idx_of[p]]
+                psrc["flows_to"] = _append_flow(
+                    psrc["flows_to"], "0", rnode["node_number"]
+                )
+                return rnode["node_number"]
+
             for ln, phys, line in _logical_lines(lines):
                 # blank lines are not statements: a blank line between an
                 # if-arm and its elif/else must not join the open branch
@@ -771,6 +813,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 line_call_nodes: dict = {}  # expression start -> node#
                 line_call_klass: dict = {}  # expression start -> ctor klass
                 pending_nested: list = []   # (inner start, outer node#, ordinal)
+                pending_exprs: list = []    # (outer node#, ordinal, val off, match)
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
                     # a call THROUGH an import binding gets a DATA-0 edge
@@ -1319,6 +1362,14 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 cur_def["param_uses"].setdefault(val, []).append(
                                     (node["node_number"], pos)
                                 )
+                            elif (tf := tracked_field(val)) is not None:
+                                # field/subscript read of a TRACKED value
+                                # as a keyword arg: a read node of its
+                                # own, flowing at the kwarg's source-order
+                                # ordinal (`example2.json` node 88)
+                                rn = mint_field_read(tf, val, ln, phys)
+                                src = nodes[idx_of[rn]]
+                                src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
                             elif (fp := field_ref(val)) is not None:
                                 # `obj.field` / `obj['field']` keyword
                                 # arg loading a stored tracked value
@@ -1328,6 +1379,14 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 pending_nested.append(
                                     (m.end() + aoff + nm.start(2),
                                      node["node_number"], pos)
+                                )
+                            elif (bx := _ARG_BINOP_RE.match(val)) is not None:
+                                # binop kwarg (`kernel=1.0 * RBF(1.0)`):
+                                # the reference mints an `.expr` turtle —
+                                # resolved after the line's calls exist
+                                pending_exprs.append(
+                                    (node["node_number"], pos,
+                                     m.end() + aoff + nm.start(2), bx)
                                 )
                             continue
                         pos += 1
@@ -1354,6 +1413,15 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             cur_def["param_uses"].setdefault(a, []).append(
                                 (node["node_number"], pos)
                             )
+                        elif (tf := tracked_field(a)) is not None:
+                            # field/subscript read of a TRACKED value as
+                            # a positional arg: a read node of its own,
+                            # fed DATA-0 by the container, flowing at the
+                            # arg ordinal (the per-occurrence read shape
+                            # of `example1.json` node 90)
+                            rn = mint_field_read(tf, a, ln, phys)
+                            src = nodes[idx_of[rn]]
+                            src["flows_to"] = _append_flow(src["flows_to"], str(pos), node["node_number"])
                         elif (fp := field_ref(a)) is not None:
                             # `obj.field` / `obj['field']` positional arg
                             # loading a stored tracked value — the value
@@ -1366,6 +1434,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             # the whole line's calls are discovered
                             pending_nested.append(
                                 (m.end() + aoff, node["node_number"], pos)
+                            )
+                        elif (bx := _ARG_BINOP_RE.match(a)) is not None:
+                            # binop positional arg: `.expr` turtle node,
+                            # resolved after the line's calls exist
+                            pending_exprs.append(
+                                (node["node_number"], pos,
+                                 m.end() + aoff, bx)
                             )
                     if lhs_vars and chain_start == rhs_start:
                         if len(lhs_vars) > 1:
@@ -1415,6 +1490,43 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         # would resolve later `v.meth()` against the
                         # stale class and cross-wire the receiver edge
                         var_klass.pop(v, None)
+                # binop args mint the reference's `.expr` turtle: path =
+                # first tracked operand's path + ['expr'], constant
+                # operands recorded at their 0-based ordinal, tracked/call
+                # operands flowing at theirs, and the expr node flowing
+                # into the consuming call at the arg's ordinal
+                # (`example2.json` nodes 101-103)
+                for outer_num, arg_pos, val_off, bm in pending_exprs:
+                    feeds, consts = [], {}
+                    for k in (1, 2):
+                        txt = bm.group(k)
+                        sm_ = _STR_ARG.match(txt)
+                        if sm_:
+                            consts[str(k - 1)] = sm_.group(1) or sm_.group(2) or ""
+                        elif _NUM_ARG.match(txt):
+                            consts[str(k - 1)] = txt
+                        elif txt in var_producer:
+                            feeds.append((var_producer[txt], k - 1))
+                        elif _CALL_RE.match(txt):
+                            inner = line_call_nodes.get(val_off + bm.start(k))
+                            if inner is not None and inner != outer_num:
+                                feeds.append((inner, k - 1))
+                    if not feeds:
+                        continue
+                    enode = new_node(
+                        list(nodes[idx_of[feeds[0][0]]]["path"]) + ["expr"],
+                        ln, phys, bm.group(0),
+                    )
+                    for ck, cv in consts.items():
+                        enode["constant_positional_args"][ck] = cv
+                    for src_num, k in feeds:
+                        s = nodes[idx_of[src_num]]
+                        s["flows_to"] = _append_flow(
+                            s["flows_to"], str(k), enode["node_number"]
+                        )
+                    enode["flows_to"] = _append_flow(
+                        enode["flows_to"], str(arg_pos), outer_num
+                    )
                 # resolve nested-call args now that every call expression
                 # on the line has its (final) node: inner result flows to
                 # the outer call at the arg's source-order ordinal
@@ -1632,9 +1744,36 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         # unchanged, fed at DATA-0 — the reference's
                         # subscript-read shape (`example1.json` node 84;
                         # its node-ref reads-field is outside the honest
-                        # subset, so the reads list stays empty)
+                        # subset, so the reads list stays empty).  When
+                        # the index itself slices an attribute of a
+                        # tracked value (`data.columns[:…]`), the
+                        # reference's inner chain materializes too:
+                        # container →0→ attr READ →1→ attr SLICE →1→ the
+                        # selection (example1.json nodes 84-86)
                         x, v = sel.group(1), sel.group(2)
                         p = var_producer[v]
+                        inner_feed = None
+                        isl = _INNER_ATTR_SLICE_RE.match(sel.group(3))
+                        if isl and isl.group(1) in var_producer:
+                            ip = var_producer[isl.group(1)]
+                            ibase = list(nodes[idx_of[ip]]["path"])
+                            attr = isl.group(2)
+                            rnode = new_node(ibase + [attr], ln, phys,
+                                             f"{isl.group(1)}.{attr}")
+                            rnode["reads"] = [{"container": [ip],
+                                               "field": attr}]
+                            rnode["constant_positional_args"]["1"] = attr
+                            ipsrc = nodes[idx_of[ip]]
+                            ipsrc["flows_to"] = _append_flow(
+                                ipsrc["flows_to"], "0", rnode["node_number"]
+                            )
+                            slnode = new_node(ibase + [attr], ln, phys,
+                                              isl.group(0))
+                            slnode["is_slice"] = True
+                            rnode["flows_to"] = _append_flow(
+                                rnode["flows_to"], "1", slnode["node_number"]
+                            )
+                            inner_feed = slnode["node_number"]
                         snode = new_node(list(nodes[idx_of[p]]["path"]),
                                          ln, phys,
                                          line.split("=", 1)[1].strip())
@@ -1643,6 +1782,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         psrc["flows_to"] = _append_flow(
                             psrc["flows_to"], "0", snode["node_number"]
                         )
+                        if inner_feed is not None:
+                            isrc = nodes[idx_of[inner_feed]]
+                            isrc["flows_to"] = _append_flow(
+                                isrc["flows_to"], "1", snode["node_number"]
+                            )
                         var_producer[x] = snode["node_number"]
                         var_members.pop(x, None)
                         var_klass.pop(x, None)

@@ -4,12 +4,13 @@ shipped golden analysis graphs (`/root/reference/sample_graph/example{1,2,3}`).
 The loader path already reproduces the golden graphs quad-for-quad from the
 shipped JSON (tests/test_golden_analysis_json.py).  This file checks the
 EXTRACTOR itself: running `extract_page_flow_nodes` over the reference's own
-example .py sources must produce a dataflow graph whose edges all exist in
-the corresponding golden JSON (soundness — we never invent an edge WALA's
-interprocedural analysis does not derive), and whose recall covers the core
-spine each example exercises (import member-read chains, binding→call
-DATA-0, ctor receiver edges, tuple-unpack elements, arg-ordinal flows,
-turtle-path extension through uncataloged methods).
+example .py sources must produce EXACTLY the dataflow edge set of the
+corresponding golden JSON, role-mapped — no edge WALA's interprocedural
+analysis does not derive (soundness) and no golden edge missed (recall):
+import member-read chains, binding→call DATA-0, ctor receiver edges,
+tuple-unpack elements, arg-ordinal flows including kwarg-position field
+reads, turtle-path extension through uncataloged methods, inner
+read→slice chains of complex subscripts, and binop `.expr` turtles.
 
 Node identities differ (the golden numbering starts after ~74 builtin
 import nodes, and golden paths are [root, leaf] while ours keep the full
@@ -76,13 +77,16 @@ def _extracted(example: str):
 
 
 @pytest.mark.parametrize("example", ["example1", "example2", "example3"])
-def test_extractor_edges_are_sound_vs_golden(example):
-    """Every dataflow edge the extractor derives from the example source
-    exists (role-for-role, same arg ordinal) in WALA's shipped graph."""
+def test_extractor_edges_equal_golden(example):
+    """Role-mapped EDGE-SET EQUALITY: the extractor derives exactly the
+    dataflow edges WALA's shipped graph holds — no extras (soundness)
+    and no misses (recall) — on all three reference example sources."""
     _groles, gedges = _golden(example)
     _eroles, eedges = _extracted(example)
     extra = sorted(e for e in eedges if e not in gedges)
+    missing = sorted(e for e in gedges if e not in eedges)
     assert not extra, f"extractor edges absent from golden: {extra}"
+    assert not missing, f"golden edges not derived: {missing}"
 
 
 # Core-spine recall, per example.  Roles: (root, leaf, is_import).
@@ -113,6 +117,11 @@ _SPINE = {
         (("sklearn", "SVC", False), "0", ("sklearn", "predict", False)),
         # G1 turtle extension: data.fillna(...) on the read_csv turtle
         (("pandas", "read_csv", False), "0", ("pandas", "fillna", False)),
+        # stratify=data['Dataset']: per-occurrence read node flowing at
+        # the kwarg's source-order ordinal (golden node 90, '5' → tts)
+        (("pandas", "read_csv", False), "0", ("pandas", "Dataset", False)),
+        (("pandas", "Dataset", False), "5",
+         ("sklearn", "train_test_split", False)),
     ],
     "example2": [
         (("pandas", "pandas", _IMP), "0", ("pandas", "read_csv", False)),
@@ -126,6 +135,10 @@ _SPINE = {
          ("sklearn", "kernels", False)),
         # data flows into train_test_split at position 1
         (("pandas", "read_csv", False), "1",
+         ("sklearn", "train_test_split", False)),
+        # stratify=data['Dataset'] at kwarg ordinal 4 (golden node 88)
+        (("pandas", "read_csv", False), "0", ("pandas", "Dataset", False)),
+        (("pandas", "Dataset", False), "4",
          ("sklearn", "train_test_split", False)),
         (("sklearn", "train_test_split", False), "0",
          ("sklearn", "0", False)),
