@@ -180,6 +180,14 @@ _AUG_RE = re.compile(
 )
 _IF_RE = re.compile(r"^if\s.*:\s*$")
 _ELIF_ELSE_RE = re.compile(r"^(?:elif\s.*|else\s*):\s*$")
+#: `ys = [EXPR for v in xs]` (list/set/generator, optional `if` filter)
+#: over a PLAIN-VARIABLE source — WALA's comprehension body is a hidden
+#: function whose parameter binds per element (EachElementGet), and the
+#: comprehension VALUE is a container of the expression's results
+_COMPR_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*[\[({]\s*(.+?)\s+for\s+([A-Za-z_]\w*)"
+    r"\s+in\s+([A-Za-z_]\w*)(?:\s+if\s+[^\])}]+)?\s*[\])}]\s*$", re.S
+)
 _SUBSCR_READ_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\[\s*(?:'([^']*)'|\"([^\"]*)\")\s*\]\s*$"
 )
@@ -774,6 +782,30 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             new_node([im.group(1)], ln, phys, im.group(1),
                                      is_import=True)
                         continue
+                # comprehension over a TRACKED source: bind the loop var
+                # per element (the for-statement's EachElementGet shape),
+                # evaluate the expression once symbolically through the
+                # normal call machinery, then rebind the lhs as a
+                # CONTAINER of the result and un-leak the loop var
+                # (WALA compiles the body as a hidden comprehension
+                # function — one node per call, union receiver)
+                compr = None
+                km_ = _COMPR_RE.match(line)
+                if km_ and (km_.group(4) in var_producer
+                            or km_.group(4) in var_members):
+                    lv_, srcv_ = km_.group(3), km_.group(4)
+                    compr = (km_.group(1), lv_,
+                             (var_members.get(lv_), var_elem.get(lv_),
+                              var_producer.get(lv_), var_klass.get(lv_)))
+                    src_list = ([var_producer[srcv_]]
+                                if srcv_ in var_producer
+                                else list(var_members[srcv_]))
+                    var_members[lv_] = list(src_list)
+                    var_elem[lv_] = var_members[lv_]
+                    var_producer.pop(lv_, None)
+                    var_klass.pop(lv_, None)
+                    var_fields.pop(lv_, None)
+                    line = f"{km_.group(1)} = {km_.group(2)}"
                 assign = _ASSIGN_RE.match(line)
                 lhs_vars = (
                     [v.strip() for v in assign.group(1).split(",")] if assign else []
@@ -1490,6 +1522,23 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         # would resolve later `v.meth()` against the
                         # stale class and cross-wire the receiver edge
                         var_klass.pop(v, None)
+                if compr is not None:
+                    lhs_c, lv_, (sm_, se_, sp_, sk_) = compr
+                    # the comprehension VALUE is a container of the
+                    # expression's per-element result — the lhs holds
+                    # the call node as a MEMBER (a later `for y in ys:`
+                    # or `f(ys)` sees it), never as the value itself
+                    if lhs_c in var_producer:
+                        var_members[lhs_c] = [var_producer.pop(lhs_c)]
+                        var_elem[lhs_c] = var_members[lhs_c]
+                        var_klass.pop(lhs_c, None)
+                    # the loop var does not leak (comprehension scope)
+                    for d_, old_ in ((var_members, sm_), (var_elem, se_),
+                                     (var_producer, sp_), (var_klass, sk_)):
+                        if old_ is None:
+                            d_.pop(lv_, None)
+                        else:
+                            d_[lv_] = old_
                 # binop args mint the reference's `.expr` turtle: path =
                 # first tracked operand's path + ['expr'], constant
                 # operands recorded at their 0-based ordinal, tracked/call
