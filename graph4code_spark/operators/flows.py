@@ -167,6 +167,18 @@ _CONTAINER_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*[\[\({](.*)[\]\)}]\s*$", re.S
 )
 _DEF_RE = re.compile(r"^def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$")
+#: top-level `class X:` / `class X(Base):` — user-defined class (r5
+#: honest subset: methods indented once, no inheritance resolution)
+_CLASS_RE = re.compile(r"^class\s+([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s*:\s*$")
+#: a method def INSIDE an open class block (indented `def`)
+_METHOD_DEF_RE = re.compile(
+    r"^\s+def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$"
+)
+#: `return self.f` from a method — the def's return producer is the
+#: instance field's stored value
+_RETURN_SELF_FIELD_RE = re.compile(
+    r"^\s+return\s+self\.([A-Za-z_]\w*)\s*$"
+)
 _ATTR_ASSIGN_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
 )
@@ -505,6 +517,17 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
             local_defs: dict[str, dict] = {}
             cur_def: dict | None = None
             outer_env: tuple | None = None
+            # user-defined CLASS subset (r5): name -> {"fields": the
+            # __init__ self-field stores (field -> (producer, klass)),
+            # "methods": method name -> def record (params minus self)}.
+            # Instances carry the field map; their methods dispatch
+            # through the local-def machinery via per-instance aliases.
+            # Body nodes are shared across instances (context-
+            # insensitive, like def bodies — WALA's allocation-site
+            # contexts are outside the honest subset).
+            local_classes: dict[str, dict] = {}
+            cur_class: dict | None = None
+            inst_methods: dict[str, list] = {}  # var -> its method alias keys
             # import aliasing: `import pandas as pd` / `from sklearn
             # import svm as s` / `from sklearn.svm import SVC as Clf` —
             # alias -> canonical dotted prefix, applied to call names
@@ -629,6 +652,53 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 if cur_def is not None:
                     first = line[:1]
                     if first in (" ", "\t"):
+                        mm_next = (_METHOD_DEF_RE.match(line)
+                                   if cur_class is not None else None)
+                        if mm_next:
+                            # next method def at class indent: register
+                            # the finished method while its def-local
+                            # env is live, then open the new one (fresh
+                            # env, self fields pre-bound so body loads
+                            # of __init__ stores resolve eagerly)
+                            if cur_def["name"] == "__init__":
+                                cur_class["fields"] = dict(
+                                    var_fields.get("self", {})
+                                )
+                                d_ = dict(cur_def)
+                                d_["params"] = [p for p in d_["params"]
+                                                if p != "self"]
+                                local_defs[cur_class["name"]] = d_
+                            else:
+                                d_ = dict(cur_def)
+                                d_["params"] = [p for p in d_["params"]
+                                                if p != "self"]
+                                cur_class["methods"][cur_def["name"]] = d_
+                            cur_def = {
+                                "name": mm_next.group(1),
+                                "params": [p.strip() for p in
+                                           mm_next.group(2).split(",")
+                                           if p.strip()],
+                                "param_uses": {},
+                                "ret": None,
+                                "ret_klass": None,
+                                "ret_tuple": None,
+                            }
+                            var_producer, var_klass, var_members, \
+                                var_fields, prev_in_snippet = {}, {}, {}, {}, []
+                            var_fields["self"] = dict(cur_class["fields"])
+                            continue
+                        if cur_class is not None:
+                            rsf = _RETURN_SELF_FIELD_RE.match(line)
+                            if rsf:
+                                # `return self.f` — the method returns
+                                # the instance field's stored value
+                                ent = var_fields.get("self", {}).get(
+                                    rsf.group(1)
+                                )
+                                if ent is not None:
+                                    cur_def["ret"] = ent[0]
+                                    cur_def["ret_klass"] = ent[1]
+                                continue
                         rm = _RETURN_RE.match(line)
                         if rm:
                             # `return v`: v's producer becomes the def's
@@ -663,7 +733,25 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         # body line: processed below under the def-local env
                     else:
                         # dedent ends the def block; restore the outer env
-                        local_defs[cur_def["name"]] = cur_def
+                        if cur_class is not None:
+                            # a column-0 statement closes the open
+                            # method AND the class
+                            if cur_def["name"] == "__init__":
+                                cur_class["fields"] = dict(
+                                    var_fields.get("self", {})
+                                )
+                                d_ = dict(cur_def)
+                                d_["params"] = [p for p in d_["params"]
+                                                if p != "self"]
+                                local_defs[cur_class["name"]] = d_
+                            else:
+                                d_ = dict(cur_def)
+                                d_["params"] = [p for p in d_["params"]
+                                                if p != "self"]
+                                cur_class["methods"][cur_def["name"]] = d_
+                            cur_class = None
+                        else:
+                            local_defs[cur_def["name"]] = cur_def
                         (var_producer, var_klass, var_members,
                          var_fields, prev_in_snippet) = outer_env
                         cur_def, outer_env = None, None
@@ -701,6 +789,53 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         branch = {"pre": list(prev_in_snippet), "tails": [],
                                   "has_else": False}
                         continue
+                if cur_class is not None and cur_def is None:
+                    if line[:1] in (" ", "\t"):
+                        mm0 = _METHOD_DEF_RE.match(line)
+                        if mm0:
+                            # first method of the class: save the
+                            # top-level env, open a def-local one with
+                            # self fields pre-bound (empty until
+                            # __init__ has been seen)
+                            cur_def = {
+                                "name": mm0.group(1),
+                                "params": [p.strip() for p in
+                                           mm0.group(2).split(",")
+                                           if p.strip()],
+                                "param_uses": {},
+                                "ret": None,
+                                "ret_klass": None,
+                                "ret_tuple": None,
+                            }
+                            outer_env = (var_producer, var_klass,
+                                         var_members, var_fields,
+                                         prev_in_snippet)
+                            var_producer, var_klass, var_members, \
+                                var_fields, prev_in_snippet = {}, {}, {}, {}, []
+                            var_fields["self"] = dict(cur_class["fields"])
+                        # other class-level lines (docstrings, class
+                        # attributes) are inert — class scope, not
+                        # top-level statements
+                        continue
+                    # a column-0 statement closes the (method-less) class
+                    cur_class = None
+                cm_cls = _CLASS_RE.match(line)
+                if cm_cls:
+                    # user-defined class (r5 subset): collect __init__
+                    # field stores and methods; instances dispatch via
+                    # per-instance local-def aliases
+                    cur_class = {"name": cm_cls.group(1),
+                                 "fields": {}, "methods": {}}
+                    local_classes[cm_cls.group(1)] = cur_class
+                    # instantiation dispatches through the local-def
+                    # machinery even without an __init__ (an __init__
+                    # close overwrites this empty record)
+                    local_defs[cm_cls.group(1)] = {
+                        "name": cm_cls.group(1), "params": [],
+                        "param_uses": {}, "ret": None,
+                        "ret_klass": None, "ret_tuple": None,
+                    }
+                    continue
                 dm = _DEF_RE.match(line)
                 if dm:
                     cur_def = {
@@ -825,7 +960,10 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         rhs_start = wm_.start(1)
                 for v in lhs_vars:
                     # whole-object rebind invalidates its field store
+                    # and its instance-method dispatch aliases
                     var_fields.pop(v, None)
+                    for k_ in inst_methods.pop(v, ()):
+                        local_defs.pop(k_, None)
                 made_call_node = False
                 last_chain = None  # (index after ')', node#, klass, chain start)
                 # lhs binding belongs to the call whose postfix expression
@@ -1078,6 +1216,20 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     var_klass[v] = d["ret_klass"]
                                 else:
                                     var_klass.pop(v, None)
+                        cls_ = local_classes.get(cname)
+                        if cls_ is not None and lhs_vars:
+                            # user-class instantiation: the instance
+                            # carries the __init__ field stores (shared
+                            # body nodes, context-insensitive) and its
+                            # methods dispatch through the local-def
+                            # machinery via per-instance aliases
+                            for v in lhs_vars:
+                                var_fields[v] = dict(cls_["fields"])
+                                keys = []
+                                for mn, md in cls_["methods"].items():
+                                    local_defs[f"{v}.{mn}"] = md
+                                    keys.append(f"{v}.{mn}")
+                                inst_methods[v] = keys
                         continue
                     path = None
                     produced_klass = None
@@ -1995,10 +2147,23 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         src["reads"] = src["reads"] + [{"container": None, "field": rm.group(2)}]
             if cur_def is not None:
                 # def block runs to the end of the snippet
-                local_defs[cur_def["name"]] = cur_def
+                if cur_class is not None:
+                    if cur_def["name"] == "__init__":
+                        cur_class["fields"] = dict(var_fields.get("self", {}))
+                        d_ = dict(cur_def)
+                        d_["params"] = [p for p in d_["params"] if p != "self"]
+                        local_defs[cur_class["name"]] = d_
+                    else:
+                        d_ = dict(cur_def)
+                        d_["params"] = [p for p in d_["params"] if p != "self"]
+                        cur_class["methods"][cur_def["name"]] = d_
+                    cur_class = None
+                else:
+                    local_defs[cur_def["name"]] = cur_def
                 (var_producer, var_klass, var_members,
                  var_fields, prev_in_snippet) = outer_env
                 cur_def, outer_env = None, None
+            cur_class = None
         if any(n.get("_dead") for n in nodes):
             # sweep G4-collapsed read turtles: splice each dead node out
             # of the immediatelyPrecedes chain (its predecessors inherit

@@ -1,0 +1,187 @@
+"""User-defined CLASS subset (r5): `class X:` blocks whose methods are
+single-indented defs.  WALA builds one call-graph node per method and
+resolves `self` through its pointer analysis
+(`PythonTurtleAnalysisEngine.java` trampoline/object-method handling);
+the honest subset here mirrors the local-def machinery: __init__
+self-field stores become the instance's field map (shared,
+context-insensitive body nodes — allocation-site contexts are out),
+instance methods dispatch through per-instance local-def aliases (arg →
+param-use wiring, per-call-site deferred receiver clones, return
+binding incl. `return self.f`), and whole-object rebinds invalidate
+both fields and method dispatch."""
+
+from graph4code_spark.operators.flows import (
+    build_flow_catalog,
+    extract_page_flow_nodes,
+)
+from graph4code_spark.synth import FIXED_CATALOG
+
+CAT = build_flow_catalog(FIXED_CATALOG)
+
+
+def _by_path(nodes):
+    out = {}
+    for n in nodes:
+        out.setdefault(tuple(n["path"]), []).append(n)
+    return out
+
+
+def _flows(nodes):
+    return {
+        (n["node_number"], pos, d)
+        for n in nodes
+        for pos, dsts in n["flows_to"].items()
+        for d in dsts
+    }
+
+
+def test_init_stores_method_self_receiver_and_field_return():
+    """__init__ field stores resolve inside later method bodies
+    (receiver through `self.model`, arg through `self.data`), the
+    method's `return self.model` binds the caller's lhs with the stored
+    class, and instance-field reads work as top-level call args."""
+    code = (
+        "import pandas\n"
+        "import sklearn.svm\n"
+        "class Trainer:\n"
+        "    def __init__(self, path):\n"
+        "        self.data = pandas.read_csv(path)\n"
+        "        self.model = sklearn.svm.SVC(1)\n"
+        "    def fit(self):\n"
+        "        self.model.fit(self.data)\n"
+        "        return self.model\n"
+        "t = Trainer('x.csv')\n"
+        "m = t.fit()\n"
+        "m.predict(t.data)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls1", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (svc,) = by[("sklearn", "svm", "SVC")]
+    (fit,) = by[("sklearn", "svm", "SVC", "fit")]
+    (pred,) = by[("sklearn", "svm", "SVC", "predict")]
+    assert (svc["node_number"], "0", fit["node_number"]) in flows
+    assert (csv["node_number"], "1", fit["node_number"]) in flows
+    # `m = t.fit()` returned self.model with its ctor class, so
+    # `m.predict(t.data)` resolves receiver AND the field-read arg
+    assert (svc["node_number"], "0", pred["node_number"]) in flows
+    assert (csv["node_number"], "1", pred["node_number"]) in flows
+
+
+def test_method_return_of_body_producer():
+    """A method body's tracked producer returned to the caller flows
+    into downstream top-level calls (same as local-def returns)."""
+    code = (
+        "import pandas\n"
+        "class Loader:\n"
+        "    def load(self, path):\n"
+        "        d = pandas.read_csv(path)\n"
+        "        return d\n"
+        "l = Loader()\n"
+        "df = l.load('a.csv')\n"
+        "pandas.concat(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls2", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (concat,) = by[("pandas", "concat")]
+    assert (csv["node_number"], "1", concat["node_number"]) in flows
+
+
+def test_call_site_arg_into_method_param_use():
+    """A tracked top-level value passed to an instance method wires into
+    the body's parameter uses at the recorded ordinal."""
+    code = (
+        "import pandas\n"
+        "import sklearn.svm\n"
+        "class Holder:\n"
+        "    def __init__(self):\n"
+        "        self.m = sklearn.svm.SVC(1)\n"
+        "    def train(self, d):\n"
+        "        self.m.fit(d)\n"
+        "h = Holder()\n"
+        "data = pandas.read_csv('x.csv')\n"
+        "h.train(data)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls3", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (svc,) = by[("sklearn", "svm", "SVC")]
+    (fit,) = by[("sklearn", "svm", "SVC", "fit")]
+    assert (svc["node_number"], "0", fit["node_number"]) in flows
+    assert (csv["node_number"], "1", fit["node_number"]) in flows
+
+
+def test_deferred_receiver_clones_per_method_call_site():
+    """A method body calling a method ON ITS PARAMETER defers exactly
+    like a def body: each call site clones against that site's receiver
+    class — two model classes through one method → two fit nodes with
+    distinct receiver edges (the G8 call-site context through a class)."""
+    code = (
+        "import sklearn.svm\n"
+        "class A:\n"
+        "    def go(self, m):\n"
+        "        m.fit(1)\n"
+        "a = A()\n"
+        "s1 = sklearn.svm.SVC(1)\n"
+        "s2 = sklearn.linear_model.LinearRegression()\n"
+        "a.go(s1)\n"
+        "a.go(s2)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls4", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (svc,) = by[("sklearn", "svm", "SVC")]
+    (lr,) = by[("sklearn", "linear_model", "LinearRegression")]
+    (svc_fit,) = by[("sklearn", "svm", "SVC", "fit")]
+    (lr_fit,) = by[("sklearn", "linear_model", "LinearRegression", "fit")]
+    assert (svc["node_number"], "0", svc_fit["node_number"]) in flows
+    assert (lr["node_number"], "0", lr_fit["node_number"]) in flows
+    assert (svc["node_number"], "0", lr_fit["node_number"]) not in flows
+
+
+def test_rebind_invalidates_fields_and_dispatch():
+    """Rebinding the instance variable drops its field map AND its
+    method dispatch aliases — later `b.d` / `b.load()` are inert."""
+    code = (
+        "import pandas\n"
+        "class B:\n"
+        "    def __init__(self, path):\n"
+        "        self.d = pandas.read_csv(path)\n"
+        "    def get(self):\n"
+        "        return self.d\n"
+        "b = B('x.csv')\n"
+        "b = 5\n"
+        "r = b.get()\n"
+        "pandas.concat(b.d)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls5", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (concat,) = by[("pandas", "concat")]
+    assert (csv["node_number"], "1", concat["node_number"]) not in flows
+
+
+def test_classless_code_unaffected_and_class_scope_inert():
+    """Class-level non-def lines (docstrings, class attributes) are
+    inert, and a class block followed by top-level code leaves the
+    top-level env untouched."""
+    code = (
+        "import pandas\n"
+        "class C:\n"
+        "    VERSION = 1\n"
+        "    def noop(self):\n"
+        "        pass\n"
+        "d = pandas.read_csv('x.csv')\n"
+        "d.dropna()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls6", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (drop,) = by[("pandas", "read_csv", "dropna")]
+    assert (csv["node_number"], "0", drop["node_number"]) in flows
