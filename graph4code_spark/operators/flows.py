@@ -179,6 +179,10 @@ _METHOD_DEF_RE = re.compile(
 _RETURN_SELF_FIELD_RE = re.compile(
     r"^\s+return\s+self\.([A-Za-z_]\w*)\s*$"
 )
+#: a bare `self.f` call argument inside a method body whose field is
+#: not (yet) in the class field map — deferred to the dispatch site,
+#: which binds the INSTANCE's field (setter-pattern stores)
+_SELF_FIELD_RE = re.compile(r"^self\.([A-Za-z_]\w*)$")
 _ATTR_ASSIGN_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
 )
@@ -1230,6 +1234,37 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     local_defs[f"{v}.{mn}"] = md
                                     keys.append(f"{v}.{mn}")
                                 inst_methods[v] = keys
+                        pfs = d.get("param_field_stores")
+                        sfu = d.get("self_field_uses")
+                        if pfs or sfu:
+                            # setter-pattern stores and deferred self.f
+                            # uses resolve against THIS instance at the
+                            # dispatch site (per-instance fields; body
+                            # nodes stay shared/context-insensitive)
+                            heads = ([cname.split(".", 1)[0]]
+                                     if "." in cname else list(lhs_vars))
+                            if pfs:
+                                for field, param in pfs:
+                                    val = binding.get(param)
+                                    if val is not None and val in var_producer:
+                                        ent = (var_producer[val],
+                                               var_klass.get(val))
+                                        for h_ in heads:
+                                            var_fields.setdefault(
+                                                h_, {}
+                                            )[field] = ent
+                            if sfu and heads:
+                                h_ = heads[0]
+                                for field, uses in sfu.items():
+                                    ent = var_fields.get(h_, {}).get(field)
+                                    if ent is None:
+                                        continue
+                                    for nnum, use_pos in uses:
+                                        src = nodes[idx_of[ent[0]]]
+                                        src["flows_to"] = _append_flow(
+                                            src["flows_to"],
+                                            str(use_pos), nnum,
+                                        )
                         continue
                     path = None
                     produced_klass = None
@@ -1572,6 +1607,18 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     (node["node_number"], pos,
                                      m.end() + aoff + nm.start(2), bx)
                                 )
+                            elif (
+                                cur_class is not None
+                                and cur_def is not None
+                                and (sf_ := _SELF_FIELD_RE.match(val))
+                            ):
+                                # unresolved `self.f` kwarg: defer to
+                                # the dispatch site (setter stores)
+                                cur_def.setdefault(
+                                    "self_field_uses", {}
+                                ).setdefault(sf_.group(1), []).append(
+                                    (node["node_number"], pos)
+                                )
                             continue
                         pos += 1
                         sm = _STR_ARG.match(a)
@@ -1625,6 +1672,18 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             pending_exprs.append(
                                 (node["node_number"], pos,
                                  m.end() + aoff, bx)
+                            )
+                        elif (
+                            cur_class is not None
+                            and cur_def is not None
+                            and (sf_ := _SELF_FIELD_RE.match(a))
+                        ):
+                            # unresolved `self.f` positional arg: defer
+                            # to the dispatch site (setter stores)
+                            cur_def.setdefault(
+                                "self_field_uses", {}
+                            ).setdefault(sf_.group(1), []).append(
+                                (node["node_number"], pos)
                             )
                     if lhs_vars and chain_start == rhs_start:
                         if len(lhs_vars) > 1:
@@ -2124,6 +2183,19 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     if rhs_txt in var_producer:
                         var_fields.setdefault(wm.group(1), {})[w_field] = (
                             var_producer[rhs_txt], var_klass.get(rhs_txt)
+                        )
+                    elif (
+                        cur_def is not None
+                        and cur_class is not None
+                        and wm.group(1) == "self"
+                        and rhs_txt in cur_def["params"]
+                    ):
+                        # `self.f = <param>` (the setter/__init__-store
+                        # pattern): the stored value exists only per
+                        # call site — defer; the dispatch site binds the
+                        # INSTANCE's field from its own argument
+                        cur_def.setdefault("param_field_stores", []).append(
+                            (w_field, rhs_txt)
                         )
                     else:
                         # rhs is a call made on THIS line (`h.model =

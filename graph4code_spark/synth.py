@@ -501,7 +501,19 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "    q = pandas.DataFrame(v)\n"
                     "    return p, q\n"
                     "left, right = both(df, fin)\n"
-                    "m8 = sklearn.svm.SVC(left, right)\n</code></pre>"
+                    "m8 = sklearn.svm.SVC(left, right)\n"
+                    "rows2 = [pandas.DataFrame(bb) for bb in bag]\n"
+                    "class Wrap:\n"
+                    "    def __init__(self, path, base):\n"
+                    "        self.d = pandas.read_csv(path)\n"
+                    "        self.base = base\n"
+                    "    def run(self, k):\n"
+                    "        w = sklearn.svm.SVC(self.d, self.base)\n"
+                    "        r2 = w.fit(k)\n"
+                    "        return w\n"
+                    "wr = Wrap('w.csv', df)\n"
+                    "clf9 = wr.run(df)\n"
+                    "clf9.predict(df)\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue

@@ -166,6 +166,86 @@ def test_rebind_invalidates_fields_and_dispatch():
     assert (csv["node_number"], "1", concat["node_number"]) not in flows
 
 
+def test_init_param_store_resolves_in_later_method():
+    """`__init__(self, d): self.d = d` defers the field store to the
+    instantiation site; a later method body's `self.d` use wires the
+    caller's tracked argument (the setter/holder pattern WALA resolves
+    through its pointer analysis)."""
+    code = (
+        "import pandas\n"
+        "import sklearn.svm\n"
+        "class T:\n"
+        "    def __init__(self, d):\n"
+        "        self.d = d\n"
+        "    def fit(self):\n"
+        "        m = sklearn.svm.SVC(self.d)\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "t = T(df)\n"
+        "t.fit()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls7", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (svc,) = by[("sklearn", "svm", "SVC")]
+    assert (csv["node_number"], "1", svc["node_number"]) in flows
+
+
+def test_setter_method_store_then_use():
+    """An explicit setter method stores the caller's value on the
+    instance; a later method dispatch resolves the deferred `self.d`
+    use against it."""
+    code = (
+        "import pandas\n"
+        "import sklearn.svm\n"
+        "class S:\n"
+        "    def set_data(self, d):\n"
+        "        self.d = d\n"
+        "    def go(self):\n"
+        "        m = sklearn.svm.SVC(self.d)\n"
+        "s = S()\n"
+        "df = pandas.read_csv('y.csv')\n"
+        "s.set_data(df)\n"
+        "s.go()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls8", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (svc,) = by[("sklearn", "svm", "SVC")]
+    assert (csv["node_number"], "1", svc["node_number"]) in flows
+
+
+def test_two_instances_keep_distinct_deferred_fields():
+    """Per-instance field maps: two instances of the same class built
+    from different tracked values wire their own producers into the
+    (shared, context-insensitive) body node — both flow in, but each
+    instance's field map stays its own (no cross-instance overwrite of
+    var_fields)."""
+    code = (
+        "import pandas\n"
+        "import sklearn.svm\n"
+        "class T:\n"
+        "    def __init__(self, d):\n"
+        "        self.d = d\n"
+        "da = pandas.read_csv('a.csv')\n"
+        "db = pandas.read_csv('b.csv')\n"
+        "t1 = T(da)\n"
+        "t2 = T(db)\n"
+        "x = sklearn.svm.SVC(t1.d)\n"
+        "y = sklearn.svm.SVC(t2.d)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls9", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    csvs = sorted(by[("pandas", "read_csv")], key=lambda n: n["node_number"])
+    svcs = sorted(by[("sklearn", "svm", "SVC")], key=lambda n: n["node_number"])
+    assert len(csvs) == 2 and len(svcs) == 2
+    assert (csvs[0]["node_number"], "1", svcs[0]["node_number"]) in flows
+    assert (csvs[1]["node_number"], "1", svcs[1]["node_number"]) in flows
+    assert (csvs[0]["node_number"], "1", svcs[1]["node_number"]) not in flows
+
+
 def test_classless_code_unaffected_and_class_scope_inert():
     """Class-level non-def lines (docstrings, class attributes) are
     inert, and a class block followed by top-level code leaves the
