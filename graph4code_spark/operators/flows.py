@@ -126,6 +126,28 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   (re-bound per site), and body-local tracked producers (those stay
   shared — body nodes themselves remain context-insensitive); the clone
   chains into the CALLER's control flow at the call site.
+- comprehension value flows (r5): `[EXPR for v in xs]` (list/set/
+  generator, optional `if` filter) binds the loop var to xs's elements
+  (the for-statement's EachElementGet shape — WALA compiles the body as
+  a hidden comprehension function), evaluates EXPR once symbolically
+  through the normal call machinery (union receivers, arg ordinals),
+  rebinds the lhs as a CONTAINER of the result, and restores any
+  shadowed binding (comprehension scope — no loop-var leak)
+- user-defined CLASS subset (r5): `class X:` blocks whose methods are
+  indented defs register through the local-def machinery — `__init__`
+  self-field stores become the instance field map (shared
+  context-insensitive body nodes; WALA's allocation-site contexts are
+  out of scope), `self.f` loads and receivers resolve eagerly inside
+  LATER method bodies, instances dispatch `t.m(...)` via per-instance
+  local-def aliases (arg→param-use wiring, per-call-site deferred
+  receiver clones, return binding incl. `return self.f`), and
+  whole-object rebinds invalidate fields AND dispatch.  Setter-pattern
+  stores (`self.f = <param>` in __init__ or any method) defer to the
+  dispatch site, which binds THIS instance's field from its own tracked
+  argument; unresolved `self.f` args in method bodies record deferred
+  uses wired per dispatch (per-instance fields over shared body nodes —
+  the honest projection of WALA's object-sensitive pointer analysis,
+  `…Engine.java:456-486`)
 
 Runs as one Arrow-batched pass over (url, codes); node numbers are
 sequential per page so URIs are unique within the page's named graph.
