@@ -218,6 +218,12 @@ _AUG_RE = re.compile(
 )
 _IF_RE = re.compile(r"^if\s.*:\s*$")
 _ELIF_ELSE_RE = re.compile(r"^(?:elif\s.*|else\s*):\s*$")
+#: try/except fork-join (G5 sibling of if/elif): the try body is the
+#: always-running arm, `except ...:`/`else:` arms fork from the pre-try
+#: frontier, `finally:` joins immediately (its body runs after every arm)
+_TRY_RE = re.compile(r"^try\s*:\s*$")
+_EXCEPT_ELSE_RE = re.compile(r"^(?:except\b[^:]*|else\s*):\s*$")
+_FINALLY_RE = re.compile(r"^finally\s*:\s*$")
 #: `ys = [EXPR for v in xs]` (list/set/generator, optional `if` filter)
 #: over a PLAIN-VARIABLE source — WALA's comprehension body is a hidden
 #: function whose parameter binds per element (EachElementGet), and the
@@ -792,9 +798,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 if cur_def is None:
                     at_top = line[:1] not in (" ", "\t")
                     if branch is not None and at_top:
-                        if _ELIF_ELSE_RE.match(line):
+                        fin = (_FINALLY_RE.match(line)
+                               if branch.get("is_try") else None)
+                        arm = None if fin else (
+                            _EXCEPT_ELSE_RE.match(line)
+                            if branch.get("is_try")
+                            else _ELIF_ELSE_RE.match(line)
+                        )
+                        if arm:
                             branch["tails"].append(prev_in_snippet)
-                            branch["has_else"] = line.lstrip().startswith("else")
+                            # a try body ALWAYS runs: its chain never
+                            # falls through untaken, so the join never
+                            # adds the pre edge for try branches
+                            branch["has_else"] = (
+                                branch.get("is_try", False)
+                                or line.lstrip().startswith("else")
+                            )
                             prev_in_snippet = list(branch["pre"])
                             continue
                         # join: frontier = union of arm tails (+ pre when
@@ -811,9 +830,17 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     joined.append(p)
                         prev_in_snippet = joined
                         branch = None
+                        if fin:
+                            # `finally:` body chains off the join — it
+                            # runs after every arm, so it is NOT an arm
+                            continue
                     if branch is None and at_top and _IF_RE.match(line):
                         branch = {"pre": list(prev_in_snippet), "tails": [],
                                   "has_else": False}
+                        continue
+                    if branch is None and at_top and _TRY_RE.match(line):
+                        branch = {"pre": list(prev_in_snippet), "tails": [],
+                                  "has_else": True, "is_try": True}
                         continue
                 if cur_class is not None and cur_def is None:
                     if line[:1] in (" ", "\t"):

@@ -477,6 +477,60 @@ def test_branch_fork_join_control_flow():
     assert a2["immediately_precedes"] == [out2["node_number"]]
 
 
+def test_try_except_fork_join_control_flow():
+    """G5 try/except sibling: the try body is the always-running arm,
+    except/else arms fork from the pre-try frontier, `finally:` joins
+    immediately (its body runs after every arm), and the join never
+    adds the pre fall-through edge (the try body always executes)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport numpy\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "try:\n"
+        "    a = numpy.linspace(0, 1)\n"
+        "except ValueError:\n"
+        "    b = pandas.DataFrame(df)\n"
+        "finally:\n"
+        "    c = pandas.read_csv('u.csv')\n"
+        "out = pandas.concat(c)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/try1", [code], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes if n["value_names"]}
+    df, a, b, c, out = (by_vn[k] for k in ("df", "a", "b", "c", "out"))
+    # fork: both arms preceded by the pre-try call, not by each other
+    assert a["node_number"] in df["immediately_precedes"]
+    assert b["node_number"] in df["immediately_precedes"]
+    assert b["node_number"] not in a["immediately_precedes"]
+    # join at the finally body call; no pre fall-through edge
+    assert a["immediately_precedes"] == [c["node_number"]]
+    assert b["immediately_precedes"] == [c["node_number"]]
+    assert c["node_number"] not in df["immediately_precedes"]
+    assert c["immediately_precedes"] == [out["node_number"]]
+
+    # without finally: join at the first call after the chain, still no
+    # pre fall-through edge
+    code2 = (
+        "import pandas\nimport numpy\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "try:\n"
+        "    a = numpy.linspace(0, 1)\n"
+        "except Exception:\n"
+        "    b = pandas.DataFrame(df)\n"
+        "out = pandas.read_csv('u.csv')\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/try2", [code2], cat)
+    by_vn2 = {n["value_names"][0]: n for n in nodes2 if n["value_names"]}
+    df2, a2, b2, out2 = (by_vn2[k] for k in ("df", "a", "b", "out"))
+    assert a2["immediately_precedes"] == [out2["node_number"]]
+    assert b2["immediately_precedes"] == [out2["node_number"]]
+    assert out2["node_number"] not in df2["immediately_precedes"]
+
+
 def test_bound_method_collapse_g4():
     """G4 general collapse (`PythonTurtleAnalysisEngine.java:2069-2112`):
     `m = obj.fit; m(X)` yields the same node shape as `obj.fit(X)` — the
