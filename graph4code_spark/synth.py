@@ -413,7 +413,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             continue
         if a == 0 and special == 8:
             # round-3 G5 fork-join: calls in if/elif/else arms fork from
-            # the pre-if call and join at the first call after the chain
+            # the pre-if call and join at the first call after the
+            # chain; r5: plus the try/except/finally sibling — except
+            # arms fork from the pre-try frontier, finally joins
             abody += (
                 "<pre><code>import pandas\nimport numpy\n"
                 "df = pandas.read_csv('t.csv')\n"
@@ -423,7 +425,13 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "    b = numpy.linspace(0, 1)\n"
                 "else:\n"
                 "    c = pandas.DataFrame(df)\n"
-                "out = pandas.read_csv('u.csv')\n</code></pre>"
+                "out = pandas.read_csv('u.csv')\n"
+                "try:\n"
+                "    t1 = numpy.linspace(1, 2)\n"
+                "except ValueError:\n"
+                "    t2 = pandas.DataFrame(out)\n"
+                "finally:\n"
+                "    t3 = pandas.concat(df)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue
