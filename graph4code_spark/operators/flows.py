@@ -98,7 +98,11 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   pre-if frontier and the first call after the chain joins every arm
   tail (plus the fall-through edge when there is no else), the CFG
   projection shape of `…Engine.java:2116-2256`; one un-nested chain at
-  a time, bindings follow the last textual arm (no phi merge)
+  a time, bindings follow the last textual arm (no phi merge).
+  try/except sibling (r5): the try body is the always-running arm,
+  `except ...:`/`else:` arms fork from the pre-try frontier,
+  `finally:` joins immediately (its body chains off the join), and the
+  join never adds the pre fall-through edge (the try body always runs)
 - ``with Ctor(...) as v:`` binds v to the call's value like ``v =
   Ctor(...)`` (same SSA def in WALA); ``for v in x:`` propagates x's
   producers into the loop targets as members (EachElementGet shape);
