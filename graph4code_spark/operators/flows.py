@@ -564,6 +564,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
             local_classes: dict[str, dict] = {}
             cur_class: dict | None = None
             inst_methods: dict[str, list] = {}  # var -> its method alias keys
+            inst_counter = 0  # anonymous chained-instance names (`X(a).m(b)`)
             # import aliasing: `import pandas as pd` / `from sklearn
             # import svm as s` / `from sklearn.svm import SVC as Clf` —
             # alias -> canonical dotted prefix, applied to call names
@@ -1023,6 +1024,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         local_defs.pop(k_, None)
                 made_call_node = False
                 last_chain = None  # (index after ')', node#, klass, chain start)
+                last_inst_chain = None  # (index after ')', class, anon inst)
                 # lhs binding belongs to the call whose postfix expression
                 # IS the rhs (chain-final node of the expression starting
                 # at rhs_start) — never a nested arg call — and applies
@@ -1054,6 +1056,31 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             import_src = alias_src.get(head)
                             if head in aliases:
                                 cname = aliases[head] + ("." + rest if rest else "")
+                    if (
+                        last_inst_chain is not None
+                        and "." not in cname
+                        and m.start() == last_inst_chain[0] + 1
+                        and line[last_inst_chain[0] : last_inst_chain[0] + 1]
+                        == "."
+                    ):
+                        # chained instance-method call on a user-class
+                        # ctor expression (`X(a).m(b)`): dispatch the
+                        # method against the anonymous chained instance
+                        # minted at the instantiation; provisional lhs
+                        # instance bindings from the ctor are dropped —
+                        # the lhs tracks the METHOD's return, not the
+                        # instance
+                        icls = local_classes.get(last_inst_chain[1])
+                        if icls is not None and cname in icls["methods"]:
+                            anon_ = last_inst_chain[2]
+                            local_defs[f"{anon_}.{cname}"] = (
+                                icls["methods"][cname]
+                            )
+                            cname = f"{anon_}.{cname}"
+                            for v in lhs_vars:
+                                var_fields.pop(v, None)
+                                for k_ in inst_methods.pop(v, ()):
+                                    local_defs.pop(k_, None)
                     if cname in local_defs and (
                         cur_def is None or cname != cur_def["name"]
                     ):
@@ -1274,14 +1301,28 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 else:
                                     var_klass.pop(v, None)
                         cls_ = local_classes.get(cname)
-                        if cls_ is not None and lhs_vars:
+                        inst_targets: list[str] = []
+                        if cls_ is not None:
                             # user-class instantiation: the instance
                             # carries the __init__ field stores (shared
                             # body nodes, context-insensitive) and its
                             # methods dispatch through the local-def
                             # machinery via per-instance aliases
-                            for v in lhs_vars:
+                            inst_targets = list(lhs_vars)
+                            argtext_ld = _call_args(line, m)
+                            close_ld = m.end() + len(argtext_ld)
+                            if line[close_ld : close_ld + 2] == ").":
+                                # ctor expression chained into a method
+                                # call: mint an anonymous instance the
+                                # next call dispatches against
+                                inst_counter += 1
+                                anon_ = f"__inst{inst_counter}"
+                                inst_targets.append(anon_)
+                                last_inst_chain = (close_ld + 1, cname,
+                                                   anon_)
+                            for v in inst_targets:
                                 var_fields[v] = dict(cls_["fields"])
+                            for v in lhs_vars:
                                 keys = []
                                 for mn, md in cls_["methods"].items():
                                     local_defs[f"{v}.{mn}"] = md
@@ -1295,7 +1336,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             # dispatch site (per-instance fields; body
                             # nodes stay shared/context-insensitive)
                             heads = ([cname.split(".", 1)[0]]
-                                     if "." in cname else list(lhs_vars))
+                                     if "." in cname else inst_targets)
                             if pfs:
                                 for field, param in pfs:
                                     val = binding.get(param)

@@ -246,6 +246,41 @@ def test_two_instances_keep_distinct_deferred_fields():
     assert (csvs[0]["node_number"], "1", svcs[1]["node_number"]) not in flows
 
 
+def test_chained_instantiation_dispatch():
+    """`X(a).m(b)` dispatches the method against an anonymous chained
+    instance: ctor args bind deferred field stores, the method's body
+    resolves `self.f` against them, and the lhs tracks the METHOD's
+    return (with its class), not the instance."""
+    code = (
+        "import pandas\n"
+        "import sklearn.svm\n"
+        "class Wrap:\n"
+        "    def __init__(self, frame):\n"
+        "        self.d = frame\n"
+        "    def run(self, k):\n"
+        "        w = sklearn.svm.SVC(self.d)\n"
+        "        r = w.fit(k)\n"
+        "        return w\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "clf = Wrap(df).run(df)\n"
+        "clf.predict(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/cls10", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (svc,) = by[("sklearn", "svm", "SVC")]
+    (fit,) = by[("sklearn", "svm", "SVC", "fit")]
+    (pred,) = by[("sklearn", "svm", "SVC", "predict")]
+    # deferred self.d from the ctor arg feeds the body SVC at pos 1
+    assert (csv["node_number"], "1", svc["node_number"]) in flows
+    # run's arg k feeds the body fit at pos 1; SVC is the receiver
+    assert (csv["node_number"], "1", fit["node_number"]) in flows
+    assert (svc["node_number"], "0", fit["node_number"]) in flows
+    # clf tracks the returned w (class SVC): predict resolves receiver
+    assert (svc["node_number"], "0", pred["node_number"]) in flows
+
+
 def test_classless_code_unaffected_and_class_scope_inert():
     """Class-level non-def lines (docstrings, class attributes) are
     inert, and a class block followed by top-level code leaves the
