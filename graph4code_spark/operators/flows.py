@@ -720,8 +720,17 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 "ret_klass": None,
                                 "ret_tuple": None,
                             }
-                            var_producer, var_klass, var_members, \
-                                var_fields, prev_in_snippet = {}, {}, {}, {}, []
+                            o_vp, o_vk, o_vm, o_vf, _ = outer_env
+                            _params = set(cur_def["params"])
+                            var_producer = {k: v for k, v in o_vp.items()
+                                            if k not in _params}
+                            var_klass = {k: v for k, v in o_vk.items()
+                                         if k not in _params}
+                            var_members = {k: list(v) for k, v in o_vm.items()
+                                           if k not in _params}
+                            var_fields = {k: dict(v) for k, v in o_vf.items()
+                                          if k not in _params}
+                            prev_in_snippet = []
                             var_fields["self"] = dict(cur_class["fields"])
                             continue
                         if cur_class is not None:
@@ -868,8 +877,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             outer_env = (var_producer, var_klass,
                                          var_members, var_fields,
                                          prev_in_snippet)
-                            var_producer, var_klass, var_members, \
-                                var_fields, prev_in_snippet = {}, {}, {}, {}, []
+                            _params = set(cur_def["params"])
+                            var_producer = {
+                                k: v for k, v in var_producer.items()
+                                if k not in _params
+                            }
+                            var_klass = {k: v for k, v in var_klass.items()
+                                         if k not in _params}
+                            var_members = {
+                                k: list(v) for k, v in var_members.items()
+                                if k not in _params
+                            }
+                            var_fields = {
+                                k: dict(v) for k, v in var_fields.items()
+                                if k not in _params
+                            }
+                            prev_in_snippet = []
                             var_fields["self"] = dict(cur_class["fields"])
                         # other class-level lines (docstrings, class
                         # attributes) are inert — class scope, not
@@ -905,11 +928,26 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         "ret_tuple": None,
                     }
                     # def body gets its own variable environment and its
-                    # own control-flow chain (a separate method in WALA)
+                    # own control-flow chain (a separate method in WALA).
+                    # GLOBALS stay visible (r5): the body env seeds from
+                    # the enclosing env minus the def's own parameters
+                    # (lexical shadowing), so `def f(): m.fit(df)` over
+                    # module-level tracked values resolves eagerly — one
+                    # shared node, WALA's context-insensitive method
+                    # body over its resolved globals.  Body stores never
+                    # leak back (the outer env is restored at dedent).
                     outer_env = (var_producer, var_klass, var_members,
                                  var_fields, prev_in_snippet)
-                    var_producer, var_klass, var_members, var_fields, \
-                        prev_in_snippet = {}, {}, {}, {}, []
+                    _params = set(cur_def["params"])
+                    var_producer = {k: v for k, v in var_producer.items()
+                                    if k not in _params}
+                    var_klass = {k: v for k, v in var_klass.items()
+                                 if k not in _params}
+                    var_members = {k: list(v) for k, v in var_members.items()
+                                   if k not in _params}
+                    var_fields = {k: dict(v) for k, v in var_fields.items()
+                                  if k not in _params}
+                    prev_in_snippet = []
                     continue
                 im = _IMPORT_RE.match(line)
                 if im:

@@ -92,6 +92,52 @@ def test_body_chain_is_separate_from_top_level():
     assert nums[c_node["node_number"]]["flows_to"] == {}
 
 
+def test_globals_visible_in_def_body():
+    """Module-level tracked values stay visible inside def bodies (r5):
+    `def evaluate(): m.fit(df)` over globals resolves eagerly — one
+    shared body node with the global producers wired (WALA resolves
+    globals through its pointer analysis; context-insensitive method
+    body).  A parameter SHADOWING a global wires only the call-site
+    argument, never the global."""
+    code = (
+        "import pandas\n"
+        "import sklearn.svm\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "m = sklearn.svm.SVC(1)\n"
+        "def evaluate():\n"
+        "    r = m.fit(df)\n"
+        "    return r\n"
+        "out = evaluate()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/glob1", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    csv = by[("pandas", "read_csv")]
+    svc = by[("sklearn", "svm", "SVC")]
+    fit = by[("sklearn", "svm", "SVC", "fit")]
+    assert (svc["node_number"], "0", fit["node_number"]) in flows
+    assert (csv["node_number"], "1", fit["node_number"]) in flows
+
+    shadow = (
+        "import pandas\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "def shadow(df):\n"
+        "    q = pandas.DataFrame(df)\n"
+        "d2 = pandas.read_csv('z.csv')\n"
+        "shadow(d2)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/glob2", [shadow], CAT)
+    reads = sorted(
+        (n for n in nodes2 if n["path"] == ["pandas", "read_csv"]),
+        key=lambda n: n["node_number"],
+    )
+    (dfr,) = [n for n in nodes2 if n["path"] == ["pandas", "DataFrame"]]
+    g, d2 = reads
+    f2 = _flows(nodes2)
+    assert (d2["node_number"], "1", dfr["node_number"]) in f2
+    assert (g["node_number"], "1", dfr["node_number"]) not in f2
+
+
 def test_def_without_recognized_calls_is_inert():
     code = (
         "import pandas\n"
