@@ -1817,6 +1817,25 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             ).setdefault(sf_.group(1), []).append(
                                 (node["node_number"], pos)
                             )
+                        elif a[:1] == "*" and (
+                            (sp_ := a.lstrip("*")) in var_members
+                            or sp_ in var_producer
+                        ):
+                            # splat arg (`f(*xs)` / `f(**cfg)`): the
+                            # container's tracked members flow into the
+                            # call at the splat's source ordinal (the
+                            # per-element ordinals are unknowable
+                            # statically — WALA flows each element; this
+                            # honest subset unions them at one position)
+                            srcs = ([var_producer[sp_]]
+                                    if sp_ in var_producer
+                                    else var_members[sp_])
+                            for src_num in srcs:
+                                src = nodes[idx_of[src_num]]
+                                src["flows_to"] = _append_flow(
+                                    src["flows_to"], str(pos),
+                                    node["node_number"],
+                                )
                     if lhs_vars and chain_start == rhs_start:
                         if len(lhs_vars) > 1:
                             # tuple unpack of a recognized call: one

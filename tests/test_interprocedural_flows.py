@@ -138,6 +138,32 @@ def test_globals_visible_in_def_body():
     assert (g["node_number"], "1", dfr["node_number"]) not in f2
 
 
+def test_splat_args_flow_members():
+    """`f(*xs)` / `f(**cfg)` flow the container's tracked members (or a
+    tracked value's producer) into the call at the splat's source
+    ordinal — per-element ordinals are statically unknowable, so this
+    honest subset unions them at one position."""
+    code = (
+        "import pandas\nimport sklearn.svm\n"
+        "a = pandas.read_csv('a.csv')\n"
+        "b = pandas.read_csv('b.csv')\n"
+        "parts = [a, b]\n"
+        "m = sklearn.svm.SVC(*parts)\n"
+        "q = pandas.DataFrame(**a)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/splat", [code], CAT)
+    reads = sorted(
+        (n for n in nodes if n["path"] == ["pandas", "read_csv"]),
+        key=lambda n: n["node_number"],
+    )
+    (svc,) = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    (dfr,) = [n for n in nodes if n["path"] == ["pandas", "DataFrame"]]
+    flows = _flows(nodes)
+    for r in reads:
+        assert (r["node_number"], "1", svc["node_number"]) in flows
+    assert (reads[0]["node_number"], "1", dfr["node_number"]) in flows
+
+
 def test_def_without_recognized_calls_is_inert():
     code = (
         "import pandas\n"
