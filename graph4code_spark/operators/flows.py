@@ -220,6 +220,12 @@ _FOR_RE = re.compile(
 _AUG_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*[-+*/%&|]=\s*([A-Za-z_]\w*)\s*$"
 )
+#: `for v in <call expression>:` — the iterable is a call made on this
+#: line; its chain-final node feeds the loop targets as members
+_FOR_CALL_RE = re.compile(
+    r"^\s*for\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+in\s+"
+    r"(\S.*?)\s*:\s*$", re.S
+)
 _IF_RE = re.compile(r"^if\s.*:\s*$")
 _ELIF_ELSE_RE = re.compile(r"^(?:elif\s.*|else\s*):\s*$")
 #: try/except fork-join (G5 sibling of if/elif): the try body is the
@@ -1983,6 +1989,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             var_members[v] = list(dict.fromkeys(members))
                             var_producer.pop(v, None)
                             var_klass.pop(v, None)
+                    fcm = _FOR_CALL_RE.match(line)
+                    if fcm:
+                        # `for v in f(...):` — iteration over a call
+                        # result: the iterable expression's chain-final
+                        # node feeds the loop targets as members (the
+                        # EachElementGet shape over a call value, e.g.
+                        # `for chunk in pandas.read_csv(f, chunksize=n):`)
+                        rnum = line_call_nodes.get(fcm.start(2))
+                        if rnum is not None:
+                            for v in (t.strip()
+                                      for t in fcm.group(1).split(",")):
+                                var_members[v] = [rnum]
+                                var_elem[v] = var_members[v]
+                                var_producer.pop(v, None)
+                                var_klass.pop(v, None)
+                                var_fields.pop(v, None)
                 # `xs.append(v)` on an untracked variable: container
                 # membership add — the tracked value (a plain variable
                 # or a call made on this line) joins xs's members, so a

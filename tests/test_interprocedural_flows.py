@@ -138,6 +138,34 @@ def test_globals_visible_in_def_body():
     assert (g["node_number"], "1", dfr["node_number"]) not in f2
 
 
+def test_for_over_call_result():
+    """`for v in f(...):` binds the loop targets to the iterable call's
+    chain-final node as members — `for chunk in pandas.read_csv(...)`
+    flows the read into the body's consumers, and a chained iterable
+    (`df.iterrows()`) feeds through its turtle-extended node."""
+    code = (
+        "import pandas\n"
+        "for chunk in pandas.read_csv('big.csv'):\n"
+        "    out = pandas.DataFrame(chunk)\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "for row in df.iterrows():\n"
+        "    q = pandas.concat(row)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/forcall", [code], CAT)
+    flows = _flows(nodes)
+    (dfr,) = [n for n in nodes if n["path"] == ["pandas", "DataFrame"]]
+    (it_,) = [n for n in nodes
+              if n["path"] == ["pandas", "read_csv", "iterrows"]]
+    (cc,) = [n for n in nodes if n["path"] == ["pandas", "concat"]]
+    reads = sorted(
+        (n for n in nodes if n["path"] == ["pandas", "read_csv"]),
+        key=lambda n: n["node_number"],
+    )
+    assert (reads[0]["node_number"], "1", dfr["node_number"]) in flows
+    assert (reads[1]["node_number"], "0", it_["node_number"]) in flows
+    assert (it_["node_number"], "1", cc["node_number"]) in flows
+
+
 def test_splat_args_flow_members():
     """`f(*xs)` / `f(**cfg)` flow the container's tracked members (or a
     tracked value's producer) into the call at the splat's source
