@@ -521,7 +521,14 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "        return w\n"
                     "wr = Wrap('w.csv', df)\n"
                     "clf9 = wr.run(df)\n"
-                    "clf9.predict(df)\n</code></pre>"
+                    "clf9.predict(df)\n"
+                    "clf10 = Wrap('w2.csv', df).run(fin)\n"
+                    "for part in pandas.read_csv('s.csv'):\n"
+                    "    seen = pandas.DataFrame(part)\n"
+                    "m9 = sklearn.svm.SVC(*duo)\n"
+                    "def top_view():\n"
+                    "    return pandas.DataFrame(df)\n"
+                    "t9 = top_view()\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue
