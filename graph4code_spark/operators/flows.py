@@ -151,7 +151,23 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   argument; unresolved `self.f` args in method bodies record deferred
   uses wired per dispatch (per-instance fields over shared body nodes —
   the honest projection of WALA's object-sensitive pointer analysis,
-  `…Engine.java:456-486`)
+  `…Engine.java:456-486`).  Chained instantiation (`X(a).m(b)`)
+  dispatches against an anonymous instance whose deferred fields bind
+  from the ctor args; the lhs tracks the method's return
+- globals in def bodies (r5): the body env seeds from the enclosing
+  env minus the def's own parameters, so `def f(): m.fit(df)` over
+  module-level tracked values resolves eagerly (one shared
+  context-insensitive body node, WALA's resolved globals); a shadowing
+  parameter wires only the call-site argument, and body stores never
+  leak back out
+- splat args (r5): `f(*xs)` / `f(**cfg)` union the container's tracked
+  members (or a tracked value's producer) into the call at the splat's
+  source ordinal (per-element ordinals are statically unknowable)
+- for-over-call (r5): `for v in f(...):` binds the loop targets to the
+  iterable call's chain-final node as members — `for chunk in
+  pandas.read_csv(...):` flows the read into the body's consumers,
+  and chained iterables (`df.iterrows()`) feed through their
+  turtle-extended node
 
 Runs as one Arrow-batched pass over (url, codes); node numbers are
 sequential per page so URIs are unique within the page's named graph.
