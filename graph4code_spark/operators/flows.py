@@ -98,11 +98,28 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   pre-if frontier and the first call after the chain joins every arm
   tail (plus the fall-through edge when there is no else), the CFG
   projection shape of `…Engine.java:2116-2256`; one un-nested chain at
-  a time, bindings follow the last textual arm (no phi merge).
+  a time.  SSA phi at the join (late r5): each arm starts from the
+  pre-fork binding environment (arms are exclusive — no cross-arm
+  leak), and the join merges the arm environments — agreeing paths
+  keep the precise binding, disagreeing paths union into the
+  members/element shape so a post-join method call resolves through
+  the union points-to receiver when the classes agree (`if c: m =
+  SVC(1) else: m = SVC(2)` then `m.fit(X)` → one fit node fed DATA-0
+  by both ctors, WALA's phi value feeding the invoke); an else-less
+  chain phis with the PRE binding (fall-through path); fields survive
+  the join only where every path stores the identical value
+  (conservative field-sensitive merge); import bindings and
+  instance-method aliases keep last-arm semantics (documented subset).
   try/except sibling (r5): the try body is the always-running arm,
   `except ...:`/`else:` arms fork from the pre-try frontier,
   `finally:` joins immediately (its body chains off the join), and the
   join never adds the pre fall-through edge (the try body always runs)
+- `while cond:` (late r5): the one-arm loop form of the same
+  projection — the body forks from the pre frontier (it may run zero
+  times), the first call after it joins body tail + pre fall-through,
+  and the join applies the loop-header phi (body rebind ∪ pre binding,
+  the standard one-unrolling approximation; no back-edge in the
+  projection — documented subset)
 - ``with Ctor(...) as v:`` binds v to the call's value like ``v =
   Ctor(...)`` (same SSA def in WALA); ``for v in x:`` propagates x's
   producers into the loop targets as members (EachElementGet shape);
@@ -244,6 +261,13 @@ _FOR_CALL_RE = re.compile(
 )
 _IF_RE = re.compile(r"^if\s.*:\s*$")
 _ELIF_ELSE_RE = re.compile(r"^(?:elif\s.*|else\s*):\s*$")
+#: `while cond:` — the one-arm loop shape of the same CFG projection:
+#: the body forks from the pre frontier (it may run zero times), the
+#: first call after it joins body tail + pre fall-through, and bindings
+#: phi like an else-less if (loop-header phi after one unrolling; no
+#: back-edge in the projection — documented subset).  A trailing
+#: `else:` is treated as a plain alternative arm (subset).
+_WHILE_RE = re.compile(r"^while\s.*:\s*$")
 #: try/except fork-join (G5 sibling of if/elif): the try body is the
 #: always-running arm, `except ...:`/`else:` arms fork from the pre-try
 #: frontier, `finally:` joins immediately (its body runs after every arm)
@@ -700,6 +724,94 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 )
                 return rnode["node_number"]
 
+            def _env_snap():
+                """Copy the value-binding environment at a fork point
+                (the five dicts an arm may rewrite; import bindings and
+                instance-method aliases keep last-arm semantics — the
+                documented subset)."""
+                return (
+                    dict(var_producer),
+                    dict(var_klass),
+                    {k: list(v) for k, v in var_members.items()},
+                    {k: list(v) for k, v in var_elem.items()},
+                    {k: dict(v) for k, v in var_fields.items()},
+                )
+
+            def _env_restore(snap):
+                for live, saved in zip(
+                    (var_producer, var_klass, var_members, var_elem,
+                     var_fields), snap,
+                ):
+                    live.clear()
+                    live.update(saved)
+
+            def _env_phi(paths):
+                """SSA phi at a fork-join (WALA's phi values feeding the
+                `GraphSlicer` projection): merge per-arm binding
+                environments into the live dicts.  Paths that agree keep
+                the precise binding; paths that disagree union into the
+                members/element shape, so a later method call resolves
+                through the union points-to receiver (`node_klass`, the
+                same machinery as loop elements and ternary).  Fields
+                survive only where every path stores the identical
+                (producer, class) — the conservative projection of
+                WALA's field-sensitive merge."""
+                names: set[str] = set()
+                for pr, _kl, mem, _el, _fl in paths:
+                    names |= set(pr) | set(mem)
+                var_producer.clear()
+                var_klass.clear()
+                var_members.clear()
+                var_elem.clear()
+                for v in sorted(names):
+                    reprs = []
+                    for pr, kl, mem, el, _fl in paths:
+                        if v in pr:
+                            reprs.append(("P", pr[v], kl.get(v)))
+                        elif v in mem:
+                            reprs.append((
+                                "M", tuple(mem[v]),
+                                tuple(el.get(v, ())) == tuple(mem[v]),
+                            ))
+                        else:
+                            reprs.append(None)
+                    bound = [r for r in reprs if r is not None]
+                    if all(r == bound[0] for r in bound):
+                        kind = bound[0]
+                        if kind[0] == "P":
+                            var_producer[v] = kind[1]
+                            if kind[2] is not None:
+                                var_klass[v] = kind[2]
+                        else:
+                            var_members[v] = list(kind[1])
+                            if kind[2]:
+                                var_elem[v] = var_members[v]
+                        continue
+                    union: list[int] = []
+                    for r in bound:
+                        for p in ([r[1]] if r[0] == "P" else r[1]):
+                            if p not in union:
+                                union.append(p)
+                    var_members[v] = union
+                    # element-receiver dispatch only when some path held
+                    # an instance (or element union) — a phi of plain
+                    # containers stays a container
+                    if any(r[0] == "P" or (r[0] == "M" and r[2])
+                           for r in bound):
+                        var_elem[v] = var_members[v]
+                objs: set[str] = set()
+                for _pr, _kl, _mem, _el, fl in paths:
+                    objs |= set(fl)
+                var_fields.clear()
+                for o in objs:
+                    per = [p[4].get(o) for p in paths]
+                    if any(d is None for d in per):
+                        continue
+                    common = {f: t for f, t in per[0].items()
+                              if all(d.get(f) == t for d in per[1:])}
+                    if common:
+                        var_fields[o] = common
+
             for ln, phys, line in _logical_lines(lines):
                 # blank lines are not statements: a blank line between an
                 # if-arm and its elif/else must not join the open branch
@@ -829,8 +941,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 # arm forks from the frontier before the `if` and the
                 # first call after the chain joins all arm tails (plus
                 # the fall-through frontier when there is no else).  One
-                # un-nested chain at a time; variable bindings follow the
-                # last textual arm (no phi merge — documented subset).
+                # un-nested chain at a time.  Bindings phi at the join
+                # (r5): each arm starts from the pre-fork environment
+                # (arms are exclusive — no cross-arm leak) and the join
+                # merges them, unioning disagreeing bindings into the
+                # members/element shape (WALA's phi feeding the union
+                # points-to receiver).  `while cond:` is the one-arm
+                # loop form: fork + fall-through + loop-header phi.
                 if cur_def is None:
                     at_top = line[:1] not in (" ", "\t")
                     if branch is not None and at_top:
@@ -843,6 +960,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         )
                         if arm:
                             branch["tails"].append(prev_in_snippet)
+                            branch["env_tails"].append(_env_snap())
                             # a try body ALWAYS runs: its chain never
                             # falls through untaken, so the join never
                             # adds the pre edge for try branches
@@ -851,6 +969,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 or line.lstrip().startswith("else")
                             )
                             prev_in_snippet = list(branch["pre"])
+                            _env_restore(branch["env0"])
                             continue
                         # join: frontier = union of arm tails (+ pre when
                         # the chain can fall through)
@@ -865,18 +984,26 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 if p not in joined:
                                     joined.append(p)
                         prev_in_snippet = joined
+                        paths = branch["env_tails"] + [_env_snap()]
+                        if not branch["has_else"]:
+                            paths.append(branch["env0"])
+                        _env_phi(paths)
                         branch = None
                         if fin:
                             # `finally:` body chains off the join — it
                             # runs after every arm, so it is NOT an arm
                             continue
-                    if branch is None and at_top and _IF_RE.match(line):
+                    if branch is None and at_top and (
+                        _IF_RE.match(line) or _WHILE_RE.match(line)
+                    ):
                         branch = {"pre": list(prev_in_snippet), "tails": [],
-                                  "has_else": False}
+                                  "has_else": False, "env0": _env_snap(),
+                                  "env_tails": []}
                         continue
                     if branch is None and at_top and _TRY_RE.match(line):
                         branch = {"pre": list(prev_in_snippet), "tails": [],
-                                  "has_else": True, "is_try": True}
+                                  "has_else": True, "is_try": True,
+                                  "env0": _env_snap(), "env_tails": []}
                         continue
                 if cur_class is not None and cur_def is None:
                     if line[:1] in (" ", "\t"):

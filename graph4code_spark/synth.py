@@ -415,9 +415,14 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # round-3 G5 fork-join: calls in if/elif/else arms fork from
             # the pre-if call and join at the first call after the
             # chain; r5: plus the try/except/finally sibling — except
-            # arms fork from the pre-try frontier, finally joins
+            # arms fork from the pre-try frontier, finally joins — and
+            # the late-r5 SSA phi shapes: an if/else whose arms bind the
+            # same class (union points-to receiver at the post-join
+            # fit), an arm rebind phi'd with the pre binding, and a
+            # `while` loop (fork + zero-iteration fall-through +
+            # loop-header phi)
             abody += (
-                "<pre><code>import pandas\nimport numpy\n"
+                "<pre><code>import pandas\nimport numpy\nimport sklearn\n"
                 "df = pandas.read_csv('t.csv')\n"
                 "if flag:\n"
                 "    a = json.load('a.json')\n"
@@ -431,7 +436,17 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "except ValueError:\n"
                 "    t2 = pandas.DataFrame(out)\n"
                 "finally:\n"
-                "    t3 = pandas.concat(df)\n</code></pre>"
+                "    t3 = pandas.concat(df)\n"
+                "g = pandas.read_csv('v.csv')\n"
+                "if flag2:\n"
+                "    g = pandas.read_csv('w.csv')\n"
+                "    m = sklearn.svm.SVC(1)\n"
+                "else:\n"
+                "    m = sklearn.svm.SVC(2)\n"
+                "rphi = m.fit(g, 1)\n"
+                "while more:\n"
+                "    g = pandas.DataFrame(g)\n"
+                "tail = pandas.concat(g)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

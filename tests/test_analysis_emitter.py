@@ -990,3 +990,150 @@ def test_tuple_return_from_local_def():
     # arity mismatch unbinds the values: no ARG edge reaches the call —
     # the import binding's DATA-0 edge legitimately remains
     assert not [e for e in fl3 if e[2] == mismatch_svc and e[1] != "0"]
+
+
+def test_branch_phi_union_receiver():
+    """r5 SSA phi at the if/else join: both arms bind `m` to an SVC
+    ctor, so the post-join `m.fit(X)` resolves through the union
+    points-to receiver — ONE fit node fed DATA-0 by BOTH ctor nodes
+    (WALA's phi value feeding the invoke)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import sklearn\n"
+        "if flag:\n"
+        "    m = sklearn.svm.SVC(1)\n"
+        "else:\n"
+        "    m = sklearn.svm.SVC(2)\n"
+        "m.fit(X)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/phi1", [code], cat)
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fits = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    assert len(svcs) == 2 and len(fits) == 1
+    fl = _edges(nodes)
+    for ctor in svcs:
+        assert (ctor["node_number"], "0", fits[0]["node_number"]) in fl
+
+
+def test_branch_arm_isolation():
+    """r5: arms are exclusive — a binding made in the first arm is NOT
+    visible inside a sibling arm (each arm starts from the pre-fork
+    environment)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "if flag:\n"
+        "    df = pandas.read_csv('a.csv')\n"
+        "else:\n"
+        "    out = pandas.concat(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/phi2", [code], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes if n["value_names"]}
+    fl = _edges(nodes)
+    # no ARG edge from the sibling arm's read_csv into concat
+    assert (by_vn["df"]["node_number"], "1",
+            by_vn["out"]["node_number"]) not in fl
+
+
+def test_branch_phi_fall_through_union():
+    """r5: an else-less if phis the arm binding with the PRE binding —
+    the post-join consumer receives flow from both producers."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('a.csv')\n"
+        "if flag:\n"
+        "    df = pandas.read_csv('b.csv')\n"
+        "out = pandas.concat(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/phi3", [code], cat)
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    out = next(n for n in nodes if n["path"] == ["pandas", "concat"])
+    assert len(reads) == 2
+    fl = _edges(nodes)
+    for r in reads:
+        assert (r["node_number"], "1", out["node_number"]) in fl
+
+
+def test_while_fork_join_phi():
+    """r5 `while cond:` — the one-arm loop form of the G5 projection:
+    the body forks from the pre frontier (zero-iteration path), the
+    first call after it joins body tail + pre fall-through, and the
+    loop-header phi unions the body rebind with the pre binding."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('a.csv')\n"
+        "while cond:\n"
+        "    df = pandas.DataFrame(df)\n"
+        "out = pandas.concat(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/while1", [code], cat)
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    body = next(n for n in nodes if n["path"] == ["pandas", "DataFrame"])
+    out = next(n for n in nodes if n["path"] == ["pandas", "concat"])
+    # control: fork from pre into the body AND fall-through to the join
+    assert sorted(read["immediately_precedes"]) == sorted(
+        [body["node_number"], out["node_number"]]
+    )
+    assert body["immediately_precedes"] == [out["node_number"]]
+    fl = _edges(nodes)
+    # body arg: read_csv flows into the body ctor
+    assert (read["node_number"], "1", body["node_number"]) in fl
+    # loop-header phi: concat sees BOTH the pre binding and the rebind
+    assert (read["node_number"], "1", out["node_number"]) in fl
+    assert (body["node_number"], "1", out["node_number"]) in fl
+
+
+def test_branch_phi_field_conservative_drop():
+    """r5: a field stored differently per arm does not survive the join
+    (the conservative projection of WALA's field-sensitive merge), while
+    a field stored identically on every path does."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('a.csv')\n"
+        "h.keep = df\n"
+        "if flag:\n"
+        "    h.data = pandas.read_csv('b.csv')\n"
+        "else:\n"
+        "    h.data = pandas.read_csv('c.csv')\n"
+        "one = pandas.concat(h.keep)\n"
+        "two = pandas.concat(h.data)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/phi4", [code], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes if n["value_names"]}
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    fl = _edges(nodes)
+    # identical-on-every-path field still loads
+    assert (by_vn["df"]["node_number"], "1",
+            by_vn["one"]["node_number"]) in fl
+    # per-arm disagreeing field is dropped: no ARG edge into `two`
+    arm_reads = [r for r in reads if r is not by_vn["df"]]
+    for r in arm_reads:
+        assert (r["node_number"], "1", by_vn["two"]["node_number"]) not in fl
