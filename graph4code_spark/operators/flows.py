@@ -171,6 +171,20 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   `…Engine.java:456-486`).  Chained instantiation (`X(a).m(b)`)
   dispatches against an anonymous instance whose deferred fields bind
   from the ctor args; the lhs tracks the method's return
+- star imports (late r5): `from M import *` binds every DIRECT catalog
+  child of M as a bare name resolving to its canonical qualified entry
+  (exact-module resolution instead of the first-wins tail probe), with
+  calls through the binding taking a DATA-0 edge from the module's
+  import/member-read chain; later star imports overwrite (Python
+  namespace semantics); class methods are not module members and stay
+  out
+- single inheritance (late r5): `class Sub(Base):` over an EARLIER
+  local class seeds the subclass with the base's fields, methods, and
+  __init__ record — inherited method records share the base's body
+  nodes (the context-insensitive dispatch WALA's class hierarchy gives
+  an inherited method), subclass call sites wire their own args and
+  per-site deferred fields, and an own __init__ / same-named method
+  overrides; external/dotted bases are inert (subset)
 - globals in def bodies (r5): the body env seeds from the enclosing
   env minus the def's own parameters, so `def f(): m.fit(df)` over
   module-level tracked values resolves eagerly (one shared
@@ -210,6 +224,14 @@ _FROM_IMPORT_RE = re.compile(
     r"^\s*from\s+([A-Za-z_][\w.]*)\s+import\s+([A-Za-z_]\w*)"
     r"(?:\s+as\s+([A-Za-z_]\w*))?\s*$"
 )
+#: `from M import *` (late r5): binds every DIRECT catalog child of M
+#: (one more dotted segment) as a bare name resolving to its canonical
+#: qualified entry, with calls through the binding taking a DATA-0 edge
+#: from the module's import/member-read chain — exact-module resolution
+#: instead of the first-wins tail probe, the WALA module-namespace
+#: binding shape.  Deeper members (class methods) are not module
+#: namespace members and stay out.
+_FROM_STAR_RE = re.compile(r"^\s*from\s+([A-Za-z_][\w.]*)\s+import\s+\*\s*$")
 _CALL_RE = re.compile(r"\b([A-Za-z_][\w.]*)\s*\(")
 _ASSIGN_RE = re.compile(r"^\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*=[^=]")
 _STR_ARG = re.compile(r"^(?:'([^']*)'|\"([^\"]*)\")$")
@@ -228,7 +250,13 @@ _CONTAINER_RE = re.compile(
 _DEF_RE = re.compile(r"^def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$")
 #: top-level `class X:` / `class X(Base):` — user-defined class (r5
 #: honest subset: methods indented once, no inheritance resolution)
-_CLASS_RE = re.compile(r"^class\s+([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s*:\s*$")
+#: captures the FIRST base name when present — a base that names an
+#: earlier local class seeds the subclass with its fields/methods/ctor
+#: (single inheritance, late r5; external/dotted bases are inert)
+_CLASS_RE = re.compile(
+    r"^class\s+([A-Za-z_]\w*)\s*"
+    r"(?:\(\s*([A-Za-z_]\w*)?[^)]*\))?\s*:\s*$"
+)
 #: a method def INSIDE an open class block (indented `def`)
 _METHOD_DEF_RE = re.compile(
     r"^\s+def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$"
@@ -1053,18 +1081,37 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 if cm_cls:
                     # user-defined class (r5 subset): collect __init__
                     # field stores and methods; instances dispatch via
-                    # per-instance local-def aliases
-                    cur_class = {"name": cm_cls.group(1),
-                                 "fields": {}, "methods": {}}
+                    # per-instance local-def aliases.  Single
+                    # inheritance (late r5): a base naming an earlier
+                    # local class seeds fields/methods/ctor — inherited
+                    # method records share the base's body nodes (the
+                    # same context-insensitive dispatch WALA's class
+                    # hierarchy gives an inherited method); an own
+                    # __init__ / same-named method overwrites.
+                    base_cls = (local_classes.get(cm_cls.group(2))
+                                if cm_cls.group(2) else None)
+                    cur_class = {
+                        "name": cm_cls.group(1),
+                        "fields": (dict(base_cls["fields"])
+                                   if base_cls else {}),
+                        "methods": (dict(base_cls["methods"])
+                                    if base_cls else {}),
+                    }
                     local_classes[cm_cls.group(1)] = cur_class
                     # instantiation dispatches through the local-def
                     # machinery even without an __init__ (an __init__
-                    # close overwrites this empty record)
-                    local_defs[cm_cls.group(1)] = {
-                        "name": cm_cls.group(1), "params": [],
-                        "param_uses": {}, "ret": None,
-                        "ret_klass": None, "ret_tuple": None,
-                    }
+                    # close overwrites this record); a local base donates
+                    # its ctor record (inherited __init__)
+                    if base_cls is not None and base_cls["name"] in local_defs:
+                        inh = dict(local_defs[base_cls["name"]])
+                        inh["name"] = cm_cls.group(1)
+                        local_defs[cm_cls.group(1)] = inh
+                    else:
+                        local_defs[cm_cls.group(1)] = {
+                            "name": cm_cls.group(1), "params": [],
+                            "param_uses": {}, "ret": None,
+                            "ret_klass": None, "ret_tuple": None,
+                        }
                     continue
                 dm = _DEF_RE.match(line)
                 if dm:
@@ -1135,6 +1182,25 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         if made_any:
                             continue
                     if im.group(1).split(".")[0] in modules:
+                        fs = _FROM_STAR_RE.match(line)
+                        if fs:
+                            # star import: member-read chain for the
+                            # module path, then every direct catalog
+                            # child binds its bare name to the canonical
+                            # entry (later star imports win, mirroring
+                            # Python namespace overwrite)
+                            mod_path = fs.group(1)
+                            last = import_member_chain(
+                                mod_path.split("."), ln, phys
+                            )
+                            pref = mod_path + "."
+                            for full in by_name:
+                                if (full.startswith(pref)
+                                        and "." not in full[len(pref):]):
+                                    bare = full[len(pref):]
+                                    aliases[bare] = full
+                                    alias_src[bare] = last
+                            continue
                         fa = _FROM_IMPORT_RE.match(line)
                         if fa:
                             mod_path, name = fa.group(1), fa.group(2)

@@ -495,7 +495,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 # store/load through an untracked object, ternary phi,
                 # list-append membership, method calls through
                 # field/element loads, and a tuple-return def with
-                # element-wise call-site unpack (the new G2/G3 shapes)
+                # element-wise call-site unpack (the new G2/G3 shapes);
+                # late r5: star import (exact-module bare-name binding)
+                # and single inheritance (Sub(Wrap) inherits __init__
+                # field stores + run dispatch)
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     "with sklearn.svm.SVC() as model:\n"
@@ -543,7 +546,14 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "m9 = sklearn.svm.SVC(*duo)\n"
                     "def top_view():\n"
                     "    return pandas.DataFrame(df)\n"
-                    "t9 = top_view()\n</code></pre>"
+                    "t9 = top_view()\n"
+                    "from sklearn.svm import *\n"
+                    "m10 = SVC(df)\n"
+                    "r10 = m10.fit(df, 2)\n"
+                    "class Sub(Wrap):\n"
+                    "    pass\n"
+                    "wr2 = Sub('w3.csv', fin)\n"
+                    "clf11 = wr2.run(df)\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue

@@ -1137,3 +1137,41 @@ def test_branch_phi_field_conservative_drop():
     arm_reads = [r for r in reads if r is not by_vn["df"]]
     for r in arm_reads:
         assert (r["node_number"], "1", by_vn["two"]["node_number"]) not in fl
+
+
+def test_star_import_binding():
+    """late r5 `from M import *`: direct catalog children bind as bare
+    names resolving to their canonical entries, calls through the
+    binding take DATA-0 from the module's import/member-read chain, and
+    constructed-class tracking works through the binding."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "from pandas import *\n"
+        "df = read_csv('s.csv')\n"
+        "from sklearn.svm import *\n"
+        "m = SVC(df)\n"
+        "r = m.fit(df, 1)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/star1", [code], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes if n["value_names"]}
+    read, svc, fit = by_vn["df"], by_vn["m"], by_vn["r"]
+    assert read["path"] == ["pandas", "read_csv"]
+    assert svc["path"] == ["sklearn", "svm", "SVC"]
+    assert fit["path"] == ["sklearn", "svm", "SVC", "fit"]
+    fl = _edges(nodes)
+    # DATA-0 from the pandas import node into read_csv
+    pimp = next(n for n in nodes if n.get("is_import")
+                and n["path"] == ["pandas"])
+    assert (pimp["node_number"], "0", read["node_number"]) in fl
+    # DATA-0 from the sklearn.svm member-read chain into SVC
+    svm_read = next(n for n in nodes if n["path"] == ["sklearn", "svm"]
+                    and n.get("reads"))
+    assert (svm_read["node_number"], "0", svc["node_number"]) in fl
+    # receiver + args flow normally through the star binding
+    assert (svc["node_number"], "0", fit["node_number"]) in fl
+    assert (read["node_number"], "1", svc["node_number"]) in fl

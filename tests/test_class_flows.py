@@ -300,3 +300,61 @@ def test_classless_code_unaffected_and_class_scope_inert():
     (csv,) = by[("pandas", "read_csv")]
     (drop,) = by[("pandas", "read_csv", "dropna")]
     assert (csv["node_number"], "0", drop["node_number"]) in flows
+
+
+def test_single_inheritance_method_and_ctor():
+    """late r5 single inheritance: a subclass of an earlier local class
+    inherits its __init__ (field stores wire from the SUBCLASS ctor
+    args) and its methods (shared body nodes); an own method overrides
+    the inherited one."""
+    code = (
+        "import pandas\n"
+        "import sklearn.svm\n"
+        "class Base:\n"
+        "    def __init__(self, d):\n"
+        "        self.data = d\n"
+        "    def run(self):\n"
+        "        m = sklearn.svm.SVC(1)\n"
+        "        m.fit(self.data)\n"
+        "class Child(Base):\n"
+        "    pass\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "c = Child(df)\n"
+        "c.run()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/inh1", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (svc,) = by[("sklearn", "svm", "SVC")]
+    (fit,) = by[("sklearn", "svm", "SVC", "fit")]
+    # inherited __init__ setter-pattern store: the Child ctor arg (the
+    # read_csv result) reaches the inherited run body's fit arg
+    assert (csv["node_number"], "1", fit["node_number"]) in flows
+    assert (svc["node_number"], "0", fit["node_number"]) in flows
+
+
+def test_single_inheritance_override_wins():
+    """A method redefined in the subclass replaces the inherited record:
+    dispatch resolves the subclass body, not the base's."""
+    code = (
+        "import pandas\n"
+        "class Base:\n"
+        "    def load(self, d):\n"
+        "        x = pandas.DataFrame(d)\n"
+        "class Child(Base):\n"
+        "    def load(self, d):\n"
+        "        y = pandas.concat(d)\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "c = Child()\n"
+        "c.load(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/inh2", [code], CAT)
+    by = _by_path(nodes)
+    flows = _flows(nodes)
+    (csv,) = by[("pandas", "read_csv")]
+    (ctor,) = by[("pandas", "DataFrame")]
+    (cc,) = by[("pandas", "concat")]
+    # dispatch wires the SUBCLASS body's param use, not the base's
+    assert (csv["node_number"], "1", cc["node_number"]) in flows
+    assert (csv["node_number"], "1", ctor["node_number"]) not in flows
