@@ -97,8 +97,13 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   if/elif/else chain do NOT precede each other — each arm forks from the
   pre-if frontier and the first call after the chain joins every arm
   tail (plus the fall-through edge when there is no else), the CFG
-  projection shape of `…Engine.java:2116-2256`; one un-nested chain at
-  a time.  SSA phi at the join (late r5): each arm starts from the
+  projection shape of `…Engine.java:2116-2256`.  Chains NEST (late
+  r5): frames stack by the fork keyword's indentation — dedenting past
+  a frame joins it innermost-first, an inner join feeds the outer
+  arm's ongoing frontier and bindings, and arm keywords switch the
+  frame at their own indent (frames open at top level or inside an
+  open frame; class/def bodies stay out of scope).  SSA phi at the
+  join (late r5): each arm starts from the
   pre-fork binding environment (arms are exclusive — no cross-arm
   leak), and the join merges the arm environments — agreeing paths
   keep the precise binding, disagreeing paths union into the
@@ -619,9 +624,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
             # node).  Whole-object rebinds drop the map entry.
             var_fields: dict[str, dict[str, tuple]] = {}
             prev_in_snippet: list[int] = []     # indices of the CFG frontier
-            # G5 fork-join subset: one active top-level if/elif/else chain
-            # {"pre": frontier before the if, "tails": per-arm frontiers}
-            branch: dict | None = None
+            # G5 fork-join: a STACK of open if/while/try frames (late r5
+            # — nested chains join innermost-first on dedent); each
+            # frame holds {"indent": the keyword line's indentation,
+            # "pre": frontier before the fork, "tails": per-arm
+            # frontiers, "env0"/"env_tails": the phi snapshots}
+            branch_stack: list[dict] = []
             # interprocedural G3 subset: name -> {params, param_uses
             # (param -> [(node_number, use_pos)]), ret producer, ret class}
             local_defs: dict[str, dict] = {}
@@ -963,76 +971,116 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         (var_producer, var_klass, var_members,
                          var_fields, prev_in_snippet) = outer_env
                         cur_def, outer_env = None, None
-                # G5 fork-join subset (`GraphSlicer.project` CFG shape,
-                # `…Engine.java:2116-2256`): calls in different arms of a
-                # TOP-LEVEL if/elif/else never precede each other; every
-                # arm forks from the frontier before the `if` and the
-                # first call after the chain joins all arm tails (plus
-                # the fall-through frontier when there is no else).  One
-                # un-nested chain at a time.  Bindings phi at the join
-                # (r5): each arm starts from the pre-fork environment
-                # (arms are exclusive — no cross-arm leak) and the join
-                # merges them, unioning disagreeing bindings into the
+                # G5 fork-join (`GraphSlicer.project` CFG shape,
+                # `…Engine.java:2116-2256`): calls in different arms of
+                # an if/elif/else never precede each other; every arm
+                # forks from the frontier before the fork keyword and
+                # the first call after the chain joins all arm tails
+                # (plus the fall-through frontier when there is no
+                # else).  Bindings phi at the join (r5): each arm
+                # starts from the pre-fork environment (arms are
+                # exclusive — no cross-arm leak) and the join merges
+                # them, unioning disagreeing bindings into the
                 # members/element shape (WALA's phi feeding the union
                 # points-to receiver).  `while cond:` is the one-arm
                 # loop form: fork + fall-through + loop-header phi.
+                # Late r5: chains NEST — frames stack by the keyword
+                # line's indentation; dedenting past a frame joins it
+                # innermost-first, arm keywords switch the frame at
+                # their own indent, and an inner join feeds the outer
+                # arm's ongoing frontier/bindings.  (Frames open only
+                # at top level or inside an open frame — class bodies
+                # and def bodies stay out of scope.)
                 if cur_def is None:
-                    at_top = line[:1] not in (" ", "\t")
-                    if branch is not None and at_top:
-                        fin = (_FINALLY_RE.match(line)
-                               if branch.get("is_try") else None)
-                        arm = None if fin else (
-                            _EXCEPT_ELSE_RE.match(line)
-                            if branch.get("is_try")
-                            else _ELIF_ELSE_RE.match(line)
+                    stripped_ = line.lstrip()
+                    indent_ = len(line) - len(stripped_)
+                    at_top = indent_ == 0
+
+                    def _frame_arm_fin(fr):
+                        fin_ = (_FINALLY_RE.match(stripped_)
+                                if fr.get("is_try") else None)
+                        arm_ = None if fin_ else (
+                            _EXCEPT_ELSE_RE.match(stripped_)
+                            if fr.get("is_try")
+                            else _ELIF_ELSE_RE.match(stripped_)
                         )
-                        if arm:
-                            branch["tails"].append(prev_in_snippet)
-                            branch["env_tails"].append(_env_snap())
-                            # a try body ALWAYS runs: its chain never
-                            # falls through untaken, so the join never
-                            # adds the pre edge for try branches
-                            branch["has_else"] = (
-                                branch.get("is_try", False)
-                                or line.lstrip().startswith("else")
-                            )
-                            prev_in_snippet = list(branch["pre"])
-                            _env_restore(branch["env0"])
-                            continue
-                        # join: frontier = union of arm tails (+ pre when
-                        # the chain can fall through)
-                        tails = branch["tails"] + [prev_in_snippet]
+                        return arm_, fin_
+
+                    def _join_frame(fr, cur_frontier, cur_env):
+                        # frontier = union of arm tails (+ pre when the
+                        # chain can fall through); bindings phi the same
+                        # paths
+                        tails = fr["tails"] + [cur_frontier]
                         joined: list[int] = []
                         for t in tails:
                             for p in t:
                                 if p not in joined:
                                     joined.append(p)
-                        if not branch["has_else"]:
-                            for p in branch["pre"]:
+                        if not fr["has_else"]:
+                            for p in fr["pre"]:
                                 if p not in joined:
                                     joined.append(p)
-                        prev_in_snippet = joined
-                        paths = branch["env_tails"] + [_env_snap()]
-                        if not branch["has_else"]:
-                            paths.append(branch["env0"])
+                        paths = fr["env_tails"] + [cur_env]
+                        if not fr["has_else"]:
+                            paths.append(fr["env0"])
                         _env_phi(paths)
-                        branch = None
-                        if fin:
-                            # `finally:` body chains off the join — it
-                            # runs after every arm, so it is NOT an arm
+                        return joined
+
+                    # dedent joins inner frames (innermost-first); stop
+                    # at a frame whose own indent carries an arm/finally
+                    # keyword for it
+                    while branch_stack and indent_ <= branch_stack[-1]["indent"]:
+                        top_ = branch_stack[-1]
+                        arm_, fin_ = _frame_arm_fin(top_)
+                        if indent_ == top_["indent"] and (arm_ or fin_):
+                            break
+                        prev_in_snippet = _join_frame(
+                            top_, prev_in_snippet, _env_snap()
+                        )
+                        branch_stack.pop()
+                    if branch_stack and indent_ == branch_stack[-1]["indent"]:
+                        top_ = branch_stack[-1]
+                        arm_, fin_ = _frame_arm_fin(top_)
+                        if arm_:
+                            top_["tails"].append(prev_in_snippet)
+                            top_["env_tails"].append(_env_snap())
+                            # a try body ALWAYS runs: its chain never
+                            # falls through untaken, so the join never
+                            # adds the pre edge for try branches
+                            top_["has_else"] = (
+                                top_.get("is_try", False)
+                                or stripped_.startswith("else")
+                            )
+                            prev_in_snippet = list(top_["pre"])
+                            _env_restore(top_["env0"])
                             continue
-                    if branch is None and at_top and (
-                        _IF_RE.match(line) or _WHILE_RE.match(line)
-                    ):
-                        branch = {"pre": list(prev_in_snippet), "tails": [],
-                                  "has_else": False, "env0": _env_snap(),
-                                  "env_tails": []}
-                        continue
-                    if branch is None and at_top and _TRY_RE.match(line):
-                        branch = {"pre": list(prev_in_snippet), "tails": [],
-                                  "has_else": True, "is_try": True,
-                                  "env0": _env_snap(), "env_tails": []}
-                        continue
+                        if fin_:
+                            # `finally:` joins immediately — its body
+                            # chains off the join (it runs after every
+                            # arm, so it is NOT an arm)
+                            prev_in_snippet = _join_frame(
+                                top_, prev_in_snippet, _env_snap()
+                            )
+                            branch_stack.pop()
+                            continue
+                    if (at_top or (branch_stack and cur_class is None
+                                   and indent_ > branch_stack[-1]["indent"])):
+                        if _IF_RE.match(stripped_) or _WHILE_RE.match(stripped_):
+                            branch_stack.append({
+                                "indent": indent_,
+                                "pre": list(prev_in_snippet), "tails": [],
+                                "has_else": False, "env0": _env_snap(),
+                                "env_tails": [],
+                            })
+                            continue
+                        if _TRY_RE.match(stripped_):
+                            branch_stack.append({
+                                "indent": indent_,
+                                "pre": list(prev_in_snippet), "tails": [],
+                                "has_else": True, "is_try": True,
+                                "env0": _env_snap(), "env_tails": [],
+                            })
+                            continue
                 if cur_class is not None and cur_def is None:
                     if line[:1] in (" ", "\t"):
                         mm0 = _METHOD_DEF_RE.match(line)

@@ -418,9 +418,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # arms fork from the pre-try frontier, finally joins — and
             # the late-r5 SSA phi shapes: an if/else whose arms bind the
             # same class (union points-to receiver at the post-join
-            # fit), an arm rebind phi'd with the pre binding, and a
+            # fit), an arm rebind phi'd with the pre binding, a
             # `while` loop (fork + zero-iteration fall-through +
-            # loop-header phi)
+            # loop-header phi), and a NESTED chain (inner if joins
+            # inside the outer arm; phi composes through the nesting)
             abody += (
                 "<pre><code>import pandas\nimport numpy\nimport sklearn\n"
                 "df = pandas.read_csv('t.csv')\n"
@@ -446,7 +447,15 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "rphi = m.fit(g, 1)\n"
                 "while more:\n"
                 "    g = pandas.DataFrame(g)\n"
-                "tail = pandas.concat(g)\n</code></pre>"
+                "tail = pandas.concat(g)\n"
+                "if outer:\n"
+                "    n1 = pandas.read_csv('n1.csv')\n"
+                "    if inner:\n"
+                "        n1 = pandas.DataFrame(n1)\n"
+                "    n2 = pandas.concat(n1)\n"
+                "else:\n"
+                "    n3 = numpy.linspace(2, 3)\n"
+                "njoin = pandas.concat(tail)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

@@ -1175,3 +1175,72 @@ def test_star_import_binding():
     # receiver + args flow normally through the star binding
     assert (svc["node_number"], "0", fit["node_number"]) in fl
     assert (read["node_number"], "1", svc["node_number"]) in fl
+
+
+def test_nested_branch_fork_join():
+    """late r5 nested chains: an if inside an arm forks from the arm's
+    frontier and joins within the arm; the outer join then unions the
+    arm tails.  Dedent joins innermost-first."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport numpy\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "if a:\n"
+        "    x = pandas.read_csv('a.csv')\n"
+        "    if b:\n"
+        "        y = pandas.DataFrame(x)\n"
+        "    z = pandas.concat(x)\n"
+        "else:\n"
+        "    w = numpy.linspace(0, 1)\n"
+        "out = pandas.read_csv('u.csv')\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/nest1", [code], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes if n["value_names"]}
+    df, x, y, z, w, out = (by_vn[k] for k in ("df", "x", "y", "z", "w", "out"))
+    # outer fork: df precedes both arm heads, not the nested body
+    assert sorted(df["immediately_precedes"]) == sorted(
+        [x["node_number"], w["node_number"]]
+    )
+    # inner fork from x; inner join at z unions y + x fall-through
+    assert sorted(x["immediately_precedes"]) == sorted(
+        [y["node_number"], z["node_number"]]
+    )
+    assert y["immediately_precedes"] == [z["node_number"]]
+    # outer join at out: z tail + w tail, no df fall-through (else)
+    assert z["immediately_precedes"] == [out["node_number"]]
+    assert w["immediately_precedes"] == [out["node_number"]]
+    assert out["node_number"] not in df["immediately_precedes"]
+
+
+def test_nested_branch_phi_union():
+    """late r5: phi composes through nesting — an inner rebind unions
+    with the outer arm's binding, then the outer join unions with the
+    else arm, so the post-join receiver call sees all three ctors."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import sklearn\n"
+        "if a:\n"
+        "    m = sklearn.svm.SVC(1)\n"
+        "    if b:\n"
+        "        m = sklearn.svm.SVC(2)\n"
+        "else:\n"
+        "    m = sklearn.svm.SVC(3)\n"
+        "m.fit(X)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/nest2", [code], cat)
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fits = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    assert len(svcs) == 3 and len(fits) == 1
+    fl = _edges(nodes)
+    for ctor in svcs:
+        assert (ctor["node_number"], "0", fits[0]["node_number"]) in fl
