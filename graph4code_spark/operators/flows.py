@@ -848,6 +848,51 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     if common:
                         var_fields[o] = common
 
+            def _frame_arm_fin(fr, stripped):
+                """(arm-match, finally-match) of this statement for the
+                given frame — try frames take except/else + finally,
+                if/while frames take elif/else."""
+                fin_ = (_FINALLY_RE.match(stripped)
+                        if fr.get("is_try") else None)
+                arm_ = None if fin_ else (
+                    _EXCEPT_ELSE_RE.match(stripped)
+                    if fr.get("is_try")
+                    else _ELIF_ELSE_RE.match(stripped)
+                )
+                return arm_, fin_
+
+            def _join_frame(fr, cur_frontier):
+                """Join a fork frame: frontier = union of arm tails
+                (+ pre when the chain can fall through); bindings phi
+                the same paths.  Returns the joined frontier."""
+                tails = fr["tails"] + [cur_frontier]
+                joined: list[int] = []
+                for t in tails:
+                    for p in t:
+                        if p not in joined:
+                            joined.append(p)
+                if not fr["has_else"]:
+                    for p in fr["pre"]:
+                        if p not in joined:
+                            joined.append(p)
+                paths = fr["env_tails"] + [_env_snap()]
+                if not fr["has_else"]:
+                    paths.append(fr["env0"])
+                _env_phi(paths)
+                return joined
+
+            def _drain_frames():
+                """Join every open frame innermost-first — called when a
+                def body closes so its local frames phi under the BODY
+                env before the outer env is restored (frames never
+                outlive the scope that opened them: top-level def/class
+                statements join all top-level frames before opening)."""
+                nonlocal prev_in_snippet
+                while branch_stack:
+                    prev_in_snippet = _join_frame(
+                        branch_stack.pop(), prev_in_snippet
+                    )
+
             for ln, phys, line in _logical_lines(lines):
                 # blank lines are not statements: a blank line between an
                 # if-arm and its elif/else must not join the open branch
@@ -862,11 +907,14 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         mm_next = (_METHOD_DEF_RE.match(line)
                                    if cur_class is not None else None)
                         if mm_next:
-                            # next method def at class indent: register
-                            # the finished method while its def-local
-                            # env is live, then open the new one (fresh
-                            # env, self fields pre-bound so body loads
-                            # of __init__ stores resolve eagerly)
+                            # next method def at class indent: drain the
+                            # body's open frames (phi under the body
+                            # env), register the finished method while
+                            # its def-local env is live, then open the
+                            # new one (fresh env, self fields pre-bound
+                            # so body loads of __init__ stores resolve
+                            # eagerly)
+                            _drain_frames()
                             if cur_def["name"] == "__init__":
                                 cur_class["fields"] = dict(
                                     var_fields.get("self", {})
@@ -948,7 +996,10 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             continue
                         # body line: processed below under the def-local env
                     else:
-                        # dedent ends the def block; restore the outer env
+                        # dedent ends the def block: drain the body's
+                        # open frames under the BODY env, then restore
+                        # the outer env
+                        _drain_frames()
                         if cur_class is not None:
                             # a column-0 statement closes the open
                             # method AND the class
@@ -988,99 +1039,69 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 # line's indentation; dedenting past a frame joins it
                 # innermost-first, arm keywords switch the frame at
                 # their own indent, and an inner join feeds the outer
-                # arm's ongoing frontier/bindings.  (Frames open only
-                # at top level or inside an open frame — class bodies
-                # and def bodies stay out of scope.)
-                if cur_def is None:
-                    stripped_ = line.lstrip()
-                    indent_ = len(line) - len(stripped_)
-                    at_top = indent_ == 0
-
-                    def _frame_arm_fin(fr):
-                        fin_ = (_FINALLY_RE.match(stripped_)
-                                if fr.get("is_try") else None)
-                        arm_ = None if fin_ else (
-                            _EXCEPT_ELSE_RE.match(stripped_)
-                            if fr.get("is_try")
-                            else _ELIF_ELSE_RE.match(stripped_)
+                # arm's ongoing frontier/bindings.  Frames open at top
+                # level, inside an open frame, or inside a DEF body
+                # (def-local frames phi under the body env and drain at
+                # the def's close — `return` keeps last-arm semantics,
+                # reading the arm env it appears in; class bodies stay
+                # out of scope).  The stack never mixes scopes: a
+                # top-level def/class statement joins all open frames
+                # before the def opens, so inside a body only that
+                # body's frames are live.
+                stripped_ = line.lstrip()
+                indent_ = len(line) - len(stripped_)
+                at_top = indent_ == 0
+                # dedent joins inner frames (innermost-first); stop at a
+                # frame whose own indent carries an arm/finally keyword
+                while branch_stack and indent_ <= branch_stack[-1]["indent"]:
+                    top_ = branch_stack[-1]
+                    arm_, fin_ = _frame_arm_fin(top_, stripped_)
+                    if indent_ == top_["indent"] and (arm_ or fin_):
+                        break
+                    prev_in_snippet = _join_frame(top_, prev_in_snippet)
+                    branch_stack.pop()
+                if branch_stack and indent_ == branch_stack[-1]["indent"]:
+                    top_ = branch_stack[-1]
+                    arm_, fin_ = _frame_arm_fin(top_, stripped_)
+                    if arm_:
+                        top_["tails"].append(prev_in_snippet)
+                        top_["env_tails"].append(_env_snap())
+                        # a try body ALWAYS runs: its chain never falls
+                        # through untaken, so the join never adds the
+                        # pre edge for try branches
+                        top_["has_else"] = (
+                            top_.get("is_try", False)
+                            or stripped_.startswith("else")
                         )
-                        return arm_, fin_
-
-                    def _join_frame(fr, cur_frontier, cur_env):
-                        # frontier = union of arm tails (+ pre when the
-                        # chain can fall through); bindings phi the same
-                        # paths
-                        tails = fr["tails"] + [cur_frontier]
-                        joined: list[int] = []
-                        for t in tails:
-                            for p in t:
-                                if p not in joined:
-                                    joined.append(p)
-                        if not fr["has_else"]:
-                            for p in fr["pre"]:
-                                if p not in joined:
-                                    joined.append(p)
-                        paths = fr["env_tails"] + [cur_env]
-                        if not fr["has_else"]:
-                            paths.append(fr["env0"])
-                        _env_phi(paths)
-                        return joined
-
-                    # dedent joins inner frames (innermost-first); stop
-                    # at a frame whose own indent carries an arm/finally
-                    # keyword for it
-                    while branch_stack and indent_ <= branch_stack[-1]["indent"]:
-                        top_ = branch_stack[-1]
-                        arm_, fin_ = _frame_arm_fin(top_)
-                        if indent_ == top_["indent"] and (arm_ or fin_):
-                            break
-                        prev_in_snippet = _join_frame(
-                            top_, prev_in_snippet, _env_snap()
-                        )
+                        prev_in_snippet = list(top_["pre"])
+                        _env_restore(top_["env0"])
+                        continue
+                    if fin_:
+                        # `finally:` joins immediately — its body chains
+                        # off the join (it runs after every arm, so it
+                        # is NOT an arm)
+                        prev_in_snippet = _join_frame(top_, prev_in_snippet)
                         branch_stack.pop()
-                    if branch_stack and indent_ == branch_stack[-1]["indent"]:
-                        top_ = branch_stack[-1]
-                        arm_, fin_ = _frame_arm_fin(top_)
-                        if arm_:
-                            top_["tails"].append(prev_in_snippet)
-                            top_["env_tails"].append(_env_snap())
-                            # a try body ALWAYS runs: its chain never
-                            # falls through untaken, so the join never
-                            # adds the pre edge for try branches
-                            top_["has_else"] = (
-                                top_.get("is_try", False)
-                                or stripped_.startswith("else")
-                            )
-                            prev_in_snippet = list(top_["pre"])
-                            _env_restore(top_["env0"])
-                            continue
-                        if fin_:
-                            # `finally:` joins immediately — its body
-                            # chains off the join (it runs after every
-                            # arm, so it is NOT an arm)
-                            prev_in_snippet = _join_frame(
-                                top_, prev_in_snippet, _env_snap()
-                            )
-                            branch_stack.pop()
-                            continue
-                    if (at_top or (branch_stack and cur_class is None
-                                   and indent_ > branch_stack[-1]["indent"])):
-                        if _IF_RE.match(stripped_) or _WHILE_RE.match(stripped_):
-                            branch_stack.append({
-                                "indent": indent_,
-                                "pre": list(prev_in_snippet), "tails": [],
-                                "has_else": False, "env0": _env_snap(),
-                                "env_tails": [],
-                            })
-                            continue
-                        if _TRY_RE.match(stripped_):
-                            branch_stack.append({
-                                "indent": indent_,
-                                "pre": list(prev_in_snippet), "tails": [],
-                                "has_else": True, "is_try": True,
-                                "env0": _env_snap(), "env_tails": [],
-                            })
-                            continue
+                        continue
+                if (at_top or cur_def is not None
+                        or (branch_stack and cur_class is None
+                            and indent_ > branch_stack[-1]["indent"])):
+                    if _IF_RE.match(stripped_) or _WHILE_RE.match(stripped_):
+                        branch_stack.append({
+                            "indent": indent_,
+                            "pre": list(prev_in_snippet), "tails": [],
+                            "has_else": False, "env0": _env_snap(),
+                            "env_tails": [],
+                        })
+                        continue
+                    if _TRY_RE.match(stripped_):
+                        branch_stack.append({
+                            "indent": indent_,
+                            "pre": list(prev_in_snippet), "tails": [],
+                            "has_else": True, "is_try": True,
+                            "env0": _env_snap(), "env_tails": [],
+                        })
+                        continue
                 if cur_class is not None and cur_def is None:
                     if line[:1] in (" ", "\t"):
                         mm0 = _METHOD_DEF_RE.match(line)
@@ -2648,7 +2669,9 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         src = nodes[idx_of[var_producer[rm.group(1)]]]
                         src["reads"] = src["reads"] + [{"container": None, "field": rm.group(2)}]
             if cur_def is not None:
-                # def block runs to the end of the snippet
+                # def block runs to the end of the snippet: drain its
+                # frames under the body env before registering
+                _drain_frames()
                 if cur_class is not None:
                     if cur_def["name"] == "__init__":
                         cur_class["fields"] = dict(var_fields.get("self", {}))

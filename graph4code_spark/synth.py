@@ -420,8 +420,11 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # same class (union points-to receiver at the post-join
             # fit), an arm rebind phi'd with the pre binding, a
             # `while` loop (fork + zero-iteration fall-through +
-            # loop-header phi), and a NESTED chain (inner if joins
-            # inside the outer arm; phi composes through the nesting)
+            # loop-header phi), a NESTED chain (inner if joins inside
+            # the outer arm; phi composes through the nesting), and a
+            # DEF-BODY chain (arms fork from the body frontier, phi
+            # under the body env, call-site arg wiring into the joined
+            # fit)
             abody += (
                 "<pre><code>import pandas\nimport numpy\nimport sklearn\n"
                 "df = pandas.read_csv('t.csv')\n"
@@ -455,7 +458,14 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "    n2 = pandas.concat(n1)\n"
                 "else:\n"
                 "    n3 = numpy.linspace(2, 3)\n"
-                "njoin = pandas.concat(tail)\n</code></pre>"
+                "njoin = pandas.concat(tail)\n"
+                "def choose(d):\n"
+                "    if c1:\n"
+                "        mm = sklearn.svm.SVC(3)\n"
+                "    else:\n"
+                "        mm = sklearn.svm.SVC(4)\n"
+                "    rr = mm.fit(d, 2)\n"
+                "choose(njoin)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

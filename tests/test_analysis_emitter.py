@@ -1244,3 +1244,71 @@ def test_nested_branch_phi_union():
     fl = _edges(nodes)
     for ctor in svcs:
         assert (ctor["node_number"], "0", fits[0]["node_number"]) in fl
+
+
+def test_def_body_branch_fork_join_phi():
+    """late r5: fork-join frames open inside DEF bodies — arms fork
+    from the body frontier, bindings phi under the body env, and the
+    post-join body consumer sees both arm producers.  The def's frames
+    drain at its close, so the outer scope is untouched."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "def pick(d):\n"
+        "    if flag:\n"
+        "        m = sklearn.svm.SVC(1)\n"
+        "    else:\n"
+        "        m = sklearn.svm.SVC(2)\n"
+        "    r = m.fit(d, 1)\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "pick(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/defphi1", [code], cat)
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fits = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    assert len(svcs) == 2 and len(fits) == 1
+    fl = _edges(nodes)
+    # phi inside the body: one fit node, receiver DATA-0 from both ctors
+    for ctor in svcs:
+        assert (ctor["node_number"], "0", fits[0]["node_number"]) in fl
+    # interprocedural arg wiring still works: the call-site df reaches
+    # the body's fit arg
+    assert (read["node_number"], "1", fits[0]["node_number"]) in fl
+    # control: arms fork, join at the post-chain body call
+    assert svcs[0]["immediately_precedes"] == [fits[0]["node_number"]]
+    assert svcs[1]["immediately_precedes"] == [fits[0]["node_number"]]
+
+
+def test_def_body_frames_drain_at_close():
+    """late r5: a def whose body ENDS inside an open arm drains its
+    frames under the body env — the next top-level statement is not
+    treated as a join of the def-local chain (no cross-scope edges)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport numpy\n"
+        "def load(p):\n"
+        "    if flag:\n"
+        "        x = pandas.read_csv(p)\n"
+        "out = numpy.linspace(0, 1)\n"
+        "df = pandas.read_csv('y.csv')\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/defphi2", [code], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes if n["value_names"]}
+    x, out, df = by_vn["x"], by_vn["out"], by_vn["df"]
+    # the body call never precedes the top-level statements (the def's
+    # chain is internal; call-site chaining is what links bodies in)
+    assert out["node_number"] not in x["immediately_precedes"]
+    assert df["node_number"] not in x["immediately_precedes"]
+    # top-level flow unaffected
+    assert out["immediately_precedes"] == [df["node_number"]]
