@@ -119,6 +119,13 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   `except ...:`/`else:` arms fork from the pre-try frontier,
   `finally:` joins immediately (its body chains off the join), and the
   join never adds the pre fall-through edge (the try body always runs)
+- return phi (late r5): a def whose arms return DIFFERENT producers
+  binds the call site's lhs as a member union (element shape), so a
+  later method call on the result resolves through the union points-to
+  receiver when the returned classes agree — `def mk(f): if f: return
+  SVC(1) else: return SVC(2)` then `mk(x).fit(d)`-style use yields one
+  fit fed DATA-0 by both ctors; a single-return def keeps the precise
+  producer+class binding
 - `while cond:` (late r5): the one-arm loop form of the same
   projection — the body forks from the pre frontier (it may run zero
   times), the first call after it joins body tail + pre fall-through,
@@ -962,14 +969,24 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 if ent is not None:
                                     cur_def["ret"] = ent[0]
                                     cur_def["ret_klass"] = ent[1]
+                                    cur_def.setdefault("ret_set", []).append(
+                                        (ent[0], ent[1])
+                                    )
                                 continue
                         rm = _RETURN_RE.match(line)
                         if rm:
                             # `return v`: v's producer becomes the def's
                             # return producer (direct-return of a call is
-                            # outside the honest subset)
+                            # outside the honest subset).  Every return's
+                            # (producer, class) also lands in ret_set —
+                            # returns from different arms phi at the call
+                            # site (late r5)
                             cur_def["ret"] = var_producer.get(rm.group(1))
                             cur_def["ret_klass"] = var_klass.get(rm.group(1))
+                            if cur_def["ret"] is not None:
+                                cur_def.setdefault("ret_set", []).append(
+                                    (cur_def["ret"], cur_def["ret_klass"])
+                                )
                             if cur_def["ret"] is None:
                                 # v may be bound by a DEFERRED receiver
                                 # call (G8): the return value then exists
@@ -1615,13 +1632,30 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     var_klass.pop(v, None)
                                     var_members.pop(v, None)
                         elif lhs_vars and d["ret"] is not None:
-                            for v in lhs_vars:
-                                var_producer[v] = d["ret"]
-                                var_members.pop(v, None)
-                                if d["ret_klass"]:
-                                    var_klass[v] = d["ret_klass"]
-                                else:
+                            # return phi (late r5): a def whose arms
+                            # return DIFFERENT producers binds the call
+                            # site's lhs as a member union (element
+                            # shape, so a later method call resolves via
+                            # the union points-to receiver when the
+                            # returned classes agree)
+                            rset = [t for t in dict.fromkeys(
+                                        tuple(x) for x in
+                                        (d.get("ret_set") or []))
+                                    if t[0] is not None]
+                            if len(rset) > 1:
+                                for v in lhs_vars:
+                                    var_members[v] = [p for p, _ in rset]
+                                    var_elem[v] = var_members[v]
+                                    var_producer.pop(v, None)
                                     var_klass.pop(v, None)
+                            else:
+                                for v in lhs_vars:
+                                    var_producer[v] = d["ret"]
+                                    var_members.pop(v, None)
+                                    if d["ret_klass"]:
+                                        var_klass[v] = d["ret_klass"]
+                                    else:
+                                        var_klass.pop(v, None)
                         cls_ = local_classes.get(cname)
                         inst_targets: list[str] = []
                         if cls_ is not None:
@@ -2242,6 +2276,9 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         if rnum is not None:
                             cur_def["ret"] = rnum
                             cur_def["ret_klass"] = line_call_klass.get(rx.start(1))
+                            cur_def.setdefault("ret_set", []).append(
+                                (cur_def["ret"], cur_def["ret_klass"])
+                            )
                 # container literal whose members are CALLS:
                 # `ms = [SVC(1), SVC(2)]` — the lhs is a container, not
                 # the last call's value; binding it as a call result

@@ -424,7 +424,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # the outer arm; phi composes through the nesting), and a
             # DEF-BODY chain (arms fork from the body frontier, phi
             # under the body env, call-site arg wiring into the joined
-            # fit)
+            # fit), and RETURN PHI (arms return different ctors; the
+            # call site binds the union and the later fit resolves via
+            # the union points-to receiver)
             abody += (
                 "<pre><code>import pandas\nimport numpy\nimport sklearn\n"
                 "df = pandas.read_csv('t.csv')\n"
@@ -465,7 +467,16 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "    else:\n"
                 "        mm = sklearn.svm.SVC(4)\n"
                 "    rr = mm.fit(d, 2)\n"
-                "choose(njoin)\n</code></pre>"
+                "choose(njoin)\n"
+                "def pick2(flag):\n"
+                "    if flag:\n"
+                "        p1 = sklearn.svm.SVC(5)\n"
+                "        return p1\n"
+                "    else:\n"
+                "        p2 = sklearn.svm.SVC(6)\n"
+                "        return p2\n"
+                "sel = pick2(1)\n"
+                "selr = sel.fit(njoin, 4)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

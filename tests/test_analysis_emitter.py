@@ -1312,3 +1312,60 @@ def test_def_body_frames_drain_at_close():
     assert df["node_number"] not in x["immediately_precedes"]
     # top-level flow unaffected
     assert out["immediately_precedes"] == [df["node_number"]]
+
+
+def test_return_phi_union_at_call_site():
+    """late r5 return phi: a def whose arms return different producers
+    binds the caller's lhs as a member union, so a later method call
+    resolves through the union points-to receiver (both ctors feed the
+    fit's DATA-0)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import sklearn\n"
+        "def mk(flag):\n"
+        "    if flag:\n"
+        "        m = sklearn.svm.SVC(1)\n"
+        "        return m\n"
+        "    else:\n"
+        "        m2 = sklearn.svm.SVC(2)\n"
+        "        return m2\n"
+        "clf = mk(x)\n"
+        "clf.fit(d)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/retphi1", [code], cat)
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fits = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    assert len(svcs) == 2 and len(fits) == 1
+    fl = _edges(nodes)
+    for ctor in svcs:
+        assert (ctor["node_number"], "0", fits[0]["node_number"]) in fl
+
+
+def test_single_return_still_precise():
+    """A def with one return keeps the precise producer+class binding
+    (no spurious member union)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import sklearn\n"
+        "def mk():\n"
+        "    m = sklearn.svm.SVC(1)\n"
+        "    return m\n"
+        "clf = mk()\n"
+        "clf.fit(d)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/retphi2", [code], cat)
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fits = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    assert len(svcs) == 1 and len(fits) == 1
+    fl = _edges(nodes)
+    assert (svcs[0]["node_number"], "0", fits[0]["node_number"]) in fl
