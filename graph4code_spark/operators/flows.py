@@ -126,12 +126,15 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   SVC(1) else: return SVC(2)` then `mk(x).fit(d)`-style use yields one
   fit fed DATA-0 by both ctors; a single-return def keeps the precise
   producer+class binding
-- `while cond:` (late r5): the one-arm loop form of the same
-  projection — the body forks from the pre frontier (it may run zero
-  times), the first call after it joins body tail + pre fall-through,
-  and the join applies the loop-header phi (body rebind ∪ pre binding,
-  the standard one-unrolling approximation; no back-edge in the
-  projection — documented subset)
+- `while cond:` and `for v in x:` bodies (late r5): the one-arm loop
+  form of the same projection — the body forks from the pre frontier
+  (it may run zero times), the first call after it joins body tail +
+  pre fall-through, and the join applies the loop-header phi (body
+  rebind ∪ pre binding, the standard one-unrolling approximation; no
+  back-edge in the projection — documented subset).  For `for v in
+  f(...):` the iterable's call node stays on the pre frontier (it
+  always runs, even at zero iterations), and the loop-var binding
+  lives only on the body path (env0 excludes it)
 - ``with Ctor(...) as v:`` binds v to the call's value like ``v =
   Ctor(...)`` (same SSA def in WALA); ``for v in x:`` propagates x's
   producers into the loop targets as members (EachElementGet shape);
@@ -2311,6 +2314,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         # node feeds the loop targets as members (the
                         # EachElementGet shape over a call value, e.g.
                         # `for chunk in pandas.read_csv(f, chunksize=n):`)
+                        env0_for = _env_snap()
                         rnum = line_call_nodes.get(fcm.start(2))
                         if rnum is not None:
                             for v in (t.strip()
@@ -2320,6 +2324,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 var_producer.pop(v, None)
                                 var_klass.pop(v, None)
                                 var_fields.pop(v, None)
+                        # the loop body forks like a while (zero
+                        # iterations possible); "pre" already includes
+                        # the iterable's call node, which always runs,
+                        # and env0 excludes the loop-var binding
+                        branch_stack.append({
+                            "indent": indent_,
+                            "pre": list(prev_in_snippet), "tails": [],
+                            "has_else": False, "env0": env0_for,
+                            "env_tails": [],
+                        })
                 # `xs.append(v)` on an untracked variable: container
                 # membership add — the tracked value (a plain variable
                 # or a call made on this line) joins xs's members, so a
@@ -2540,21 +2554,35 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         var_klass.pop(x, None)
                         continue
                     fm = _FOR_RE.match(line)
-                    if fm and (fm.group(2) in var_producer or fm.group(2) in var_members):
+                    if fm:
                         # `for v in x:` — iteration propagates x's
                         # turtle-ness into each loop target (the
                         # EachElementGet shape; element identity is not
                         # modeled, so targets carry x's producers as
                         # members, like container membership)
-                        src_list = ([var_producer[fm.group(2)]]
-                                    if fm.group(2) in var_producer
-                                    else list(var_members[fm.group(2)]))
-                        for v in (t.strip() for t in fm.group(1).split(",")):
-                            var_members[v] = list(src_list)
-                            var_elem[v] = var_members[v]
-                            var_producer.pop(v, None)
-                            var_klass.pop(v, None)
-                            var_fields.pop(v, None)
+                        env0_for = _env_snap()
+                        if (fm.group(2) in var_producer
+                                or fm.group(2) in var_members):
+                            src_list = ([var_producer[fm.group(2)]]
+                                        if fm.group(2) in var_producer
+                                        else list(var_members[fm.group(2)]))
+                            for v in (t.strip()
+                                      for t in fm.group(1).split(",")):
+                                var_members[v] = list(src_list)
+                                var_elem[v] = var_members[v]
+                                var_producer.pop(v, None)
+                                var_klass.pop(v, None)
+                                var_fields.pop(v, None)
+                        # the loop body forks like a while (zero
+                        # iterations possible): fall-through at the
+                        # join, loop-header phi, env0 excluding the
+                        # loop-var binding
+                        branch_stack.append({
+                            "indent": indent_,
+                            "pre": list(prev_in_snippet), "tails": [],
+                            "has_else": False, "env0": env0_for,
+                            "env_tails": [],
+                        })
                         continue
                     gm = _AUG_RE.match(line)
                     if gm and (gm.group(2) in var_producer or gm.group(2) in var_members):

@@ -1369,3 +1369,55 @@ def test_single_return_still_precise():
     assert len(svcs) == 1 and len(fits) == 1
     fl = _edges(nodes)
     assert (svcs[0]["node_number"], "0", fits[0]["node_number"]) in fl
+
+
+def test_for_loop_fork_join_phi():
+    """late r5: `for v in x:` bodies fork like a while — zero-iteration
+    fall-through at the join, loop-header phi of body rebinds with pre
+    bindings, and the iterable call of `for v in f(...):` (which always
+    runs) stays on the pre frontier."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('a.csv')\n"
+        "for row in df:\n"
+        "    acc = pandas.DataFrame(row)\n"
+        "out = pandas.concat(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/forjoin1", [code], cat)
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    body = next(n for n in nodes if n["path"] == ["pandas", "DataFrame"])
+    out = next(n for n in nodes if n["path"] == ["pandas", "concat"])
+    # fork into the body AND zero-iteration fall-through to the join
+    assert sorted(read["immediately_precedes"]) == sorted(
+        [body["node_number"], out["node_number"]]
+    )
+    assert body["immediately_precedes"] == [out["node_number"]]
+
+    # for-over-call: the iterable call always runs — it precedes both
+    # the body and the join; the join does not reach back past it
+    code2 = (
+        "import pandas\n"
+        "seed = pandas.read_csv('s.csv')\n"
+        "for chunk in pandas.read_csv('c.csv'):\n"
+        "    acc = pandas.DataFrame(chunk)\n"
+        "out = pandas.concat(seed)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/forjoin2", [code2], cat)
+    reads2 = [n for n in nodes2 if n["path"] == ["pandas", "read_csv"]]
+    seed2 = next(n for n in reads2 if "s.csv" in
+                 n["constant_positional_args"].values())
+    iter2 = next(n for n in reads2 if "c.csv" in
+                 n["constant_positional_args"].values())
+    body2 = next(n for n in nodes2 if n["path"] == ["pandas", "DataFrame"])
+    out2 = next(n for n in nodes2 if n["path"] == ["pandas", "concat"])
+    assert seed2["immediately_precedes"] == [iter2["node_number"]]
+    assert sorted(iter2["immediately_precedes"]) == sorted(
+        [body2["node_number"], out2["node_number"]]
+    )
+    assert body2["immediately_precedes"] == [out2["node_number"]]
