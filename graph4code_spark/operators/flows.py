@@ -119,6 +119,13 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   `except ...:`/`else:` arms fork from the pre-try frontier,
   `finally:` joins immediately (its body chains off the join), and the
   join never adds the pre fall-through edge (the try body always runs)
+- early exit (late r5): an arm ending in `return`/`raise` (or a bare
+  `return`) is DEAD at its frame's join — it exits the function or
+  raises past the chain, so it contributes neither control edges nor
+  bindings to the post-chain code (the `if x: return/raise` guard
+  pattern; innermost frame only, try arms excluded since a raise in a
+  try body transfers to the except arms — documented subset).  Return
+  phi still collects each arm's return for the call site.
 - return phi (late r5): a def whose arms return DIFFERENT producers
   binds the call site's lhs as a member union (element shape), so a
   later method call on the result resolves through the union points-to
@@ -874,8 +881,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
             def _join_frame(fr, cur_frontier):
                 """Join a fork frame: frontier = union of arm tails
                 (+ pre when the chain can fall through); bindings phi
-                the same paths.  Returns the joined frontier."""
-                tails = fr["tails"] + [cur_frontier]
+                the same paths.  An arm that ended in `return`/`raise`
+                is DEAD — it exits the function/raises past the join,
+                so it contributes neither control edges nor bindings
+                (the early-exit CFG shape; late r5).  Returns the
+                joined frontier."""
+                tails = list(fr["tails"])
+                paths = list(fr["env_tails"])
+                if not fr.get("dead"):
+                    tails.append(cur_frontier)
+                    paths.append(_env_snap())
                 joined: list[int] = []
                 for t in tails:
                     for p in t:
@@ -885,11 +900,26 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     for p in fr["pre"]:
                         if p not in joined:
                             joined.append(p)
-                paths = fr["env_tails"] + [_env_snap()]
                 if not fr["has_else"]:
                     paths.append(fr["env0"])
+                if not paths:
+                    # every arm exited early and the chain had an else:
+                    # the post-join code is unreachable — fall back to
+                    # the pre state (pragmatic; keeps extraction total)
+                    paths = [fr["env0"]]
+                    joined = joined or list(fr["pre"])
                 _env_phi(paths)
                 return joined
+
+            def _mark_arm_dead():
+                """A `return`/`raise` INSIDE an open non-try frame's arm
+                kills that arm's path to the join (innermost frame only
+                — documented subset; try arms are excluded because a
+                raise in a try body transfers to the except arms)."""
+                if branch_stack and not branch_stack[-1].get("is_try"):
+                    ind = len(line) - len(line.lstrip())
+                    if ind > branch_stack[-1]["indent"]:
+                        branch_stack[-1]["dead"] = True
 
             def _drain_frames():
                 """Join every open frame innermost-first — called when a
@@ -975,6 +1005,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     cur_def.setdefault("ret_set", []).append(
                                         (ent[0], ent[1])
                                     )
+                                _mark_arm_dead()
                                 continue
                         rm = _RETURN_RE.match(line)
                         if rm:
@@ -998,6 +1029,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 for rc in cur_def.get("recv_calls", ()):
                                     if rm.group(1) in rc.get("binds", ()):
                                         rc["is_ret"] = True
+                            _mark_arm_dead()
                             continue
                         tm_ = _RETURN_TUPLE_RE.match(line)
                         if tm_:
@@ -1013,6 +1045,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 (var_producer.get(s), var_klass.get(s))
                                 for s in rnames
                             ]
+                            _mark_arm_dead()
                             continue
                         # body line: processed below under the def-local env
                     else:
@@ -1084,8 +1117,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     top_ = branch_stack[-1]
                     arm_, fin_ = _frame_arm_fin(top_, stripped_)
                     if arm_:
-                        top_["tails"].append(prev_in_snippet)
-                        top_["env_tails"].append(_env_snap())
+                        # a dead arm (ended in return/raise) leaves no
+                        # tail and no binding path
+                        if not top_.get("dead"):
+                            top_["tails"].append(prev_in_snippet)
+                            top_["env_tails"].append(_env_snap())
+                        top_["dead"] = False
                         # a try body ALWAYS runs: its chain never falls
                         # through untaken, so the join never adds the
                         # pre edge for try branches
@@ -1122,6 +1159,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             "env0": _env_snap(), "env_tails": [],
                         })
                         continue
+                if stripped_.startswith("raise") or stripped_ == "return":
+                    # an arm that raises (or bare-returns) exits past
+                    # the join (early-exit CFG shape; the raise's own
+                    # args rarely carry calls worth nodes — the
+                    # statement still processes below)
+                    _mark_arm_dead()
                 if cur_class is not None and cur_def is None:
                     if line[:1] in (" ", "\t"):
                         mm0 = _METHOD_DEF_RE.match(line)
@@ -2282,6 +2325,7 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             cur_def.setdefault("ret_set", []).append(
                                 (cur_def["ret"], cur_def["ret_klass"])
                             )
+                        _mark_arm_dead()
                 # container literal whose members are CALLS:
                 # `ms = [SVC(1), SVC(2)]` — the lhs is a container, not
                 # the last call's value; binding it as a call result

@@ -424,9 +424,12 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # the outer arm; phi composes through the nesting), and a
             # DEF-BODY chain (arms fork from the body frontier, phi
             # under the body env, call-site arg wiring into the joined
-            # fit), and RETURN PHI (arms return different ctors; the
+            # fit), RETURN PHI (arms return different ctors; the
             # call site binds the union and the later fit resolves via
-            # the union points-to receiver)
+            # the union points-to receiver), and EARLY EXIT (a
+            # returning guard arm is dead at the join — no control edge
+            # or binding leak into the fall-through code — while its
+            # return still reaches the call-site union)
             abody += (
                 "<pre><code>import pandas\nimport numpy\nimport sklearn\n"
                 "df = pandas.read_csv('t.csv')\n"
@@ -476,7 +479,16 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "        p2 = sklearn.svm.SVC(6)\n"
                 "        return p2\n"
                 "sel = pick2(1)\n"
-                "selr = sel.fit(njoin, 4)\n</code></pre>"
+                "selr = sel.fit(njoin, 4)\n"
+                "def mk9(flag, d):\n"
+                "    if flag:\n"
+                "        m = sklearn.svm.SVC(7)\n"
+                "        return m\n"
+                "    m2 = sklearn.svm.SVC(8)\n"
+                "    r = m2.fit(d, 5)\n"
+                "    return m2\n"
+                "g9 = mk9(0, njoin)\n"
+                "g9r = g9.predict(njoin)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

@@ -1421,3 +1421,95 @@ def test_for_loop_fork_join_phi():
         [body2["node_number"], out2["node_number"]]
     )
     assert body2["immediately_precedes"] == [out2["node_number"]]
+
+
+def test_early_return_kills_arm_path():
+    """late r5 early exit: an arm ending in `return` exits the function
+    past the join — it contributes neither control edges nor bindings
+    to the post-chain code (the `if x: return ...` guard pattern)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import sklearn\nimport pandas\n"
+        "def mk(flag, d):\n"
+        "    if flag:\n"
+        "        m = sklearn.svm.SVC(1)\n"
+        "        return m\n"
+        "    m2 = sklearn.svm.SVC(2)\n"
+        "    r = m2.fit(d, 1)\n"
+        "df = pandas.read_csv('x.csv')\n"
+        "mk(1, df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/early1", [code], cat)
+    svcs = sorted((n for n in nodes
+                   if n["path"] == ["sklearn", "svm", "SVC"]),
+                  key=lambda n: n["node_number"])
+    fits = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    assert len(svcs) == 2 and len(fits) == 1
+    fl = _edges(nodes)
+    # the returning arm's ctor does NOT precede the fall-through code
+    assert svcs[1]["node_number"] not in svcs[0]["immediately_precedes"]
+    # and its binding does not leak: fit's receiver is m2 only
+    assert (svcs[1]["node_number"], "0", fits[0]["node_number"]) in fl
+    assert (svcs[0]["node_number"], "0", fits[0]["node_number"]) not in fl
+
+
+def test_raise_kills_arm_path():
+    """late r5: a raising arm exits past the join — no control edge
+    into the post-chain call and no binding leak."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport numpy\n"
+        "df = pandas.read_csv('a.csv')\n"
+        "if bad:\n"
+        "    x = numpy.linspace(0, 1)\n"
+        "    raise ValueError(x)\n"
+        "out = pandas.concat(df)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/early2", [code], cat)
+    by_vn = {n["value_names"][0]: n for n in nodes if n["value_names"]}
+    df, x, out = by_vn["df"], by_vn["x"], by_vn["out"]
+    assert out["node_number"] not in x["immediately_precedes"]
+    # fall-through still flows: df precedes both the arm head and out
+    assert sorted(df["immediately_precedes"]) == sorted(
+        [x["node_number"], out["node_number"]]
+    )
+
+
+def test_return_phi_still_collects_from_dead_arms():
+    """Early exits kill the JOIN path but the per-arm returns still
+    union at call sites (return phi is about the function's exits, not
+    the join)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import sklearn\n"
+        "def mk(flag):\n"
+        "    if flag:\n"
+        "        m = sklearn.svm.SVC(1)\n"
+        "        return m\n"
+        "    m2 = sklearn.svm.SVC(2)\n"
+        "    return m2\n"
+        "clf = mk(x)\n"
+        "clf.fit(d)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/early3", [code], cat)
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fits = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    assert len(svcs) == 2 and len(fits) == 1
+    fl = _edges(nodes)
+    for ctor in svcs:
+        assert (ctor["node_number"], "0", fits[0]["node_number"]) in fl
