@@ -119,6 +119,12 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   `except ...:`/`else:` arms fork from the pre-try frontier,
   `finally:` joins immediately (its body chains off the join), and the
   join never adds the pre fall-through edge (the try body always runs)
+- lambdas (late r5): a top-level `f = lambda params: EXPR` desugars
+  into the equivalent local def (`def f(params): return EXPR`) before
+  line processing — call sites wire args and return values through
+  the existing interprocedural machinery, bit-identical to the def
+  form (WALA compiles a lambda as an anonymous function the binding
+  names); lambdas inside def bodies / as arguments stay out (subset)
 - early exit (late r5): an arm ending in `return`/`raise` (or a bare
   `return`) is DEAD at its frame's join — it exits the function or
   raises past the chain, so it contributes neither control edges nor
@@ -278,6 +284,14 @@ _DEF_RE = re.compile(r"^def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$")
 _CLASS_RE = re.compile(
     r"^class\s+([A-Za-z_]\w*)\s*"
     r"(?:\(\s*([A-Za-z_]\w*)?[^)]*\))?\s*:\s*$"
+)
+#: top-level `f = lambda x, y: EXPR` (late r5) — desugared into the
+#: equivalent local def (`def f(x, y): return EXPR`) before line
+#: processing, so call sites wire args/returns through the existing
+#: interprocedural machinery (WALA compiles a lambda as an anonymous
+#: function the binding names — same call-graph shape)
+_LAMBDA_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s*=\s*lambda\s*([^:()]*):\s*(.+?)\s*$"
 )
 #: a method def INSIDE an open class block (indented `def`)
 _METHOD_DEF_RE = re.compile(
@@ -933,7 +947,21 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         branch_stack.pop(), prev_in_snippet
                     )
 
-            for ln, phys, line in _logical_lines(lines):
+            def _desugar_lambdas(stmts):
+                """Expand a top-level `f = lambda params: EXPR` into
+                `def f(params):` + `    return EXPR` so the existing
+                local-def machinery handles binding, arg→param-use
+                wiring, and return-value flow (nodes keep the lambda
+                line's source span)."""
+                for ln_, phys_, stmt_ in stmts:
+                    lam = _LAMBDA_RE.match(stmt_)
+                    if lam:
+                        yield ln_, phys_, f"def {lam.group(1)}({lam.group(2).strip()}):"
+                        yield ln_, phys_, f"    return {lam.group(3)}"
+                    else:
+                        yield ln_, phys_, stmt_
+
+            for ln, phys, line in _desugar_lambdas(_logical_lines(lines)):
                 # blank lines are not statements: a blank line between an
                 # if-arm and its elif/else must not join the open branch
                 # chain, and a blank line inside a def body must not end

@@ -538,9 +538,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 # list-append membership, method calls through
                 # field/element loads, and a tuple-return def with
                 # element-wise call-site unpack (the new G2/G3 shapes);
-                # late r5: star import (exact-module bare-name binding)
-                # and single inheritance (Sub(Wrap) inherits __init__
-                # field stores + run dispatch)
+                # late r5: star import (exact-module bare-name binding),
+                # single inheritance (Sub(Wrap) inherits __init__
+                # field stores + run dispatch), and a top-level lambda
+                # (desugars to the local-def form)
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     "with sklearn.svm.SVC() as model:\n"
@@ -595,7 +596,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "class Sub(Wrap):\n"
                     "    pass\n"
                     "wr2 = Sub('w3.csv', fin)\n"
-                    "clf11 = wr2.run(df)\n</code></pre>"
+                    "clf11 = wr2.run(df)\n"
+                    "lam7 = lambda q: pandas.DataFrame(q)\n"
+                    "lout = lam7(df)\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue

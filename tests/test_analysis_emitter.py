@@ -1513,3 +1513,44 @@ def test_return_phi_still_collects_from_dead_arms():
     fl = _edges(nodes)
     for ctor in svcs:
         assert (ctor["node_number"], "0", fits[0]["node_number"]) in fl
+
+
+def test_lambda_desugars_to_local_def():
+    """late r5: a top-level `f = lambda p: EXPR` desugars into the
+    equivalent local def, so call sites wire args and return values
+    through the existing interprocedural machinery — bit-identical to
+    the `def f(p): return EXPR` form."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    lam_code = (
+        "import pandas\n"
+        "mk = lambda p: pandas.read_csv(p)\n"
+        "df = mk('a.csv')\n"
+        "out = pandas.DataFrame(df)\n"
+    )
+    def_code = (
+        "import pandas\n"
+        "def mk(p):\n"
+        "    return pandas.read_csv(p)\n"
+        "df = mk('a.csv')\n"
+        "out = pandas.DataFrame(df)\n"
+    )
+    lam_nodes = extract_page_flow_nodes("http://q/lam", [lam_code], cat)
+    def_nodes = extract_page_flow_nodes("http://q/lam", [def_code], cat)
+    # source spans legitimately differ (the lambda is one physical line,
+    # the def form two) — strip location-carrying keys, compare semantics
+    strip = lambda ns: [
+        {k: v for k, v in n.items()
+         if k not in ("source_location", "source_lines")}
+        for n in ns
+    ]
+    assert strip(lam_nodes) == strip(def_nodes)
+    # and the value flow is real: body read feeds the call-site binding
+    # which feeds the next ctor
+    read = next(n for n in lam_nodes if n["path"] == ["pandas", "read_csv"])
+    ctor = next(n for n in lam_nodes if n["path"] == ["pandas", "DataFrame"])
+    assert ctor["node_number"] in read["flows_to"].get("1", [])
