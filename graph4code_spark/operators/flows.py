@@ -124,7 +124,24 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   line processing — call sites wire args and return values through
   the existing interprocedural machinery, bit-identical to the def
   form (WALA compiles a lambda as an anonymous function the binding
-  names); lambdas inside def bodies / as arguments stay out (subset)
+  names).  A lambda passed as a CALL ARGUMENT (`df.apply(lambda x:
+  np.log(x))`, `sorted(xs, key=lambda r: r[1])`) hoists into a
+  synthetic def bound just before the call — the body's module-rooted
+  calls mint their shared nodes through the def machinery, while the
+  library INVOKING the callback stays out of scope (G6 subset: no
+  return edge into the outer call).  Lambdas inside def bodies stay
+  out (subset)
+- chained assignment (late r5): `a = b = Ctor()` desugars into
+  `b = Ctor()` + `a = b` — Python assigns every target the same
+  evaluated object, so the alias copy is exact and method calls on
+  EITHER name resolve against the one producer
+- boolean-operator phi (late r5): `x = a or b` / `x = a and b` (plain
+  names, chains allowed) — Python's boolean operators RETURN one of
+  their operands, so the binding is the ternary-style phi: every
+  tracked operand unions into x's member set, a later method call on x
+  resolves through the union points-to receiver when the operand
+  classes agree, and a consuming call's arg ordinal receives every
+  operand's producer
 - early exit (late r5): an arm ending in `return`/`raise` (or a bare
   `return`) is DEAD at its frame's join — it exits the function or
   raises past the chain, so it contributes neither control edges nor
@@ -293,6 +310,64 @@ _CLASS_RE = re.compile(
 _LAMBDA_RE = re.compile(
     r"^([A-Za-z_]\w*)\s*=\s*lambda\s*([^:()]*):\s*(.+?)\s*$"
 )
+#: chained assignment `a = b = RHS` (late r5) — desugared into
+#: `b = RHS` + `a = b` (Python evaluates RHS once and assigns every
+#: target the same object, so the alias copy is exact); `(?!=)` keeps
+#: comparison operators (`a = b == c`) out
+_CHAIN_ASSIGN_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*\s*=(?!=).*)$"
+)
+#: a `lambda` used as a call ARGUMENT (late r5) — located after `(` or
+#: `,`, optionally keyword-passed (`key=lambda r: …`); hoisted into a
+#: synthetic top-level def bound to a fresh name, with the argument
+#: replaced by that name
+_LAMBDA_ARG_RE = re.compile(r"[(,]\s*(?:[A-Za-z_]\w*\s*=\s*)?(lambda)\b")
+#: `x = a or b [or c …]` / mixed and/or over plain names (late r5) —
+#: Python's boolean operators RETURN one of their operands, so the
+#: binding is the ternary-style phi: every tracked operand unions into
+#: x's member set (`…Engine.java:596-674`'s phi over short-circuit arms)
+_BOOLOP_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)"
+    r"((?:\s+(?:or|and)\s+[A-Za-z_]\w*)+)\s*$"
+)
+_BOOLOP_OPERAND_RE = re.compile(r"(?:or|and)\s+([A-Za-z_]\w*)")
+
+
+def _split_lambda_arg(stmt: str):
+    """Locate ONE ``lambda params: BODY`` used as a call argument and
+    excise it: returns ``(head, params, body, tail)`` or None.  BODY may
+    itself contain calls — it ends at the first ``,`` or closing
+    bracket at the lambda's own paren depth.  Parenthesized/default
+    params stay out (subset)."""
+    m = _LAMBDA_ARG_RE.search(stmt)
+    if not m:
+        return None
+    start = m.start(1)
+    colon = stmt.find(":", start)
+    if colon < 0:
+        return None
+    params = stmt[start + len("lambda"):colon].strip()
+    if any(ch in params for ch in "()[]{}="):
+        return None
+    depth, end = 0, None
+    for i in range(colon + 1, len(stmt)):
+        ch = stmt[i]
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            if depth == 0:
+                end = i
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            end = i
+            break
+    if end is None:
+        return None
+    body = stmt[colon + 1:end].strip()
+    if not body:
+        return None
+    return stmt[:start], params, body, stmt[end:]
 #: a method def INSIDE an open class block (indented `def`)
 _METHOD_DEF_RE = re.compile(
     r"^\s+def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*:\s*$"
@@ -947,21 +1022,58 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         branch_stack.pop(), prev_in_snippet
                     )
 
-            def _desugar_lambdas(stmts):
-                """Expand a top-level `f = lambda params: EXPR` into
-                `def f(params):` + `    return EXPR` so the existing
-                local-def machinery handles binding, arg→param-use
-                wiring, and return-value flow (nodes keep the lambda
-                line's source span)."""
-                for ln_, phys_, stmt_ in stmts:
-                    lam = _LAMBDA_RE.match(stmt_)
-                    if lam:
-                        yield ln_, phys_, f"def {lam.group(1)}({lam.group(2).strip()}):"
-                        yield ln_, phys_, f"    return {lam.group(3)}"
-                    else:
-                        yield ln_, phys_, stmt_
+            lam_counter = [0]
 
-            for ln, phys, line in _desugar_lambdas(_logical_lines(lines)):
+            def _desugar_stmt(ln_, phys_, stmt_):
+                """Statement-level sugar → the core forms the extractor
+                already handles (recursive; yielded stmts keep the
+                sugar line's source span):
+
+                - chained assignment `a = b = RHS` → `b = RHS` + `a = b`
+                  (Python assigns every target the same evaluated
+                  object, so the alias copy is exact)
+                - top-level `f = lambda params: EXPR` →
+                  `def f(params):` + `    return EXPR` — call sites wire
+                  args/returns through the local-def machinery
+                - a lambda passed as a CALL ARGUMENT in a top-level
+                  statement hoists into a synthetic def (`_lam0_ …`)
+                  bound just before the call, and the argument becomes
+                  that name — the body's module-rooted calls mint their
+                  shared nodes through the def machinery; the library
+                  INVOKING the callback is out of scope (G6 subset), so
+                  no return edge flows into the outer call
+                """
+                cm_ = _CHAIN_ASSIGN_RE.match(stmt_)
+                if cm_:
+                    ind_, t1_, rest_ = cm_.groups()
+                    yield from _desugar_stmt(ln_, phys_, f"{ind_}{rest_}")
+                    t2_ = re.match(r"\s*([A-Za-z_]\w*)", rest_).group(1)
+                    yield ln_, phys_, f"{ind_}{t1_} = {t2_}"
+                    return
+                lam = _LAMBDA_RE.match(stmt_)
+                if lam:
+                    yield ln_, phys_, f"def {lam.group(1)}({lam.group(2).strip()}):"
+                    yield ln_, phys_, f"    return {lam.group(3)}"
+                    return
+                if "lambda" in stmt_ and not stmt_[:1].isspace():
+                    parts = _split_lambda_arg(stmt_)
+                    if parts:
+                        head_, params_, body_, tail_ = parts
+                        name_ = f"_lam{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield ln_, phys_, f"def {name_}({params_}):"
+                        yield ln_, phys_, f"    return {body_}"
+                        yield from _desugar_stmt(
+                            ln_, phys_, head_ + name_ + tail_
+                        )
+                        return
+                yield ln_, phys_, stmt_
+
+            def _desugar(stmts):
+                for ln_, phys_, stmt_ in stmts:
+                    yield from _desugar_stmt(ln_, phys_, stmt_)
+
+            for ln, phys, line in _desugar(_logical_lines(lines)):
                 # blank lines are not statements: a blank line between an
                 # if-arm and its elif/else must not join the open branch
                 # chain, and a blank line inside a def body must not end
@@ -2694,6 +2806,31 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         var_producer.pop(v, None)
                         var_klass.pop(v, None)
                         continue
+                    bo = _BOOLOP_RE.match(line)
+                    if bo:
+                        # `x = a or b` / `x = a and b` (late r5) —
+                        # Python's boolean operators RETURN one of the
+                        # operands, so this is the ternary phi over the
+                        # short-circuit arms: every tracked operand
+                        # unions into x
+                        operands = [bo.group(2)] + _BOOLOP_OPERAND_RE.findall(
+                            bo.group(3)
+                        )
+                        if any(
+                            r in var_producer or r in var_members
+                            for r in operands
+                        ):
+                            members = []
+                            for r in operands:
+                                if r in var_producer:
+                                    members.append(var_producer[r])
+                                members.extend(var_members.get(r, ()))
+                            v = bo.group(1)
+                            var_members[v] = list(dict.fromkeys(members))
+                            var_elem[v] = var_members[v]
+                            var_producer.pop(v, None)
+                            var_klass.pop(v, None)
+                            continue
                     cm = _CONTAINER_RE.match(line)
                     am = None if cm else _ALIAS_RE.match(line)
                     bm = None if (cm or am) else _BINOP_RE.match(line)

@@ -540,8 +540,11 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 # element-wise call-site unpack (the new G2/G3 shapes);
                 # late r5: star import (exact-module bare-name binding),
                 # single inheritance (Sub(Wrap) inherits __init__
-                # field stores + run dispatch), and a top-level lambda
-                # (desugars to the local-def form)
+                # field stores + run dispatch), a top-level lambda
+                # (desugars to the local-def form), a lambda CALL
+                # ARGUMENT (hoists into a synthetic def), chained
+                # assignment (`a = b = ctor()` binds both names), and
+                # boolean-operator phi (`x = a or b` unions operands)
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     "with sklearn.svm.SVC() as model:\n"
@@ -598,7 +601,13 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "wr2 = Sub('w3.csv', fin)\n"
                     "clf11 = wr2.run(df)\n"
                     "lam7 = lambda q: pandas.DataFrame(q)\n"
-                    "lout = lam7(df)\n</code></pre>"
+                    "lout = lam7(df)\n"
+                    "lap = df.apply(lambda z: pandas.notnull(z))\n"
+                    "ca = cb = sklearn.svm.SVC(C=4)\n"
+                    "ra = ca.fit(df)\n"
+                    "rb = cb.fit(fin)\n"
+                    "best = m5 or m9\n"
+                    "rbest = best.fit(df)\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue

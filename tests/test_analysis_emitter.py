@@ -1554,3 +1554,132 @@ def test_lambda_desugars_to_local_def():
     read = next(n for n in lam_nodes if n["path"] == ["pandas", "read_csv"])
     ctor = next(n for n in lam_nodes if n["path"] == ["pandas", "DataFrame"])
     assert ctor["node_number"] in read["flows_to"].get("1", [])
+
+
+def test_lambda_as_call_argument_hoists():
+    """late r5: a lambda passed as a call argument hoists into a
+    synthetic def — the body's module-rooted calls mint shared nodes,
+    and the outer call still resolves on its own receiver.  The library
+    invoking the callback stays out of scope (G6 subset), so no return
+    edge flows into the outer call."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('a.csv')\n"
+        "out = df.apply(lambda x: pandas.notnull(x))\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/lamarg", [code], cat)
+    paths = [tuple(n["path"]) for n in nodes]
+    assert ("pandas", "notnull") in paths
+    apply_n = next(n for n in nodes
+                   if n["path"] == ["pandas", "read_csv", "apply"])
+    assert "out" in apply_n["value_names"]
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    # the turtle receiver still feeds apply at DATA-0
+    assert apply_n["node_number"] in read["flows_to"].get("0", [])
+    # no edge from the callback body into apply (invocation out of scope)
+    notnull = next(n for n in nodes if n["path"] == ["pandas", "notnull"])
+    assert apply_n["node_number"] not in {
+        d for ds in notnull["flows_to"].values() for d in ds
+    }
+    # keyword-passed lambda over an untracked iterable: hoists cleanly,
+    # nothing extra minted
+    code2 = (
+        "import pandas\n"
+        "s = sorted(xs, key=lambda r: r[1])\n"
+        "t = pandas.read_csv('b.csv')\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/lamarg2", [code2], cat)
+    assert [tuple(n["path"]) for n in nodes2] == [
+        ("pandas",), ("pandas", "read_csv")]
+
+
+def test_chained_assignment_binds_every_target():
+    """late r5: `a = b = Ctor()` desugars into `b = Ctor()` + `a = b`
+    (Python assigns every target the same object), so method calls on
+    EITHER name resolve against the one ctor."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import sklearn\n"
+        "a = b = sklearn.svm.SVC()\n"
+        "a.fit(1)\n"
+        "b.fit(2)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/chain", [code], cat)
+    svc = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"])
+    fits = [n for n in nodes
+            if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    assert len(fits) == 2
+    for f in fits:
+        assert f["node_number"] in svc["flows_to"]["0"]
+    # comparison stays a comparison: `a = b == c` must NOT alias
+    code2 = (
+        "import pandas\n"
+        "b = pandas.read_csv('x.csv')\n"
+        "a = b == c\n"
+        "pandas.DataFrame(a)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/chain2", [code2], cat)
+    read = next(n for n in nodes2 if n["path"] == ["pandas", "read_csv"])
+    ctor = next(n for n in nodes2 if n["path"] == ["pandas", "DataFrame"])
+    # `==` produces an untracked bool frame in this subset — no flow
+    assert ctor["node_number"] not in {
+        d for ds in read["flows_to"].values() for d in ds
+    }
+
+
+def test_boolop_phi_unions_operands():
+    """late r5: `m = a or b` returns ONE of the operands, so the binding
+    is the ternary-style phi — agreeing classes resolve a later method
+    call fed by every arm; disagreeing classes mint nothing; all tracked
+    operands flow into a consuming call's arg ordinal."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    agree = (
+        "import sklearn\n"
+        "m1 = sklearn.svm.SVC(C=1)\n"
+        "m2 = sklearn.svm.SVC(C=2)\n"
+        "m = m1 or m2\n"
+        "m.fit(1)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/bool1", [agree], cat)
+    svcs = [n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"]]
+    fits = [n for n in nodes
+            if n["path"] == ["sklearn", "svm", "SVC", "fit"]]
+    assert len(svcs) == 2 and len(fits) == 1
+    for ctor in svcs:
+        assert fits[0]["node_number"] in ctor["flows_to"]["0"]
+
+    disagree = agree.replace("sklearn.svm.SVC(C=2)",
+                             "sklearn.linear_model.LinearRegression()")
+    nodes2 = extract_page_flow_nodes("http://q/bool2", [disagree], cat)
+    assert not [n for n in nodes2 if n["path"][-1] == "fit"]
+
+    chain = (
+        "import pandas\n"
+        "d1 = pandas.read_csv('a.csv')\n"
+        "d2 = pandas.read_csv('b.csv')\n"
+        "d3 = pandas.read_csv('c.csv')\n"
+        "d = d1 and d2 or d3\n"
+        "pandas.DataFrame(d)\n"
+    )
+    nodes3 = extract_page_flow_nodes("http://q/bool3", [chain], cat)
+    ctor = next(n for n in nodes3 if n["path"] == ["pandas", "DataFrame"])
+    reads = [n for n in nodes3 if n["path"] == ["pandas", "read_csv"]]
+    assert len(reads) == 3
+    for r in reads:
+        assert ctor["node_number"] in r["flows_to"]["1"]
