@@ -135,6 +135,16 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   `b = Ctor()` + `a = b` — Python assigns every target the same
   evaluated object, so the alias copy is exact and method calls on
   EITHER name resolve against the one producer
+- multi-manager with (late r5): `with A() as a, B() as b:` desugars
+  into consecutive single-manager withs — the binding is the same SSA
+  def and `with` opens no branch frame, so the split preserves
+  semantics
+- literal-tuple unpack (late r5): `a, b = X(), Y()` desugars into
+  per-element temps then alias copies (rhs evaluated fully first, so
+  `a, b = b, a` swaps exactly); each element binds to ITS OWN rhs
+  producer left-to-right (WALA's element-wise SSA over the tuple
+  literal), the temp names never reach output, and a single-call rhs
+  keeps the existing element-node path
 - boolean-operator phi (late r5): `x = a or b` / `x = a and b` (plain
   names, chains allowed) — Python's boolean operators RETURN one of
   their operands, so the binding is the ternary-style phi: every
@@ -331,6 +341,19 @@ _BOOLOP_RE = re.compile(
     r"((?:\s+(?:or|and)\s+[A-Za-z_]\w*)+)\s*$"
 )
 _BOOLOP_OPERAND_RE = re.compile(r"(?:or|and)\s+([A-Za-z_]\w*)")
+#: multi-manager `with A() as a, B() as b:` (late r5) — desugared into
+#: consecutive single-manager withs (the binding is the same SSA def;
+#: `with` opens no branch frame, so the split is semantics-preserving)
+_WITH_MULTI_RE = re.compile(r"^(\s*)with\s+(.+?)\s*:\s*$")
+_WITH_ITEM_RE = re.compile(r"^.+\s+as\s+[A-Za-z_]\w*$")
+#: literal-tuple unpack `a, b = X(), Y()` (late r5) — desugared into
+#: per-element temps then alias copies (`_unp0_0 = X()` … `a = _unp0_0`
+#: …), matching Python's evaluate-whole-rhs-first semantics exactly
+#: (so `a, b = b, a` swaps cleanly); single-call rhs keeps the existing
+#: element-node path
+_TUPLE_TARGETS_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=)\s*(\S.*)$"
+)
 
 
 def _split_lambda_arg(stmt: str):
@@ -1055,6 +1078,32 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     yield ln_, phys_, f"def {lam.group(1)}({lam.group(2).strip()}):"
                     yield ln_, phys_, f"    return {lam.group(3)}"
                     return
+                wm_ = _WITH_MULTI_RE.match(stmt_)
+                if wm_:
+                    items_ = _split_args(wm_.group(2))
+                    if len(items_) >= 2 and all(
+                        _WITH_ITEM_RE.match(p) for p in items_
+                    ):
+                        for p in items_:
+                            yield from _desugar_stmt(
+                                ln_, phys_, f"{wm_.group(1)}with {p}:"
+                            )
+                        return
+                tm_ = _TUPLE_TARGETS_RE.match(stmt_)
+                if tm_:
+                    targets_ = [t.strip() for t in tm_.group(2).split(",")]
+                    parts_ = _split_args(tm_.group(3))
+                    if len(parts_) == len(targets_):
+                        ind_ = tm_.group(1)
+                        base_ = lam_counter[0]
+                        lam_counter[0] += 1
+                        for i_, p in enumerate(parts_):
+                            yield from _desugar_stmt(
+                                ln_, phys_, f"{ind_}_unp{base_}_{i_} = {p}"
+                            )
+                        for i_, t in enumerate(targets_):
+                            yield ln_, phys_, f"{ind_}{t} = _unp{base_}_{i_}"
+                        return
                 if "lambda" in stmt_ and not stmt_[:1].isspace():
                     parts = _split_lambda_arg(stmt_)
                     if parts:
@@ -2855,6 +2904,20 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 var_klass[v] = var_klass[rhs]
                             else:
                                 var_klass.pop(v, None)
+                            if re.match(r"^_unp\d+_\d+$", rhs):
+                                # desugar temp from a literal-tuple
+                                # unpack: the USER name is v — swap it
+                                # into the producer's value_names so the
+                                # synthetic temp never reaches output
+                                for node in nodes:
+                                    if node["node_number"] == var_producer[v]:
+                                        node["value_names"] = [
+                                            v if nm == rhs else nm
+                                            for nm in node["value_names"]
+                                        ]
+                                        break
+                                var_producer.pop(rhs, None)
+                                var_klass.pop(rhs, None)
                         else:
                             var_members[v] = list(var_members[rhs])
                             if rhs in var_elem and var_members.get(rhs) == var_elem[rhs]:

@@ -544,7 +544,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 # (desugars to the local-def form), a lambda CALL
                 # ARGUMENT (hoists into a synthetic def), chained
                 # assignment (`a = b = ctor()` binds both names), and
-                # boolean-operator phi (`x = a or b` unions operands)
+                # boolean-operator phi (`x = a or b` unions operands),
+                # multi-manager with (per-manager bindings), and
+                # literal-tuple unpack (element-wise producers)
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     "with sklearn.svm.SVC() as model:\n"
@@ -607,7 +609,12 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "ra = ca.fit(df)\n"
                     "rb = cb.fit(fin)\n"
                     "best = m5 or m9\n"
-                    "rbest = best.fit(df)\n</code></pre>"
+                    "rbest = best.fit(df)\n"
+                    "with pandas.read_csv('p.csv') as fa, "
+                    "pandas.read_csv('q.csv') as fb:\n"
+                    "    mixed = pandas.DataFrame(fa, fb)\n"
+                    "tx, mx = pandas.read_csv('r.csv'), sklearn.svm.SVC()\n"
+                    "rx = mx.fit(tx)\n</code></pre>"
                 )
             answers.append((aid, abody, votes))
             continue

@@ -1683,3 +1683,75 @@ def test_boolop_phi_unions_operands():
     assert len(reads) == 3
     for r in reads:
         assert ctor["node_number"] in r["flows_to"]["1"]
+
+
+def test_multi_manager_with_binds_each():
+    """late r5: `with A() as a, B() as b:` desugars into consecutive
+    single-manager withs — each name binds its own manager's value."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "with pandas.read_csv('a.csv') as fa, pandas.read_csv('b.csv') as fb:\n"
+        "    out = pandas.DataFrame(fa, fb)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/mw", [code], cat)
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    ctor = next(n for n in nodes if n["path"] == ["pandas", "DataFrame"])
+    assert [r["value_names"] for r in reads] == [["fa"], ["fb"]]
+    # fa feeds arg 1, fb feeds arg 2 — per-manager, not unioned
+    assert ctor["node_number"] in reads[0]["flows_to"]["1"]
+    assert ctor["node_number"] in reads[1]["flows_to"]["2"]
+
+
+def test_literal_tuple_unpack_element_wise():
+    """late r5: `a, b = X(), Y()` binds each target to ITS OWN rhs
+    producer (rhs evaluated fully first, so a swap is exact), user
+    names reach value_names, and a single-call rhs keeps the existing
+    element-node path."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\nimport sklearn\n"
+        "tr, m = pandas.read_csv('a.csv'), sklearn.svm.SVC()\n"
+        "m.fit(tr)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/tu", [code], cat)
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    svc = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"])
+    fit = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC", "fit"])
+    assert read["value_names"] == ["tr"] and svc["value_names"] == ["m"]
+    assert fit["node_number"] in svc["flows_to"]["0"]      # receiver
+    assert fit["node_number"] in read["flows_to"]["1"]     # arg 1
+
+    swap = (
+        "import pandas\nimport sklearn\n"
+        "a = pandas.read_csv('a.csv')\n"
+        "b = sklearn.svm.SVC()\n"
+        "a, b = b, a\n"
+        "a.fit(1)\n"
+        "pandas.DataFrame(b)\n"
+    )
+    nodes2 = extract_page_flow_nodes("http://q/sw", [swap], cat)
+    read2 = next(n for n in nodes2 if n["path"] == ["pandas", "read_csv"])
+    svc2 = next(n for n in nodes2 if n["path"] == ["sklearn", "svm", "SVC"])
+    fit2 = next(n for n in nodes2 if n["path"][-1] == "fit")
+    df2 = next(n for n in nodes2 if n["path"] == ["pandas", "DataFrame"])
+    assert fit2["node_number"] in svc2["flows_to"]["0"]
+    assert df2["node_number"] in read2["flows_to"]["1"]
+
+    single = (
+        "import sklearn\n"
+        "tr, te = sklearn.model_selection.train_test_split(x)\n"
+    )
+    nodes3 = extract_page_flow_nodes("http://q/sg", [single], cat)
+    elems = [n for n in nodes3 if n["path"][-1] in ("0", "1")]
+    assert [e["value_names"] for e in elems] == [["tr"], ["te"]]
