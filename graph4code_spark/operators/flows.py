@@ -127,7 +127,10 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   names).  A lambda passed as a CALL ARGUMENT (`df.apply(lambda x:
   np.log(x))`, `sorted(xs, key=lambda r: r[1])`) hoists into a
   synthetic def bound just before the call — the body's module-rooted
-  calls mint their shared nodes through the def machinery, while the
+  calls mint their shared nodes through the def machinery, matching
+  the reference's treatment of every lambda as its OWN entrypoint
+  (`TurtleSummary.java:57-61`: CodeBody/comprehension/lambda bodies
+  are analyzed whether or not anything invokes them), while the
   library INVOKING the callback stays out of scope (G6 subset: no
   return edge into the outer call).  Lambdas inside def bodies stay
   out (subset)
