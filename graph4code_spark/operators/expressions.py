@@ -83,9 +83,16 @@ def extract_expressions(qa: DataFrame, catalog_records: list[dict]) -> DataFrame
         for pdf in batches:
             rows: list[dict] = []
             for url, codes in zip(pdf["url"], pdf["codes"]):
-                for e in extract_page_expressions(
-                    url, list(codes) if codes is not None else [], flow_catalog
-                ):
+                # per-page fault barrier (see flows._extract_page_safe):
+                # one unparsable page skips, it must not fail the stage
+                try:
+                    exprs = extract_page_expressions(
+                        url, list(codes) if codes is not None else [],
+                        flow_catalog,
+                    )
+                except Exception:  # noqa: BLE001 — barrier by design
+                    continue
+                for e in exprs:
                     rows.append({"url": url, **e})
             yield pd.DataFrame(rows, columns=cols)
 

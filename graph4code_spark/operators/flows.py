@@ -134,6 +134,14 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   library INVOKING the callback stays out of scope (G6 subset: no
   return edge into the outer call).  Lambdas inside def bodies stay
   out (subset)
+- decorators (late r5): a bare `@mod.deco` line desugars into the call
+  statement `mod.deco()` — Python applies the decorator at def time
+  (`f = mod.deco(f)`), so a catalog-rooted decorator mints its call
+  node in the def-site control flow (WALA's decorator-application
+  invoke); a parenthesized factory (`@app.route('/x')`) already flows
+  through the plain call path.  Subset: the decorated def keeps its
+  own name binding (wrapper identity untracked), and the factory's
+  applied-result invoke stays out
 - chained assignment (late r5): `a = b = Ctor()` desugars into
   `b = Ctor()` + `a = b` — Python assigns every target the same
   evaluated object, so the alias copy is exact and method calls on
@@ -184,7 +192,10 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   ``x op= a`` folds a's producers into x (G7 augmented form)
 - interprocedural G3 subset: ``def f(params):`` blocks — a call-site
   arg's producer flows to the body nodes that consume the matching
-  parameter (at their recorded positions), and a ``return v`` value's
+  parameter (at their recorded positions; late r5: a NESTED-CALL arg
+  wires its chain-final node the same way, positionally or by keyword
+  — `f(np.array(x))` reaches the body exactly like `v = np.array(x);
+  f(v)`), and a ``return v`` value's
   producer becomes the caller's assigned-variable producer, so receiver
   calls on the returned value chain through the function boundary (the
   arg/return turtle-flow shapes of
@@ -323,6 +334,19 @@ _CLASS_RE = re.compile(
 _LAMBDA_RE = re.compile(
     r"^([A-Za-z_]\w*)\s*=\s*lambda\s*([^:()]*):\s*(.+?)\s*$"
 )
+#: bare decorator `@mod.deco` on its own line (late r5) — desugared
+#: into the call statement `mod.deco()`: Python evaluates the decorator
+#: and APPLIES it at def time (`f = mod.deco(f)`), so a catalog-rooted
+#: decorator mints its call node in the def-site control flow exactly
+#: like WALA's decorator-application invoke.  The function argument is
+#: untracked at decoration time (same edges as the zero-arg form) and
+#: the def keeps its own name binding for interprocedural wiring — the
+#: wrapper identity is the documented subset.  A PARENTHESIZED
+#: decorator factory (`@app.route('/x')`) already flows through the
+#: plain call path (factory call node; the second, applied-result
+#: invoke stays out).  The name guard keeps matrix-multiply `a @ b`
+#: and decorators-with-args out of this branch.
+_BARE_DECORATOR_RE = re.compile(r"^(\s*)@([A-Za-z_][\w.]*)\s*$")
 #: chained assignment `a = b = RHS` (late r5) — desugared into
 #: `b = RHS` + `a = b` (Python evaluates RHS once and assigns every
 #: target the same object, so the alias copy is exact); `(?!=)` keeps
@@ -657,8 +681,49 @@ def extract_page_expressions(
     return exprs
 
 
-def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
-    """(url, codes) → ANALYSIS_NODES_SCHEMA rows, graph_uri = page url."""
+#: sentinel `path_end` for a page the fault barrier dropped
+PAGE_ERROR_SENTINEL = "__page_error__"
+
+
+def _page_error_row(url: str, exc: Exception) -> dict:
+    """Sentinel row for a page whose extraction raised: `node_number = -1`
+    (real node numbers start at the per-page base), exception class in
+    `normalized_label`, truncated message in `source_text`.  Counted by
+    the caller's `observe()` then filtered — one bad page must never
+    fail a 10^12-page stage."""
+    return {
+        "graph_uri": url, "node_number": -1, "path": None,
+        "path_end": PAGE_ERROR_SENTINEL,
+        "normalized_label": type(exc).__name__,
+        "is_import": None, "is_slice": None, "flows_to": None,
+        "immediately_precedes": None, "reads": None, "writes": None,
+        "constant_positional_args": None, "constant_named_args": None,
+        "value_names": None, "source_location": None,
+        "source_text": str(exc)[:500], "source_lines": None,
+    }
+
+
+def _extract_page_safe(url, codes, flow_catalog,
+                       extractor=None) -> list[dict]:
+    """Per-page fault barrier around the straight-line extractor: a page
+    whose snippets break the tracker yields ONE sentinel row instead of
+    killing the task (and with it the stage, at web scale).  The raw
+    `extract_page_flow_nodes` keeps raising — tests and golden-parity
+    paths want hard failures; only the distributed Arrow UDF isolates."""
+    try:
+        return (extractor or extract_page_flow_nodes)(url, codes, flow_catalog)
+    except Exception as exc:  # noqa: BLE001 — barrier by design
+        return [_page_error_row(url, exc)]
+
+
+def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict],
+                       error_observation: str | None = None) -> DataFrame:
+    """(url, codes) → ANALYSIS_NODES_SCHEMA rows, graph_uri = page url.
+
+    Per-page fault barrier: a page whose extraction raises contributes a
+    sentinel row (`node_number = -1`), counted into `error_observation`
+    when a name is given (`observe()` lineage, same discipline as
+    `materialize.py`) and always filtered before return."""
     flow_catalog = build_flow_catalog(catalog_records)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -667,13 +732,23 @@ def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict]) -> DataFrame:
             rows: list[dict] = []
             for url, codes in zip(pdf["url"], pdf["codes"]):
                 rows.extend(
-                    extract_page_flow_nodes(
+                    _extract_page_safe(
                         url, list(codes) if codes is not None else [], flow_catalog
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return qa.select("url", "codes").mapInPandas(run, schema=ANALYSIS_NODES_SCHEMA)
+    nodes = qa.select("url", "codes").mapInPandas(run, schema=ANALYSIS_NODES_SCHEMA)
+    if error_observation is not None:
+        import pyspark.sql.functions as F
+
+        nodes = nodes.observe(
+            error_observation,
+            F.sum(F.when(F.col("node_number") < 0, 1).otherwise(0))
+            .alias("pages_failed"),
+            F.count(F.lit(1)).alias("rows_seen"),
+        )
+    return nodes.filter("node_number >= 0")
 
 
 def _net_paren_depth(line: str, depth: int = 0) -> int:
@@ -1069,6 +1144,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                   INVOKING the callback is out of scope (G6 subset), so
                   no return edge flows into the outer call
                 """
+                dm_ = _BARE_DECORATOR_RE.match(stmt_)
+                if dm_:
+                    # `@D` runs D at def time: mint its call in place
+                    yield ln_, phys_, f"{dm_.group(1)}{dm_.group(2)}()"
+                    return
                 cm_ = _CHAIN_ASSIGN_RE.match(stmt_)
                 if cm_:
                     ind_, t1_, rest_ = cm_.groups()
@@ -1620,6 +1700,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 line_call_klass: dict = {}  # expression start -> ctor klass
                 pending_nested: list = []   # (inner start, outer node#, ordinal)
                 pending_exprs: list = []    # (outer node#, ordinal, val off, match)
+                # nested-call arg at a LOCAL-DEF call site (`f(np.log(x))`
+                # with `def f(p): …`): the inner call's chain-final node
+                # wires to the body's param uses once the line's calls
+                # all exist — same deferral as pending_nested, multi-
+                # target because a param may have several body uses
+                pending_def_args: list = []  # (inner start, [(node#, pos)])
                 for m in _CALL_RE.finditer(line):
                     cname = m.group(1)
                     # a call THROUGH an import binding gets a DATA-0 edge
@@ -1680,7 +1766,11 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         d = local_defs[cname]
                         upos = 0
                         binding: dict[str, str] = {}  # param -> caller value
-                        for a in _split_args(_call_args(line, m)):
+                        argtext_d = _call_args(line, m)
+                        for a, aoff_d in zip(
+                            _split_args(argtext_d),
+                            _split_args_offsets(argtext_d),
+                        ):
                             nm_ = _NAMED_ARG.match(a)
                             if nm_:
                                 # keyword call-site arg: wire by the
@@ -1703,6 +1793,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                         cur_def["param_uses"].setdefault(
                                             val, []
                                         ).append(use)
+                                elif _CALL_RE.match(val) and d["param_uses"].get(param):
+                                    # nested-call kwarg: defer to the
+                                    # post-line resolution (late r5)
+                                    pending_def_args.append(
+                                        (m.end() + aoff_d + nm_.start(2),
+                                         list(d["param_uses"][param]))
+                                    )
                                 continue
                             upos += 1
                             if upos <= len(d["params"]):
@@ -1725,6 +1822,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     cur_def["param_uses"].setdefault(
                                         a, []
                                     ).append(use)
+                            elif (
+                                upos <= len(d["params"])
+                                and _CALL_RE.match(a)
+                                and d["param_uses"].get(d["params"][upos - 1])
+                            ):
+                                # nested-call positional arg (`f(np.log(x))`
+                                # with `def f(p): …`): the inner call's
+                                # chain-final node wires to the body's
+                                # param uses after the line's calls all
+                                # exist (late r5 — WALA evaluates the
+                                # inner call and flows its value into
+                                # the callee frame like any other arg)
+                                pending_def_args.append(
+                                    (m.end() + aoff_d,
+                                     list(d["param_uses"][d["params"][upos - 1]]))
+                                )
                         # G8 call-site contexts: clone each deferred
                         # body receiver-call against THIS site's receiver
                         # class — one node per (call site, body call),
@@ -2504,6 +2617,18 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         src["flows_to"] = _append_flow(
                             src["flows_to"], str(arg_pos), outer_num
                         )
+                # nested-call args at LOCAL-DEF call sites: the inner
+                # call's node wires to every body use of the parameter
+                for inner_start, uses in pending_def_args:
+                    inner = line_call_nodes.get(inner_start)
+                    if inner is None:
+                        continue
+                    src = nodes[idx_of[inner]]
+                    for nnum, use_pos in uses:
+                        if nnum != inner:
+                            src["flows_to"] = _append_flow(
+                                src["flows_to"], str(use_pos), nnum
+                            )
                 # `return <call expr>` in a def body: the expression's
                 # chain-final node is the def's return producer (the
                 # plain-variable form was captured before call parsing)

@@ -158,8 +158,13 @@ def run_pipeline(
         lambda: forum_triples(links, qa, records, cfg.forum_prefix),
         deps=["01_qa", "02_links"],
     )
-    flow_nodes = runner.run("05_flow_nodes", lambda: extract_flow_nodes(qa, records),
-                            deps=["01_qa"])
+    # fault-barrier lineage: pages the extractor dropped surface in the
+    # stage's observed metrics (one bad page must never fail the stage)
+    flow_nodes = runner.run(
+        "05_flow_nodes",
+        lambda: extract_flow_nodes(
+            qa, records, error_observation="flow_extract_05"),
+        deps=["01_qa"])
     flow_t = runner.run("06_flow_triples", lambda: analysis_triples(flow_nodes),
                         deps=["05_flow_nodes"])
     mapping = runner.run(

@@ -497,21 +497,35 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # outer call at their source-order ordinal (positional AND
             # keyword), including a chained inner whose FINAL node feeds
             # the outer
+            # late r5: the local-def twin — a nested-call arg at a def
+            # call site wires the inner node into the body's param uses
             abody += (
                 "<pre><code>import pandas\nimport sklearn\n"
                 "r = train_test_split(pandas.read_csv('x.csv'), 0.3)\n"
                 "m = sklearn.svm.SVC(C=pandas.read_csv('w.csv'))\n"
-                "q = pandas.DataFrame(sklearn.svm.SVC(2.0).fit(x, 1))\n</code></pre>"
+                "q = pandas.DataFrame(sklearn.svm.SVC(2.0).fit(x, 1))\n"
+                "def prep(d):\n"
+                "    return pandas.DataFrame(d)\n"
+                "t = prep(pandas.read_csv('n.csv'))\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue
         if a == 0 and special == 10:
             # round-3 import aliasing: pd/as-aliases resolve to canonical
-            # catalog names, class alias tracks the constructed klass
+            # catalog names, class alias tracks the constructed klass.
+            # late r5: a bare decorator applies at def time — @numpy.
+            # vectorize mints its call node in the def-site control flow
+            # (desugars to the call statement); the decorated def keeps
+            # its own binding for interprocedural wiring
             abody += (
                 "<pre><code>import pandas as pd\n"
+                "import numpy\n"
                 "from sklearn.svm import SVC as Clf\n"
                 "df = pd.read_csv('al.csv')\n"
+                "@numpy.vectorize\n"
+                "def norm(x):\n"
+                "    return numpy.log(x)\n"
+                "u = norm(df)\n"
                 "m = Clf(df)\n"
                 "r = m.fit(df, 4)\n</code></pre>"
             )

@@ -1556,6 +1556,68 @@ def test_lambda_desugars_to_local_def():
     assert ctor["node_number"] in read["flows_to"].get("1", [])
 
 
+def test_bare_decorator_mints_def_site_call():
+    """late r5: a bare `@mod.deco` line desugars into the call statement
+    `mod.deco()` (Python applies the decorator at def time), so a
+    catalog-rooted decorator mints its call node in the def-site control
+    flow; uncataloged decorators stay out, matrix-multiply `a @ b` is
+    untouched, and the decorated def's interprocedural wiring keeps its
+    own name binding (wrapper identity is the documented subset)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import numpy\n"
+        "@numpy.vectorize\n"
+        "def f(x):\n"
+        "    return numpy.log(x)\n"
+        "@staticmethod\n"
+        "def g(x):\n"
+        "    return x\n"
+        "v = numpy.array([1])\n"
+        "y = f(v)\n"
+        "z = a @ b\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/deco", [code], cat)
+    paths = [tuple(n["path"]) for n in nodes if not n["is_import"]]
+    # decorator call minted once; @staticmethod (uncataloged) absent
+    assert paths.count(("numpy", "vectorize")) == 1
+    deco = next(n for n in nodes if n["path"] == ["numpy", "vectorize"])
+    arr = next(n for n in nodes if n["path"] == ["numpy", "array"])
+    # def-site control flow: the decorator call precedes the next
+    # top-level call (def registration emits no control node)
+    assert arr["node_number"] in deco["immediately_precedes"]
+    # interprocedural wiring survives: array flows into the body's log
+    log = next(n for n in nodes if n["path"] == ["numpy", "log"])
+    assert log["node_number"] in arr["flows_to"].get("1", [])
+    # matrix-multiply minted nothing
+    assert all("@" not in "".join(p) for p in paths)
+
+
+def test_decorator_factory_keeps_plain_call_path():
+    """A parenthesized decorator factory (`@deco('arg')`) flows through
+    the plain call path — factory call node with its constant arg; the
+    applied-result invoke is the documented subset."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import numpy\n"
+        "@numpy.vectorize('sig')\n"
+        "def f(x):\n"
+        "    return x\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/decofac", [code], cat)
+    deco = next(n for n in nodes if n["path"] == ["numpy", "vectorize"])
+    assert deco["constant_positional_args"].get("1") == "sig"
+
+
 def test_lambda_as_call_argument_hoists():
     """late r5: a lambda passed as a call argument hoists into a
     synthetic def — the body's module-rooted calls mint shared nodes,

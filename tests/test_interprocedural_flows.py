@@ -654,3 +654,37 @@ def test_depth2_self_recursion_is_inert():
     # one; the call site resolves against the re-binding, which defers
     # no receiver calls of its own
     assert [n["path"] for n in nodes] == [["sklearn"], ["sklearn", "svm", "SVC"]]
+
+
+def test_nested_call_arg_wires_into_def_params():
+    """late r5: a nested-call argument at a LOCAL-DEF call site wires
+    the inner call's chain-final node into the body's parameter uses —
+    `f(np.array(x))` reaches the body exactly like `v = np.array(x);
+    f(v)` (WALA evaluates the inner call and flows its value into the
+    callee frame like any other arg), positionally and by keyword."""
+    code = (
+        "import numpy\n"
+        "def f(x):\n"
+        "    return numpy.log(x)\n"
+        "y = f(numpy.array([1]))\n"
+        "z = f(x=numpy.array([2]))\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/nestdef", [code], CAT)
+    log = next(n for n in nodes if n["path"] == ["numpy", "log"])
+    arrays = [n for n in nodes if n["path"] == ["numpy", "array"]]
+    assert len(arrays) == 2
+    for arr in arrays:
+        assert log["node_number"] in arr["flows_to"].get("1", []), (
+            "inner call did not reach the body's param use")
+    # equivalence with the plain-variable form (same edge shape)
+    var_form = (
+        "import numpy\n"
+        "def f(x):\n"
+        "    return numpy.log(x)\n"
+        "v = numpy.array([1])\n"
+        "y = f(v)\n"
+    )
+    vnodes = extract_page_flow_nodes("http://q/nestdefv", [var_form], CAT)
+    vlog = next(n for n in vnodes if n["path"] == ["numpy", "log"])
+    varr = next(n for n in vnodes if n["path"] == ["numpy", "array"])
+    assert vlog["node_number"] in varr["flows_to"].get("1", [])
