@@ -74,7 +74,9 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   tracked subscript receiver with an uncataloged method emits no node
   (parity with dotted calls on tracked variables)
 - multi-line call spans: physical lines with open parens merge into one
-  logical statement with a first_line≠last_line source span
+  logical statement with a first_line≠last_line source span; explicit
+  `\` continuations splice token-tight (late r5 — `x = pandas.\` +
+  `read_csv(…)` keeps the dotted name whole)
 - container def-use chaining: ``v = [a, b]`` then ``f(v)`` flows a's and
   b's producers into f (`…Engine.java:1905-1920`'s dict/tuple/list
   recursion, scoped to literal containers of tracked variables)
@@ -146,6 +148,21 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   `b = Ctor()` + `a = b` — Python assigns every target the same
   evaluated object, so the alias copy is exact and method calls on
   EITHER name resolve against the one producer
+- annotated assignment (late r5): `df: pd.DataFrame = RHS` desugars to
+  `df = RHS` — type hints carry no runtime dataflow, and erasing them
+  keeps the binding so later turtle extensions on df survive (one-line
+  compound clauses like `else: y = 1` are kept out by a keyword guard)
+- semicolon compound lines (late r5): top-level `;` splits a line into
+  its statements (quote/paren-aware), so `import pandas; df =
+  pd.read_csv('a')` tracks like the multi-line form; one-line compound
+  bodies (`if x: a; b`) keep their single statement (subset)
+- walrus (late r5): `(name := EXPR)` hoists into `name = EXPR` just
+  before the statement with the group replaced by the bare name —
+  Python binds the walrus in the enclosing scope when the expression
+  evaluates, so `if (df := read_csv(...)) is not None:` tracks df in
+  the arm exactly like the two-line form.  Subset: in elif/while
+  conditions the hoist evaluates once ahead of the re-test, the same
+  one-unrolling approximation the loop projection takes
 - multi-manager with (late r5): `with A() as a, B() as b:` desugars
   into consecutive single-manager withs — the binding is the same SSA
   def and `with` opens no branch frame, so the split preserves
@@ -381,6 +398,27 @@ _WITH_ITEM_RE = re.compile(r"^.+\s+as\s+[A-Za-z_]\w*$")
 _TUPLE_TARGETS_RE = re.compile(
     r"^(\s*)([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=)\s*(\S.*)$"
 )
+#: annotated assignment `df: pd.DataFrame = RHS` (late r5) — the
+#: annotation is erased (desugar to `df = RHS`): type hints carry no
+#: runtime dataflow, and losing the binding loses every later turtle
+#: extension on df.  The keyword guard keeps one-line compound clauses
+#: (`else: y = 1`) out of this branch.
+_ANNOTATED_ASSIGN_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*)\s*:\s*[A-Za-z_][\w.\[\], ]*?\s*=(?!=)\s*(\S.*)$"
+)
+_PY_STMT_KEYWORDS = frozenset((
+    "if", "elif", "else", "try", "except", "finally", "while", "for",
+    "with", "def", "class", "lambda", "return", "yield", "assert",
+    "import", "from", "global", "nonlocal", "del", "pass", "raise",
+))
+#: walrus `(name := EXPR)` (late r5) — hoisted into `name = EXPR`
+#: just before the statement, the parenthesized group replaced by the
+#: bare name: Python binds the walrus in the enclosing scope when the
+#: expression evaluates, which for a top-level statement is exactly
+#: "before this line runs".  Subset: inside elif/while conditions the
+#: hoist evaluates once ahead of the re-test — the same one-unrolling
+#: approximation the loop projection already takes.
+_WALRUS_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*:=\s*")
 
 
 def _split_lambda_arg(stmt: str):
@@ -751,6 +789,30 @@ def extract_flow_nodes(qa: DataFrame, catalog_records: list[dict],
     return nodes.filter("node_number >= 0")
 
 
+def _split_semicolons(line: str) -> list[str]:
+    """Split a statement on top-level `;` (quote- and paren-aware) —
+    `import pandas; df = pd.read_csv('a')` is two statements.  Returns
+    [line] unchanged when there is nothing to split."""
+    if ";" not in line:
+        return [line]
+    parts, start, depth, quote = [], 0, 0, None
+    for i, ch in enumerate(line):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth = max(0, depth - 1)
+        elif ch == ";" and depth == 0:
+            parts.append(line[start:i])
+            start = i + 1
+    parts.append(line[start:])
+    return parts if len(parts) > 1 else [line]
+
+
 def _net_paren_depth(line: str, depth: int = 0) -> int:
     """Paren/bracket/brace nesting delta across a line, quote-aware."""
     quote = None
@@ -781,11 +843,23 @@ def _logical_lines(lines: list[str]):
     while i < n:
         depth = _net_paren_depth(lines[i])
         j = i
-        while depth > 0 and j + 1 < n and (j - i) < _MAX_SPAN - 1:
+        while (
+            (depth > 0 or lines[j].rstrip().endswith("\\"))
+            and j + 1 < n
+            and (j - i) < _MAX_SPAN - 1
+        ):
             j += 1
             depth = _net_paren_depth(lines[j], depth)
         phys = lines[i : j + 1]
-        out.append((i, phys, "\n".join(phys)))
+        # explicit `\` continuations splice token-tight (late r5):
+        # `x = pandas.\` + `    read_csv(…)` is ONE statement whose
+        # dotted name must not carry the newline; paren-merged spans
+        # keep their newlines (offsets stay self-consistent — every
+        # regex runs over this same statement string)
+        stmt = "\n".join(phys)
+        if "\\\n" in stmt:
+            stmt = re.sub(r"\\\n\s*", "", stmt)
+        out.append((i, phys, stmt))
         i = j + 1
     return out
 
@@ -1144,6 +1218,57 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                   INVOKING the callback is out of scope (G6 subset), so
                   no return edge flows into the outer call
                 """
+                parts_ = _split_semicolons(stmt_)
+                if len(parts_) > 1:
+                    head_ = stmt_.lstrip()
+                    kw_ = re.match(r"[A-Za-z_]\w*", head_)
+                    # one-line compound bodies (`if x: a; b`) keep their
+                    # single statement (subset) — plain lines split
+                    if not (kw_ and kw_.group(0) in _PY_STMT_KEYWORDS
+                            and ":" in parts_[0]):
+                        ind_ = stmt_[: len(stmt_) - len(head_)]
+                        for p_ in parts_:
+                            if p_.strip():
+                                yield from _desugar_stmt(
+                                    ln_, phys_, ind_ + p_.strip())
+                        return
+                am_ = _ANNOTATED_ASSIGN_RE.match(stmt_)
+                if am_ and am_.group(2) not in _PY_STMT_KEYWORDS:
+                    # type hints carry no runtime dataflow: erase
+                    yield from _desugar_stmt(
+                        ln_, phys_,
+                        f"{am_.group(1)}{am_.group(2)} = {am_.group(3)}")
+                    return
+                wz_ = _WALRUS_RE.search(stmt_)
+                if wz_:
+                    # hoist `(name := EXPR)` into `name = EXPR` before
+                    # the statement; the group becomes the bare name
+                    o_ = wz_.start()
+                    depth2_, close_, quote2_ = 0, -1, None
+                    for i_ in range(o_, len(stmt_)):
+                        ch_ = stmt_[i_]
+                        if quote2_:
+                            if ch_ == quote2_:
+                                quote2_ = None
+                        elif ch_ in "'\"":
+                            quote2_ = ch_
+                        elif ch_ == "(":
+                            depth2_ += 1
+                        elif ch_ == ")":
+                            depth2_ -= 1
+                            if depth2_ == 0:
+                                close_ = i_
+                                break
+                    if close_ > 0:
+                        nm2_ = wz_.group(1)
+                        expr_ = stmt_[wz_.end():close_].strip()
+                        ind_ = stmt_[: len(stmt_) - len(stmt_.lstrip())]
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{nm2_} = {expr_}")
+                        yield from _desugar_stmt(
+                            ln_, phys_,
+                            stmt_[:o_] + nm2_ + stmt_[close_ + 1:])
+                        return
                 dm_ = _BARE_DECORATOR_RE.match(stmt_)
                 if dm_:
                     # `@D` runs D at def time: mint its call in place

@@ -527,7 +527,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "    return numpy.log(x)\n"
                 "u = norm(df)\n"
                 "m = Clf(df)\n"
-                "r = m.fit(df, 4)\n</code></pre>"
+                "r = m.fit(df, 4)\n"
+                "s: pd.DataFrame = pd.read_csv('t.csv'); w = s.dropna()\n"
+                "if (v := pd.read_csv('v.csv')) is not None:\n"
+                "    vh = v.head()\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

@@ -1618,6 +1618,117 @@ def test_decorator_factory_keeps_plain_call_path():
     assert deco["constant_positional_args"].get("1") == "sig"
 
 
+def test_annotated_assignment_keeps_binding():
+    """late r5: `df: pd.DataFrame = RHS` desugars to `df = RHS` — type
+    hints carry no runtime dataflow, and erasing them keeps the binding
+    so later turtle extensions on df survive.  One-line compound
+    clauses (`else: y = 1`) stay out via the keyword guard."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    annotated = (
+        "import pandas\n"
+        "df: pandas.DataFrame = pandas.read_csv('a.csv')\n"
+        "y = df.dropna()\n"
+    )
+    plain = (
+        "import pandas\n"
+        "df = pandas.read_csv('a.csv')\n"
+        "y = df.dropna()\n"
+    )
+    a_nodes = extract_page_flow_nodes("http://q/ann", [annotated], cat)
+    p_nodes = extract_page_flow_nodes("http://q/ann", [plain], cat)
+    # source spans legitimately keep the sugar line — compare semantics
+    strip = lambda ns: [
+        {k: v for k, v in n.items()
+         if k not in ("source_text", "source_lines", "source_location")}
+        for n in ns
+    ]
+    assert strip(a_nodes) == strip(p_nodes)
+    assert any(n["path"] == ["pandas", "read_csv", "dropna"]
+               for n in a_nodes)
+
+
+def test_semicolon_compound_line_splits():
+    """late r5: top-level `;` splits a line into its statements
+    (quote/paren-aware), so `import pandas; df = pd.read_csv('a')`
+    tracks like the multi-line form; one-line compound bodies
+    (`if x: a; b`) keep their single statement (subset)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    one_line = "import pandas; df = pandas.read_csv('a.csv'); y = df.dropna()\n"
+    multi = "import pandas\ndf = pandas.read_csv('a.csv')\ny = df.dropna()\n"
+    o_nodes = extract_page_flow_nodes("http://q/semi", [one_line], cat)
+    m_nodes = extract_page_flow_nodes("http://q/semi", [multi], cat)
+    strip = lambda ns: [
+        {k: v for k, v in n.items()
+         if k not in ("source_text", "source_lines", "source_location")}
+        for n in ns
+    ]
+    assert strip(o_nodes) == strip(m_nodes)
+    # a semicolon inside a string must not split
+    s_nodes = extract_page_flow_nodes(
+        "http://q/semi2",
+        ["import pandas\ndf = pandas.read_csv('a;b.csv')\n"], cat)
+    csv = next(n for n in s_nodes if n["path"] == ["pandas", "read_csv"])
+    assert csv["constant_positional_args"].get("1") == "a;b.csv"
+
+
+def test_backslash_continuation_splices():
+    """late r5: explicit `\\` continuations splice token-tight into one
+    logical statement (`x = pandas.\\` + `    read_csv(…)` keeps the
+    dotted name whole), with the source span covering both physical
+    lines; later turtle extensions on the binding survive."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "x = pandas.\\\n"
+        "    read_csv('a.csv')\n"
+        "y = x.dropna()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/bslash", [code], cat)
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    assert read["source_location"]["first_line"] == 2
+    assert read["source_location"]["last_line"] == 3
+    assert any(n["path"] == ["pandas", "read_csv", "dropna"]
+               for n in nodes)
+
+
+def test_walrus_binding_hoists():
+    """late r5: `(name := EXPR)` hoists into `name = EXPR` before the
+    statement with the group replaced by the bare name — the walrus
+    binds in the enclosing scope when the expression evaluates, so a
+    guarded read (`if (df := read_csv(...)) is not None:`) tracks df
+    inside the arm exactly like the two-line form."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "if (df := pandas.read_csv('a.csv')) is not None:\n"
+        "    y = df.dropna()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/walrus", [code], cat)
+    read = next(n for n in nodes if n["path"] == ["pandas", "read_csv"])
+    drop = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "dropna"])
+    assert drop["node_number"] in read["flows_to"].get("0", [])
+
+
 def test_lambda_as_call_argument_hoists():
     """late r5: a lambda passed as a call argument hoists into a
     synthetic def — the body's module-rooted calls mint shared nodes,

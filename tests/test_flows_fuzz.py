@@ -46,7 +46,14 @@ GARBAGE = ["@decorator", "@app.route('/x')", "assert x == 1", "del x",
            "global z", "yield x", "x = (", ")", "\tmixed\ttabs = 1",
            "# comment", "...", "x = 'unterminated", "async def g(): pass",
            "nonlocal q", "", "if x", "lambda: x", "x += m.fit(df)",
-           "x = {'k': [1, (2, 3)]}", "print(f'{x} val')"]
+           "x = {'k': [1, (2, 3)]}", "print(f'{x} val')",
+           # late-r5 desugars, well-formed and malformed
+           "df: pandas.DataFrame = pandas.read_csv('a.csv')",
+           "x: int = 1", "x: = 1", "x:y", "else: y = 1",
+           "a = 1; b = m.fit(df); c", ";;;", "x = 'a;b'; y = 2",
+           "if (v := pandas.read_csv('w.csv')) is not None:",
+           "y = (z := 's;s')", "(q := 'un;term", "(w :=)",
+           "while (chunk := reader.read()):"]
 
 
 def _call(rng):
