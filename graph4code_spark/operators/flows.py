@@ -112,7 +112,12 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   members/element shape so a post-join method call resolves through
   the union points-to receiver when the classes agree (`if c: m =
   SVC(1) else: m = SVC(2)` then `m.fit(X)` → one fit node fed DATA-0
-  by both ctors, WALA's phi value feeding the invoke); an else-less
+  by both ctors, WALA's phi value feeding the invoke); an UNCATALOGED
+  method on a phi'd binding whose members share ONE turtle path
+  extends that path once, fed DATA-0 by every member (late r5 —
+  `if c: df = read_csv(a) else: df = read_csv(b)` then `df.dropna()`
+  → one dropna node with two receiver edges; disagreeing paths stay
+  out, container literals never resolve this way); an else-less
   chain phis with the PRE binding (fall-through path); fields survive
   the join only where every path stores the identical value
   (conservative field-sensitive merge); import bindings and
@@ -156,6 +161,9 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   its statements (quote/paren-aware), so `import pandas; df =
   pd.read_csv('a')` tracks like the multi-line form; one-line compound
   bodies (`if x: a; b`) keep their single statement (subset)
+- `del a, b` (late r5): unbinds the named variables — WALA treats a
+  post-del use as an unresolved read, so dropping every binding keeps
+  stale producers from cross-wiring later receiver edges
 - walrus (late r5): `(name := EXPR)` hoists into `name = EXPR` just
   before the statement with the group replaced by the bare name —
   Python binds the walrus in the enclosing scope when the expression
@@ -419,6 +427,12 @@ _PY_STMT_KEYWORDS = frozenset((
 #: hoist evaluates once ahead of the re-test — the same one-unrolling
 #: approximation the loop projection already takes.
 _WALRUS_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*:=\s*")
+#: `del a, b` (late r5) — unbinds the named variables: WALA treats a
+#: post-del use as an unresolved read, so dropping every binding keeps
+#: stale producers from cross-wiring later receiver edges
+_DEL_STMT_RE = re.compile(
+    r"^\s*del\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*$"
+)
 
 
 def _split_lambda_arg(stmt: str):
@@ -1674,6 +1688,19 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                   if k not in _params}
                     prev_in_snippet = []
                     continue
+                dl_ = _DEL_STMT_RE.match(line)
+                if dl_:
+                    # `del a, b` unbinds (late r5): a post-del use of the
+                    # name is an unresolved read in WALA — dropping every
+                    # binding keeps stale producers from cross-wiring
+                    for v_ in (t.strip() for t in dl_.group(1).split(",")):
+                        var_producer.pop(v_, None)
+                        var_klass.pop(v_, None)
+                        var_members.pop(v_, None)
+                        var_elem.pop(v_, None)
+                        var_fields.pop(v_, None)
+                        var_bound.pop(v_, None)
+                    continue
                 im = _IMPORT_RE.match(line)
                 if im:
                     pim = _PLAIN_IMPORT_RE.match(line)
@@ -2364,6 +2391,33 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             path = list(
                                 nodes[idx_of[recv_node]]["path"]
                             ) + [xmeth]
+                        elif (
+                            not xmeth.isdigit()
+                            and xrecv in var_elem
+                            and var_members.get(xrecv) == var_elem[xrecv]
+                            and not (cur_def is not None
+                                     and xrecv in cur_def["params"])
+                        ):
+                            # phi'd / loop-element union receiver (late
+                            # r5): when every member's turtle path
+                            # agrees, the uncataloged invoke extends the
+                            # shared path ONCE, fed DATA-0 by every
+                            # member — WALA's phi value feeding the
+                            # invoke (`if c: df = read_csv(a) else: df =
+                            # read_csv(b)` then `df.dropna()` → one
+                            # dropna node with two receiver edges).
+                            # Disagreeing paths stay out (the honest
+                            # bound); plain container literals are
+                            # excluded by the var_elem identity guard.
+                            mpaths = {
+                                tuple(nodes[idx_of[p]]["path"])
+                                for p in var_members[xrecv]
+                            }
+                            if len(mpaths) == 1:
+                                path = list(mpaths.pop()) + [xmeth]
+                                recv_members = list(
+                                    dict.fromkeys(var_members[xrecv])
+                                )
                     if path is None and import_src is not None:
                         # call THROUGH an import binding whose function the
                         # catalog does not know — the turtle still roots at

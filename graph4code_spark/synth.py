@@ -429,7 +429,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # the union points-to receiver), and EARLY EXIT (a
             # returning guard arm is dead at the join — no control edge
             # or binding leak into the fall-through code — while its
-            # return still reaches the call-site union)
+            # return still reaches the call-site union); late r5: a
+            # PHI-UNION TURTLE EXTENSION (agreeing read_csv paths in
+            # both arms → ONE dropna node with two receiver edges) and
+            # a `del` unbind closing the snippet
             abody += (
                 "<pre><code>import pandas\nimport numpy\nimport sklearn\n"
                 "df = pandas.read_csv('t.csv')\n"
@@ -488,7 +491,13 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "    r = m2.fit(d, 5)\n"
                 "    return m2\n"
                 "g9 = mk9(0, njoin)\n"
-                "g9r = g9.predict(njoin)\n</code></pre>"
+                "g9r = g9.predict(njoin)\n"
+                "if src:\n"
+                "    dd = pandas.read_csv('p1.csv')\n"
+                "else:\n"
+                "    dd = pandas.read_csv('p2.csv')\n"
+                "ddz = dd.dropna()\n"
+                "del ddz\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

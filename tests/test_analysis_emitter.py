@@ -1681,6 +1681,83 @@ def test_semicolon_compound_line_splits():
     assert csv["constant_positional_args"].get("1") == "a;b.csv"
 
 
+def test_phi_union_turtle_extension():
+    """late r5: an uncataloged method on a phi'd binding whose members
+    all share ONE turtle path extends that path once, fed DATA-0 by
+    every member (WALA's phi value feeding the invoke) — `if c: df =
+    read_csv(a) else: df = read_csv(b)` then `df.dropna()` → one dropna
+    node with two receiver edges.  Disagreeing member paths stay out,
+    and plain container literals never resolve this way."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    agree = (
+        "import pandas\n"
+        "if c:\n"
+        "    df = pandas.read_csv('a.csv')\n"
+        "else:\n"
+        "    df = pandas.read_csv('b.csv')\n"
+        "z = df.dropna()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/phi1", [agree], cat)
+    drops = [n for n in nodes
+             if n["path"] == ["pandas", "read_csv", "dropna"]]
+    assert len(drops) == 1
+    reads = [n for n in nodes if n["path"] == ["pandas", "read_csv"]]
+    for r in reads:
+        assert drops[0]["node_number"] in r["flows_to"].get("0", [])
+    # same shape through a try/except rebind (the G5 sibling)
+    tryexc = (
+        "import pandas\n"
+        "try:\n"
+        "    df = pandas.read_csv('a.csv')\n"
+        "except IOError as e:\n"
+        "    df = pandas.read_csv('b.csv')\n"
+        "z = df.dropna()\n"
+    )
+    tnodes = extract_page_flow_nodes("http://q/phi2", [tryexc], cat)
+    assert sum(n["path"] == ["pandas", "read_csv", "dropna"]
+               for n in tnodes) == 1
+    # disagreeing paths: no node (honest bound)
+    disagree = agree.replace("pandas.read_csv('b.csv')",
+                             "pandas.DataFrame(x)")
+    dnodes = extract_page_flow_nodes("http://q/phi3", [disagree], cat)
+    assert not any("dropna" in (n["path"] or []) for n in dnodes)
+    # container literal: calling a method on the LIST is not calling
+    # the members — no extension
+    cont = (
+        "import pandas\n"
+        "a = pandas.read_csv('a.csv')\n"
+        "b = pandas.read_csv('b.csv')\n"
+        "v = [a, b]\n"
+        "z = v.dropna()\n"
+    )
+    cnodes = extract_page_flow_nodes("http://q/phi4", [cont], cat)
+    assert not any("dropna" in (n["path"] or []) for n in cnodes)
+
+
+def test_del_unbinds():
+    """late r5: `del a, b` drops every binding — a post-del use is an
+    unresolved read in WALA, so no stale producer may cross-wire."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('a.csv')\n"
+        "del df\n"
+        "y = df.dropna()\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/del", [code], cat)
+    assert not any("dropna" in (n["path"] or []) for n in nodes)
+
+
 def test_backslash_continuation_splices():
     """late r5: explicit `\\` continuations splice token-tight into one
     logical statement (`x = pandas.\\` + `    read_csv(…)` keeps the
