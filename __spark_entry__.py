@@ -2098,6 +2098,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_golden_nq": q_kg_golden_nq,
         "kg_golden_emitter": q_kg_golden_emitter,
         "top_modules": q_top_modules,
+        "builtin_blacklist": q_builtin_blacklist,
+        "test_module_filter": q_test_module_filter,
+        "optional_left_outer": q_optional_left_outer,
         "posts_xml_volume": q_posts_xml_volume,
         "posts_xml_volume_agg": q_posts_xml_volume_agg,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -2209,6 +2212,9 @@ def oracle_sql_full() -> dict[str, str]:
         "kg_golden_nq": _oracle_kg_golden_nq(),
         "kg_golden_emitter": _oracle_kg_golden_emitter(),
         "top_modules": _oracle_top_modules(),
+        "builtin_blacklist": _oracle_builtin_blacklist(),
+        "test_module_filter": _oracle_test_module_filter(),
+        "optional_left_outer": _oracle_optional_left_outer(),
         "posts_xml_volume": _oracle_posts_xml_volume(),
         "posts_xml_volume_agg": _oracle_posts_xml_volume_agg(),
         "sim_ivf_topk": _oracle_sim_ivf_topk(),
@@ -2973,6 +2979,174 @@ def _oracle_top_modules() -> str:
     top = sorted(((m, c - 1) for m, c in counts.items()),
                  key=lambda mc: (-mc[1], mc[0]))[:5]
     return _values_table(top, ["module", "cnt"], ["VARCHAR", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# Round-5 strict-oracle promotion of the three pytest-only relational
+# operators (VERDICT r4 coverage table: F2, F9, J11 were "tests" rows).
+# The corpus fixture never exercises them observably (no builtin imports,
+# no .tests. catalog modules, no label-less params), so each gets a
+# deterministic documents-table derivation where the operator is
+# LOAD-BEARING and the DuckDB oracle recomputes the semantics
+# independently (NOT IN / NOT LIKE / LEFT JOIN).
+# ---------------------------------------------------------------------------
+
+
+def q_builtin_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 builtin-module blacklist
+    (`/root/reference/src/generate_top_modules.py:6-77`), load-bearing:
+    every third doc names a REAL builtin (dropped), every 3k+1 doc names
+    a builtin with a '2' suffix (kept — pins exact-match, not prefix,
+    semantics), the rest name synthetic `modN` packages (kept).  Runs
+    the real operator (`operators/topmodules.py:import_counts`); the
+    oracle recomputes the filter as an independent DuckDB NOT IN."""
+    from graph4code_spark.operators.topmodules import (
+        BUILTIN_MODULES,
+        import_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    builtins_arr = F.array(*[F.lit(m) for m in BUILTIN_MODULES])
+    pick = F.element_at(
+        builtins_arr, (F.col("doc_id") % len(BUILTIN_MODULES)).cast("int") + 1
+    )
+    module = (
+        F.when(F.col("doc_id") % 3 == 0, pick)
+        .when(F.col("doc_id") % 3 == 1, F.concat(pick, F.lit("2")))
+        .otherwise(F.concat(F.lit("mod"), (F.col("doc_id") % 7).cast("string")))
+    )
+    nodes = docs.select(module.alias("path_end"), F.lit(True).alias("is_import"))
+    return import_counts(nodes).select(
+        "module", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def _oracle_builtin_blacklist() -> str:
+    from graph4code_spark.operators.topmodules import BUILTIN_MODULES
+
+    lst = ", ".join(_sql_quote(m) for m in BUILTIN_MODULES)
+    n = len(BUILTIN_MODULES)
+    return f"""
+WITH nodes AS (
+  SELECT CASE
+    WHEN doc_id % 3 = 0 THEN ([{lst}])[CAST(doc_id % {n} AS INT) + 1]
+    WHEN doc_id % 3 = 1 THEN ([{lst}])[CAST(doc_id % {n} AS INT) + 1] || '2'
+    ELSE 'mod' || CAST(doc_id % 7 AS VARCHAR) END AS module
+  FROM documents
+)
+SELECT module, count(*) AS cnt
+FROM nodes
+WHERE module NOT IN ({lst})
+GROUP BY module
+"""
+
+
+def q_test_module_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 `.tests.` catalog-walk filter
+    (`inspect_docstrings_per_module.py:522-523`), load-bearing: klass
+    hits `.tests.` on every 4th doc, function on every 7th, and the
+    function is NULL on every 6th (exercising the operator's
+    null-coalesce).  Runs the real scan-time predicate
+    (`functions.drop_test_modules`); the oracle recomputes it as an
+    independent DuckDB NOT(... LIKE ...) with the same coalescing."""
+    from graph4code_spark.functions import drop_test_modules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    klass = F.concat(
+        F.lit("pkg"), (d % 5).cast("string"),
+        F.when(d % 4 == 0, F.lit(".tests.")).otherwise(F.lit(".core.")),
+        F.lit("C"), (d % 11).cast("string"),
+    )
+    func = F.when(d % 6 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("pkg"), (d % 5).cast("string"),
+            F.when(d % 7 == 0, F.lit(".tests.")).otherwise(F.lit(".util.")),
+            F.lit("f"), (d % 13).cast("string"),
+        )
+    )
+    cat = docs.select(
+        d.cast("long").alias("doc_id"), klass.alias("klass"),
+        func.alias("function"),
+    )
+    return drop_test_modules(cat)
+
+
+def _oracle_test_module_filter() -> str:
+    return """
+WITH cat AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    'pkg' || CAST(doc_id % 5 AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 0 THEN '.tests.' ELSE '.core.' END
+      || 'C' || CAST(doc_id % 11 AS VARCHAR) AS klass,
+    CASE WHEN doc_id % 6 = 0 THEN NULL
+         ELSE 'pkg' || CAST(doc_id % 5 AS VARCHAR)
+           || CASE WHEN doc_id % 7 = 0 THEN '.tests.' ELSE '.util.' END
+           || 'f' || CAST(doc_id % 13 AS VARCHAR) END AS function
+  FROM documents
+)
+SELECT doc_id, klass, function
+FROM cat
+WHERE NOT (COALESCE(klass LIKE '%.tests.%', FALSE)
+           OR COALESCE(function LIKE '%.tests.%', FALSE))
+"""
+
+
+def q_optional_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 SPARQL optional → left outer
+    (`docs/example_queries.md:5-14`), load-bearing: a deterministic quad
+    table where every 3rd param has NO rdfs:label and every 4th has NO
+    param_index, so the optional legs actually produce NULLs.  Runs the
+    real query-layer operator (`plans/queries.py:entity_params`); the
+    oracle recomputes it as independent DuckDB LEFT JOINs."""
+    from graph4code_spark.plans.queries import entity_params
+    from graph4code_spark.uris import PREFIXES
+
+    py = PREFIXES["py"]
+    g4c = PREFIXES["graph4code"]
+    rdfs = PREFIXES["rdfs"]
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ent = F.concat(F.lit(py + "ent"), (d % 20).cast("string"))
+    puri = F.concat(ent, F.lit("/p/"), d.cast("string"))
+    params = docs.select(
+        ent.alias("subj"), F.lit(g4c + "param").alias("pred"), puri.alias("obj")
+    )
+    labels = docs.where(d % 3 != 0).select(
+        puri.alias("subj"), F.lit(rdfs + "label").alias("pred"),
+        F.concat(F.lit("p"), d.cast("string")).alias("obj"),
+    )
+    idx = docs.where(d % 4 != 0).select(
+        puri.alias("subj"), F.lit(g4c + "param_index").alias("pred"),
+        d.cast("string").alias("obj"),
+    )
+    triples = params.unionByName(labels).unionByName(idx)
+    return entity_params(triples, "ent7").select(
+        "param_uri", "param_label",
+        F.col("param_index").cast("long").alias("param_index"),
+    )
+
+
+def _oracle_optional_left_outer() -> str:
+    from graph4code_spark.uris import PREFIXES
+
+    py = PREFIXES["py"]
+    uri = f"'{py}ent' || CAST(doc_id % 20 AS VARCHAR) || '/p/' || CAST(doc_id AS VARCHAR)"
+    return f"""
+WITH params AS (
+  SELECT {uri} AS param_uri FROM documents WHERE doc_id % 20 = 7
+), labels AS (
+  SELECT {uri} AS param_uri, 'p' || CAST(doc_id AS VARCHAR) AS param_label
+  FROM documents WHERE doc_id % 3 <> 0
+), idx AS (
+  SELECT {uri} AS param_uri, CAST(doc_id AS BIGINT) AS param_index
+  FROM documents WHERE doc_id % 4 <> 0
+)
+SELECT p.param_uri, l.param_label, i.param_index
+FROM params p
+LEFT JOIN labels l USING (param_uri)
+LEFT JOIN idx i USING (param_uri)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5557,12 +5731,19 @@ JOIN c_key ON c_key.doc_id = c_tok.doc_id
 _SEMI_ANTI_MAPS = [
     ("semi", dict(n1="s_suppkey", s1="s_name")),
     ("anti", dict(n1="c_custkey", s1="c_name")),
+    # r5: J11 optional→left-outer promoted from pytest-only coverage
+    ("optional", dict(k1="param_uri", s1="param_label", n1="param_index")),
 ]
 
 
 def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10 VALUES/semi-join + J9 minus/anti-join on one driver row."""
-    dfs = [q_semi_join_suppliers(spark, sf_dir), q_anti_join_customers(spark, sf_dir)]
+    """J10 VALUES/semi-join + J9 minus/anti-join + J11 optional/left
+    outer (r5 promotion) on one driver row."""
+    dfs = [
+        q_semi_join_suppliers(spark, sf_dir),
+        q_anti_join_customers(spark, sf_dir),
+        q_optional_left_outer(spark, sf_dir),
+    ]
     return _spine_union_df(*[
         _spine_df(df, part, **m) for df, (part, m) in zip(dfs, _SEMI_ANTI_MAPS)
     ])
@@ -5571,7 +5752,10 @@ def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_semi_anti_joins() -> str:
     return _spine_union_sql([
         (sql, part, m)
-        for sql, (part, m) in zip([_ORACLE_SEMI, _ORACLE_ANTI], _SEMI_ANTI_MAPS)
+        for sql, (part, m) in zip(
+            [_ORACLE_SEMI, _ORACLE_ANTI, _oracle_optional_left_outer()],
+            _SEMI_ANTI_MAPS,
+        )
     ])
 
 
@@ -5612,12 +5796,25 @@ def _oracle_posts_votes() -> str:
 _TOP_MODULES_MAP = dict(k1="module", n1="cnt")
 
 
+_TOP_MODULES_EXTRA_MAPS = [
+    ("blacklist", _TOP_MODULES_MAP),
+    ("testfilter", dict(n1="doc_id", k1="klass", k2="function")),
+]
+
+
 def q_top_modules_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3 import counting (300-page top-5 + 8000-page volume top-10,
-    1-in-40 strict sample) on one driver row."""
+    1-in-40 strict sample) on one driver row; r5: plus the two
+    module-filtering operators promoted from pytest-only coverage —
+    F2's builtin blacklist and F9's `.tests.` filter, each on a
+    documents-table derivation where the filter is load-bearing."""
     return _spine_union_df(
         _spine_df(q_top_modules(spark, sf_dir), "top5", **_TOP_MODULES_MAP),
         _spine_df(q_top_modules_volume(spark, sf_dir), "volume8k", **_TOP_MODULES_MAP),
+        _spine_df(q_builtin_blacklist(spark, sf_dir), "blacklist",
+                  **_TOP_MODULES_EXTRA_MAPS[0][1]),
+        _spine_df(q_test_module_filter(spark, sf_dir), "testfilter",
+                  **_TOP_MODULES_EXTRA_MAPS[1][1]),
     )
 
 
@@ -5625,6 +5822,8 @@ def _oracle_top_modules_suite() -> str:
     return _spine_union_sql([
         (_oracle_top_modules(), "top5", _TOP_MODULES_MAP),
         (_oracle_top_modules_volume(), "volume8k", _TOP_MODULES_MAP),
+        (_oracle_builtin_blacklist(), "blacklist", _TOP_MODULES_EXTRA_MAPS[0][1]),
+        (_oracle_test_module_filter(), "testfilter", _TOP_MODULES_EXTRA_MAPS[1][1]),
     ])
 
 

@@ -181,21 +181,87 @@ def _wait_for_quiet_window() -> tuple[dict | None, bool, int]:
     return ctrl, False, GATE_ATTEMPTS
 
 
+#: scaling protocol of record (round 5, VERDICT r4 #1's blessed
+#: alternative): the north rule's own launch mode — each level is a real
+#: ``spark-submit --py-files`` run in a FRESH JVM, so no session state
+#: leaks between levels and the measurement is literally the command a
+#: cluster operator would time.  ``SPARK_GRAFT_BENCH_PROTOCOL=ladder``
+#: keeps the round-3/4 in-process interleaved-ladder protocol available
+#: as a same-session cross-check.
+PROTOCOL = os.environ.get("SPARK_GRAFT_BENCH_PROTOCOL", "submit")
+SUBMIT_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SUBMIT_REPS", "2"))
+
+_SPARK_SUBMIT = (
+    __import__("shutil").which("spark-submit")
+    or os.path.join(os.path.dirname(os.path.dirname(sys.executable)),
+                    "bin", "spark-submit")
+)
+
+
+def _submit_levels(cores_list, n_pages: int, reps: int = SUBMIT_REPS) -> dict:
+    """Submit-mode levels: for each core count, ``spark-submit --master
+    local[N] --py-files <zip> jobs/run_pipeline.py --bench 1``, repeated
+    ``reps`` times with the LEVELS interleaved (2,8,32, 2,8,32, ...) so a
+    VM throttle window spreads across all levels instead of clobbering
+    one; min-wall per level (noise only ever slows a run).  Each submit
+    warms in-JVM once before its recorded pass (run_pipeline.py --bench),
+    so JVM/JIT startup is excluded from the measured wall exactly as the
+    ladder protocol excluded it via the warm ladder."""
+    import shutil as _sh
+
+    os.makedirs(os.path.join(REPO, "dist"), exist_ok=True)
+    zip_path = _sh.make_archive(
+        os.path.join(REPO, "dist", "graph4code_spark"), "zip",
+        root_dir=REPO, base_dir="graph4code_spark",
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    best: dict[int, dict] = {}
+    for _rep in range(reps):
+        for cores in cores_list:
+            r = subprocess.run(
+                [_SPARK_SUBMIT, "--master", f"local[{cores}]",
+                 "--py-files", zip_path,
+                 os.path.join(REPO, "jobs", "run_pipeline.py"),
+                 "--bench", "1", "--pages", str(n_pages)],
+                capture_output=True, text=True, cwd=REPO, env=env,
+                timeout=2700,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            if cores not in best or rec["sec"] < best[cores]["sec"]:
+                best[cores] = rec
+    return {
+        str(c): {
+            "cores": c, "pages": n_pages, "triples": best[c]["n_triples"],
+            "sec": best[c]["sec"],
+            "triples_per_sec": best[c]["triples_per_sec"],
+        }
+        for c in cores_list
+    }
+
+
 def _run_scaling() -> dict:
     """One N-to-4N pair, 2→8 cores (ADVICE r2: a single pre-declared
-    pair, no favorable selection), measured with interleaved ladders in
-    a single fresh subprocess.  The freed time budget raised the input
-    to 96k pages and the ladder count to 5, shrinking both the fixed
-    ~10 s driver-wall Amdahl term the profiler attributed and the
-    run-to-run VM-burst spread (see BENCH.md)."""
+    pair, no favorable selection).  Round 5: measured in SUBMIT mode by
+    default (fresh JVM per level, the north rule's launch mode); the
+    round-3/4 in-process interleaved ladder stays selectable via
+    ``SPARK_GRAFT_BENCH_PROTOCOL=ladder``.  Input is 96k pages: profiling
+    showed ~10 s of core-count-independent driver wall (plan analysis +
+    job setup) per run, an Amdahl term that distorted the ratio at 32k
+    pages (see BENCH.md)."""
     pre_ctrl, gate_ok, attempts = _wait_for_quiet_window()
     cores_list = [2, 8, CPUS]
-    out_run = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--ladders",
-         ",".join(map(str, cores_list)), str(N_PAGES), str(REPEATS)],
-        capture_output=True, text=True, cwd=REPO, timeout=2700,
-    )
-    levels = json.loads(out_run.stdout.strip().splitlines()[-1])
+    if PROTOCOL == "submit" and os.path.exists(_SPARK_SUBMIT):
+        levels = _submit_levels(cores_list, N_PAGES)
+        protocol = "spark-submit"
+    else:
+        out_run = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--ladders",
+             ",".join(map(str, cores_list)), str(N_PAGES), str(REPEATS)],
+            capture_output=True, text=True, cwd=REPO, timeout=2700,
+        )
+        levels = json.loads(out_run.stdout.strip().splitlines()[-1])
+        protocol = "in-process-ladder"
 
     def eff(lo: int, hi: int) -> float:
         return round(
@@ -205,6 +271,7 @@ def _run_scaling() -> dict:
         )
 
     out = {
+        "protocol": protocol,
         "low": levels["2"],
         "high": levels["8"],
         "levels": {k: v for k, v in levels.items() if int(k) != CPUS},
@@ -296,11 +363,17 @@ def _write_bench_md(result: dict) -> None:
         "",
         "## KG pipeline throughput at two parallelism levels",
         "",
-        "Same deterministic page corpus, same job, measured as",
-        f"INTERLEAVED ladders (levels round-robin, {REPEATS} recorded",
-        "ladders after a warm one, min-wall per level) so a VM throttle",
-        "burst hits all levels instead of clobbering one. local[N]",
-        "threads stand in for executors per BASELINE.md.",
+        "Same deterministic page corpus, same job, protocol ="
+        f" **{s.get('protocol', 'in-process-ladder')}**: each level is a"
+        " real `spark-submit --py-files` run in a fresh JVM (the north"
+        f" rule's launch mode), {SUBMIT_REPS} submits per level with the",
+        "LEVELS interleaved (2,8,32, 2,8,32) so a VM throttle window",
+        "spreads across all levels instead of clobbering one; min-wall",
+        "per level; each submit warms in-JVM before its recorded pass.",
+        "The round-3/4 in-process interleaved-ladder protocol stays",
+        "available via SPARK_GRAFT_BENCH_PROTOCOL=ladder as a",
+        "same-session cross-check. local[N] threads stand in for",
+        "executors per BASELINE.md.",
         "",
         "**Why the low core range:** measured raw-CPU scaling on this VM",
         "(independent busy-loop processes, no Spark) is near-linear up to",
@@ -359,13 +432,14 @@ def _write_bench_md(result: dict) -> None:
         "",
         "## Round-5 final notes (2026-08-19)",
         "",
-        "- **Submit-mode strict pair refresh** (the protocol of record —",
-        "  fresh JVM per level, the north rule's launch mode; 96k pages,",
-        "  best-of-2 per level, bracketing no-Spark controls CLEAN at",
-        "  membw 1.407 pre / 1.361 post): local[2] 11,804.9 t/s,",
+        "- **Submit mode is now the recorded protocol** (promoted into",
+        "  `bench.py` itself — fresh JVM per level, the north rule's",
+        "  launch mode; VERDICT r4 #1's blessed alternative). The",
+        "  2026-08-19 manual refresh measured local[2] 11,804.9 t/s,",
         "  local[8] 37,967.4 t/s → **efficiency 0.804 raw** (target",
-        "  ≥ 0.8, met on a controls-verified quiet window). Full table",
-        "  in BASELINE.md.",
+        "  ≥ 0.8, met on a controls-verified quiet window, bracketing",
+        "  no-Spark controls CLEAN at membw 1.407 pre / 1.361 post).",
+        "  Full table in BASELINE.md; the table below is this run's.",
         "- **Absolute throughput vs 08-18** (55.7k → 38.0k t/s at the",
         "  submit 8-core level): the extractor now simulates the complete",
         "  late-r5 statement/control-flow semantics per page (SSA phi at",
