@@ -75,7 +75,7 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   (parity with dotted calls on tracked variables)
 - multi-line call spans: physical lines with open parens merge into one
   logical statement with a first_line≠last_line source span; explicit
-  `\` continuations splice token-tight (late r5 — `x = pandas.\` +
+  ``\\`` continuations splice token-tight (late r5 — ``x = pandas.\\`` +
   `read_csv(…)` keeps the dotted name whole)
 - container def-use chaining: ``v = [a, b]`` then ``f(v)`` flows a's and
   b's producers into f (`…Engine.java:1905-1920`'s dict/tuple/list
@@ -95,6 +95,13 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   node (the wala/builtin/slice probe, `…Engine.java:1697-1704`) fed by
   the sliced value at position 1, path unchanged-or-attr-extended
   (`example2.json` nodes 92/93)
+- attr + non-slice subscript in ONE expression (late r5): ``x =
+  df.iloc[0]`` / ``df.values[i]`` / ``df.loc['a']`` mints the attr READ
+  node then the access on its value — a string key is a second field
+  read (bit-identical to the two-line ``t = df.loc`` / ``x = t['a']``
+  form), anything else the path-unchanged selection shape
+  (`example1.json` node 84); previously the one-line form dropped the
+  binding entirely while the two-line form tracked
 - G5 fork-join subset: calls in different arms of a top-level
   if/elif/else chain do NOT precede each other — each arm forks from the
   pre-if frontier and the first call after the chain joins every arm
@@ -529,6 +536,18 @@ _SUBSCR_READ_RE = re.compile(
 _SLICE_ASSIGN_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)(?:\.([A-Za-z_]\w*))?"
     r"\[([^\]]*:[^\]]*)\]\s*$"
+)
+#: `x = v.attr[<idx>]` with a NON-slice index (`df.iloc[0]`,
+#: `df.values[i]`, `df.loc['a']`) — the colonless sibling of
+#: _SLICE_ASSIGN_RE's attr form: the reference materializes the attr
+#: READ node, then the access on its value (a string key is a second
+#: field read, anything else the whole-subscript selection shape of
+#: `example1.json` node 84).  Without this the binding dropped entirely
+#: (late r5): the two-line form `t = df.iloc` / `x = t[0]` tracked, the
+#: one-line form lost x.
+_ATTR_SUBSCR_SEL_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
+    r"\[([^\]:]+)\]\s*$"
 )
 #: `x = v[<any expression>]` — whole-subscript selection on a tracked
 #: value whose index is too complex for the string-key/simple-slice
@@ -2981,6 +3000,50 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             ssrc["flows_to"], "1", snode["node_number"]
                         )
                         var_producer[x] = snode["node_number"]
+                        var_members.pop(x, None)
+                        var_klass.pop(x, None)
+                        continue
+                    asm = _ATTR_SUBSCR_SEL_RE.match(line)
+                    if asm and asm.group(2) in var_producer:
+                        # attr read + non-slice subscript in one
+                        # expression: read node (path+attr, container
+                        # producer, fed at 0), then either a second
+                        # field read (string key) or the path-unchanged
+                        # selection node (fed at 1, the example1 node-84
+                        # shape); x tracks the final node
+                        x, v, attr = asm.group(1), asm.group(2), asm.group(3)
+                        idx = asm.group(4).strip()
+                        p = var_producer[v]
+                        base = list(nodes[idx_of[p]]["path"])
+                        rnode = new_node(base + [attr], ln, phys, f"{v}.{attr}")
+                        rnode["reads"] = [{"container": [p], "field": attr}]
+                        psrc = nodes[idx_of[p]]
+                        psrc["flows_to"] = _append_flow(
+                            psrc["flows_to"], "0", rnode["node_number"]
+                        )
+                        sm_ = _STR_ARG.match(idx)
+                        key = (sm_.group(1) if sm_ and sm_.group(1) is not None
+                               else (sm_.group(2) if sm_ else None))
+                        if key and not key.isdigit():
+                            fnode = new_node(base + [attr, key], ln, phys,
+                                             line.split("=", 1)[1].strip())
+                            fnode["reads"] = [{
+                                "container": [rnode["node_number"]],
+                                "field": key,
+                            }]
+                            rnode["flows_to"] = _append_flow(
+                                rnode["flows_to"], "0", fnode["node_number"]
+                            )
+                            final = fnode
+                        else:
+                            snode = new_node(base + [attr], ln, phys,
+                                             line.split("=", 1)[1].strip())
+                            rnode["flows_to"] = _append_flow(
+                                rnode["flows_to"], "1", snode["node_number"]
+                            )
+                            final = snode
+                        final["value_names"] = [x]
+                        var_producer[x] = final["node_number"]
                         var_members.pop(x, None)
                         var_klass.pop(x, None)
                         continue

@@ -389,6 +389,73 @@ def test_slice_nodes():
     assert plain_slice["flows_to"]["2"] == [out["node_number"]]
 
 
+def test_attr_nonslice_subscript_selection():
+    """`x = df.iloc[0]` / `df.values[i]` / `df.loc['a']` (late r5): attr
+    READ node then the access on its value — string key = second field
+    read, bit-identical to the two-line `t = df.loc` / `x = t['a']`
+    form; anything else = path-unchanged selection fed at position 1
+    (example1.json node 84).  Previously the one-line form dropped the
+    binding entirely."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = (
+        "import pandas\n"
+        "df = pandas.read_csv('t.csv')\n"
+        "row = df.iloc[0]\n"
+        "cell = df.loc['a']\n"
+        "out = pandas.read_csv(row, cell)\n"
+    )
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    rc = next(n for n in nodes if n["value_names"] == ["df"])
+    iloc = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "iloc"]
+                and n["reads"])
+    sel = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "iloc"]
+               and not n["reads"])
+    loc = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "loc"])
+    key = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "loc", "a"])
+    # producer feeds each attr read at DATA-0
+    assert sorted(rc["flows_to"]["0"]) == sorted(
+        [iloc["node_number"], loc["node_number"]]
+    )
+    assert iloc["reads"] == [{"container": [rc["node_number"]], "field": "iloc"}]
+    # non-string index: selection node fed at position 1, path unchanged
+    assert iloc["flows_to"]["1"] == [sel["node_number"]]
+    assert sel["value_names"] == ["row"] and not sel["is_slice"]
+    # string key: second field READ fed at DATA-0
+    assert loc["flows_to"]["0"] == [key["node_number"]]
+    assert key["reads"] == [{"container": [loc["node_number"]], "field": "a"}]
+    assert key["value_names"] == ["cell"]
+    # both track into the consumer at their arg ordinals
+    out = next(n for n in nodes if n["value_names"] == ["out"])
+    assert sel["flows_to"]["1"] == [out["node_number"]]
+    assert key["flows_to"]["2"] == [out["node_number"]]
+    # the one-line string form is node-shape-identical to the two-line
+    # form (read chains match bit-for-bit)
+    two = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "t = df.loc\ncell = t['a']\nout = pandas.read_csv(cell)\n"],
+        cat,
+    )
+    one = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "cell = df.loc['a']\nout = pandas.read_csv(cell)\n"],
+        cat,
+    )
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]), n["is_import"], n["is_slice"],
+         tuple(sorted((k, tuple(v)) for k, v in n["flows_to"].items())),
+         tuple((tuple(r["container"] or []), r["field"]) for r in n["reads"]))
+        for n in ns
+    ]
+    assert strip(two) == strip(one)
+
+
 def test_with_for_and_augmented_assignment():
     """`with … as v:` binds like an assignment; `for v in x:` and
     `x op= a` propagate producers as members into later calls."""
