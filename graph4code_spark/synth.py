@@ -431,8 +431,11 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # or binding leak into the fall-through code — while its
             # return still reaches the call-site union); late r5: a
             # PHI-UNION TURTLE EXTENSION (agreeing read_csv paths in
-            # both arms → ONE dropna node with two receiver edges) and
-            # a `del` unbind closing the snippet
+            # both arms → ONE dropna node with two receiver edges), a
+            # `del` unbind, and the ONE-LINE attr+subscript selections
+            # closing the snippet (`df.iloc[0]` → attr read + selection
+            # node; `df.loc['lab']` → attr read + second field read,
+            # bit-identical to the two-line form)
             abody += (
                 "<pre><code>import pandas\nimport numpy\nimport sklearn\n"
                 "df = pandas.read_csv('t.csv')\n"
@@ -497,7 +500,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "else:\n"
                 "    dd = pandas.read_csv('p2.csv')\n"
                 "ddz = dd.dropna()\n"
-                "del ddz\n</code></pre>"
+                "del ddz\n"
+                "row = df.iloc[0]\n"
+                "cell = df.loc['lab']\n"
+                "pair = pandas.concat(row, cell)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue
