@@ -549,6 +549,22 @@ _ATTR_SUBSCR_SEL_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
     r"\[([^\]:]+)\]\s*$"
 )
+#: `x = v[KEY].CHAIN` / `x = v.attr[KEY].CHAIN` (late r5) — a dot-chain
+#: hanging off a subscript access desugars into the two-line form the
+#: tracker already handles exactly (`_subN_ = v[KEY]` then
+#: `x = _subN_.CHAIN`): `x = df['col'].values` mints the field read
+#: then the attr read on its value, `x = df['col'].sum()` the field
+#: read then the turtle extension — WALA's per-value SSA gives the
+#: intermediate a temp value number with NO name, so the `_subN_` temp
+#: is stripped from value_names at page end.  Nested brackets / parens
+#: in the index or call args stay out (documented subset — those fall
+#: through to the complex-index path).
+_SUBSCR_CHAIN_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*"
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\[[^\][]+\])"
+    r"((?:\.[A-Za-z_]\w*(?:\([^()]*\))?)+)\s*$"
+)
+_SUB_TMP_RE = re.compile(r"^_sub\d+_$")
 #: `x = v[<any expression>]` — whole-subscript selection on a tracked
 #: value whose index is too complex for the string-key/simple-slice
 #: forms (nested brackets, computed slices); the reference mints a
@@ -1313,6 +1329,18 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     yield from _desugar_stmt(ln_, phys_, f"{ind_}{rest_}")
                     t2_ = re.match(r"\s*([A-Za-z_]\w*)", rest_).group(1)
                     yield ln_, phys_, f"{ind_}{t1_} = {t2_}"
+                    return
+                sc_ = _SUBSCR_CHAIN_RE.match(stmt_)
+                if sc_:
+                    # dot-chain off a subscript access → the two-line
+                    # form via a hidden `_subN_` temp (stripped from
+                    # value_names at page end — WALA's intermediate is
+                    # an unnamed temp value)
+                    ind_, lhs_, acc_, chain_ = sc_.groups()
+                    tmp_ = f"_sub{lam_counter[0]}_"
+                    lam_counter[0] += 1
+                    yield from _desugar_stmt(ln_, phys_, f"{ind_}{tmp_} = {acc_}")
+                    yield from _desugar_stmt(ln_, phys_, f"{ind_}{lhs_} = {tmp_}{chain_}")
                     return
                 lam = _LAMBDA_RE.match(stmt_)
                 if lam:
@@ -3430,6 +3458,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 out.append(t)
                     n["immediately_precedes"] = out
             nodes = [n for n in nodes if not n.pop("_dead", False)]
+        for n in nodes:
+            # `_subN_` desugar temps are WALA's unnamed intermediate
+            # values — they never reach output
+            if n["value_names"] and any(_SUB_TMP_RE.match(v)
+                                        for v in n["value_names"]):
+                n["value_names"] = [v for v in n["value_names"]
+                                    if not _SUB_TMP_RE.match(v)]
         return nodes
 
 

@@ -513,7 +513,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # keyword), including a chained inner whose FINAL node feeds
             # the outer
             # late r5: the local-def twin — a nested-call arg at a def
-            # call site wires the inner node into the body's param uses
+            # call site wires the inner node into the body's param uses;
+            # final r5: one-line subscript chains (`v['col'].sum()` →
+            # field read + turtle extension with an unnamed temp value;
+            # `v.iloc[0].tolist()` → attr read + selection + extension)
             abody += (
                 "<pre><code>import pandas\nimport sklearn\n"
                 "r = train_test_split(pandas.read_csv('x.csv'), 0.3)\n"
@@ -521,7 +524,11 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "q = pandas.DataFrame(sklearn.svm.SVC(2.0).fit(x, 1))\n"
                 "def prep(d):\n"
                 "    return pandas.DataFrame(d)\n"
-                "t = prep(pandas.read_csv('n.csv'))\n</code></pre>"
+                "t = prep(pandas.read_csv('n.csv'))\n"
+                "v = pandas.read_csv('c.csv')\n"
+                "s = v['col'].sum()\n"
+                "w = v.iloc[0].tolist()\n"
+                "u = pandas.concat(s, w)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

@@ -389,6 +389,76 @@ def test_slice_nodes():
     assert plain_slice["flows_to"]["2"] == [out["node_number"]]
 
 
+def test_subscript_chain_desugar():
+    """`x = df['col'].values` / `.sum()` / `df.iloc[0].tolist()` (late
+    r5): a dot-chain off a subscript access desugars into the two-line
+    form via a hidden temp — the intermediate read/selection node keeps
+    WALA's unnamed temp value (empty value_names) while the chain-final
+    node binds x; call args in the chain wire at their ordinals."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "d2 = pandas.read_csv('u.csv')\n"
+         "x = df['col'].values\n"
+         "y = df['col'].fillna(d2)\n"
+         "w = df.iloc[0].tolist()\n"
+         "out = pandas.read_csv(x, y, w)\n"],
+        cat,
+    )
+    # no desugar temp leaks into output
+    assert all(not v.startswith("_sub") for n in nodes
+               for v in n["value_names"])
+    reads = [n for n in nodes
+             if n["path"] == ["pandas", "read_csv", "col"]]
+    # two separate field reads (one per statement), both unnamed temps
+    assert len(reads) == 2 and all(n["value_names"] == [] for n in reads)
+    vals = next(n for n in nodes
+                if n["path"] == ["pandas", "read_csv", "col", "values"])
+    assert vals["value_names"] == ["x"]
+    fill = next(n for n in nodes
+                if n["path"] == ["pandas", "read_csv", "col", "fillna"])
+    assert fill["value_names"] == ["y"]
+    # d2 wires into fillna at arg ordinal 1; a col read is its receiver
+    d2 = next(n for n in nodes if n["value_names"] == ["d2"])
+    assert fill["node_number"] in d2["flows_to"]["1"]
+    assert any(fill["node_number"] in n["flows_to"].get("0", [])
+               for n in reads)
+    tol = next(n for n in nodes
+               if n["path"] == ["pandas", "read_csv", "iloc", "tolist"])
+    assert tol["value_names"] == ["w"]
+    # all three chain-finals feed the consumer at their ordinals
+    out = next(n for n in nodes if n["value_names"] == ["out"])
+    assert vals["flows_to"]["1"] == [out["node_number"]]
+    assert fill["flows_to"]["2"] == [out["node_number"]]
+    assert tol["flows_to"]["3"] == [out["node_number"]]
+    # bit-identical to the explicit two-line form modulo the temp name
+    one = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "x = df['col'].sum()\nz = pandas.concat(x)\n"],
+        cat,
+    )
+    two = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "t = df['col']\nx = t.sum()\nz = pandas.concat(x)\n"],
+        cat,
+    )
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]), n["is_slice"],
+         tuple(sorted((k, tuple(v)) for k, v in n["flows_to"].items())),
+         tuple((tuple(r["container"] or []), r["field"]) for r in n["reads"]))
+        for n in ns
+    ]
+    assert strip(one) == strip(two)
+
+
 def test_attr_nonslice_subscript_selection():
     """`x = df.iloc[0]` / `df.values[i]` / `df.loc['a']` (late r5): attr
     READ node then the access on its value — string key = second field
