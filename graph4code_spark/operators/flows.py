@@ -565,6 +565,22 @@ _SUBSCR_CHAIN_RE = re.compile(
     r"((?:\.[A-Za-z_]\w*(?:\([^()]*\))?)+)\s*$"
 )
 _SUB_TMP_RE = re.compile(r"^_sub\d+_$")
+#: a whole-statement call (optionally assigned) whose args may carry
+#: subscript chains to hoist: `z = pandas.concat(df['col'].values)`
+_CALL_STMT_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*\s*=\s*)?"
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\((.*)\)\s*$", re.S
+)
+#: an ARG that is a subscript chain — base, optional attrs, ONE
+#: bracket access, then ≥1 dot segment (optionally a call).  Bare
+#: `df['col']` / `df.values` args stay put (the per-occurrence read
+#: machinery already mints those); chains currently drop, so hoisting
+#: them into a temp assignment (which the chain desugar then splits) is
+#: pure recall with no change to existing shapes.
+_ARG_SUBSCR_CHAIN_RE = re.compile(
+    r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*\[[^\][]+\]"
+    r"(?:\.[A-Za-z_]\w*(?:\([^()]*\))?)+$"
+)
 #: `x = v[<any expression>]` — whole-subscript selection on a tracked
 #: value whose index is too complex for the string-key/simple-slice
 #: forms (nested brackets, computed slices); the reference mints a
@@ -659,6 +675,46 @@ def _split_args(argstr: str) -> list[str]:
     if cur:
         out.append("".join(cur).strip())
     return [a for a in out if a]
+
+
+#: one dict-literal entry `'key': VALUE` (string key, any value text)
+_DICT_ENTRY_RE = re.compile(
+    r"^\s*(?:'([^']*)'|\"([^\"]*)\")\s*:\s*(\S.*)$", re.S
+)
+
+
+def _dict_literal_fields(line, m, var_producer, var_klass,
+                         line_call_nodes=None, line_call_klass=None):
+    """key → (producer, klass) for a ``{...}`` container literal with
+    string keys whose values are tracked variables or calls made on this
+    line — so a later keyed load (``cfg['m'].fit(x)`` /
+    ``r = cfg['m']``) resolves exactly like the subscript-STORE form
+    (``cfg['m'] = SVC()``): WALA's ObjectLiteral fieldStore at
+    allocation (`…Engine.java:1892-1954`'s AstPropertyWrite def-use,
+    reached through the literal's per-key stores).  Digit keys stay out
+    (the emitters read digit fields as node references)."""
+    if m.start(2) < 1 or line[m.start(2) - 1] != "{":
+        return {}
+    out = {}
+    inner = m.group(2)
+    for off, part in zip(_split_args_offsets(inner), _split_args(inner)):
+        km = _DICT_ENTRY_RE.match(part)
+        if not km:
+            continue
+        key = km.group(1) if km.group(1) is not None else km.group(2)
+        if not key or key.isdigit():
+            continue
+        val = km.group(3).strip()
+        if val in var_producer:
+            out[key] = (var_producer[val], var_klass.get(val))
+        elif line_call_nodes:
+            voff = m.start(2) + off + (len(part) - len(km.group(3)))
+            if voff in line_call_nodes:
+                out[key] = (
+                    line_call_nodes[voff],
+                    (line_call_klass or {}).get(voff),
+                )
+    return out
 
 
 def _split_args_offsets(argstr: str) -> list[int]:
@@ -1330,6 +1386,36 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     t2_ = re.match(r"\s*([A-Za-z_]\w*)", rest_).group(1)
                     yield ln_, phys_, f"{ind_}{t1_} = {t2_}"
                     return
+                cs_ = _CALL_STMT_RE.match(stmt_)
+                if cs_ and "[" in (cs_.group(4) or ""):
+                    # subscript-chain ARGS hoist into temp assignments
+                    # before the call (args evaluate first, so the
+                    # transform is order-exact); the temp statements
+                    # re-enter the chain desugar below
+                    args_ = _split_args(cs_.group(4))
+                    if any(_ARG_SUBSCR_CHAIN_RE.match(a_.split("=", 1)[-1]
+                                                      if re.match(r"^[A-Za-z_]\w*=[^=]", a_)
+                                                      else a_)
+                           for a_ in args_):
+                        ind_ = cs_.group(1)
+                        new_args_ = []
+                        for a_ in args_:
+                            kw_ = re.match(r"^([A-Za-z_]\w*)=(?!=)(.*)$", a_, re.S)
+                            core_ = kw_.group(2).strip() if kw_ else a_
+                            if _ARG_SUBSCR_CHAIN_RE.match(core_):
+                                tmp_ = f"_sub{lam_counter[0]}_"
+                                lam_counter[0] += 1
+                                yield from _desugar_stmt(
+                                    ln_, phys_, f"{ind_}{tmp_} = {core_}")
+                                new_args_.append(
+                                    f"{kw_.group(1)}={tmp_}" if kw_ else tmp_)
+                            else:
+                                new_args_.append(a_)
+                        yield from _desugar_stmt(
+                            ln_, phys_,
+                            f"{ind_}{cs_.group(2) or ''}{cs_.group(3)}"
+                            f"({', '.join(new_args_)})")
+                        return
                 sc_ = _SUBSCR_CHAIN_RE.match(stmt_)
                 if sc_:
                     # dot-chain off a subscript access → the two-line
@@ -2894,6 +2980,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             var_members[v] = list(dict.fromkeys(members))
                             var_producer.pop(v, None)
                             var_klass.pop(v, None)
+                            # dict literal: string keys ALSO store their
+                            # values for keyed loads (the ObjectLiteral
+                            # per-key fieldStore — `cfg = {'m': SVC()}`
+                            # then `cfg['m'].fit(x)`)
+                            kf = _dict_literal_fields(
+                                line, cm_call, var_producer, var_klass,
+                                line_call_nodes, line_call_klass,
+                            )
+                            if kf:
+                                var_fields[v] = kf
                     fcm = _FOR_CALL_RE.match(line)
                     if fcm:
                         # `for v in f(...):` — iteration over a call
@@ -3291,6 +3387,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             var_members[cm.group(1)] = members
                             var_producer.pop(cm.group(1), None)
                             var_klass.pop(cm.group(1), None)
+                            # dict literal with string keys: keyed
+                            # stores for later `cfg['k']` loads
+                            kf = _dict_literal_fields(
+                                line, cm, var_producer, var_klass,
+                            )
+                            if kf:
+                                var_fields[cm.group(1)] = kf
                     elif am and (am.group(2) in var_producer or am.group(2) in var_members):
                         # copy propagation: `d = c` aliases c's producer(s)
                         # (the reference's SSA value flow makes this free)

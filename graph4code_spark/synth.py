@@ -528,7 +528,8 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "v = pandas.read_csv('c.csv')\n"
                 "s = v['col'].sum()\n"
                 "w = v.iloc[0].tolist()\n"
-                "u = pandas.concat(s, w)\n</code></pre>"
+                "u = pandas.concat(s, w)\n"
+                "u2 = pandas.concat(v['d'].values)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue
@@ -662,7 +663,10 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
             # must collapse to the same node shape as `m.fit(df)`, and a
             # second same-class instance with interleaved calls must not
             # cross-wire receiver edges (nor may the reassigned `p`
-            # resolve .fit against its stale class)
+            # resolve .fit against its stale class); final r5: a DICT
+            # LITERAL's string keys store their values (ObjectLiteral
+            # per-key fieldStore) so `cfg['sc'].fit(df)` resolves the
+            # stored ctor as its receiver
             abody += (
                 "<pre><code>import pandas\nimport sklearn\n"
                 "df = pandas.read_csv('g4.csv')\n"
@@ -674,7 +678,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "p.fit(df)\n"
                 "ms = [sklearn.svm.SVC(3.0), sklearn.svm.SVC(4.0)]\n"
                 "for mm in ms:\n"
-                "    rr = mm.fit(df)\n</code></pre>"
+                "    rr = mm.fit(df)\n"
+                "cfg = {'sc': sklearn.svm.SVC(5.0), 'dd': df}\n"
+                "kk = cfg['sc'].fit(cfg['dd'])\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

@@ -389,6 +389,90 @@ def test_slice_nodes():
     assert plain_slice["flows_to"]["2"] == [out["node_number"]]
 
 
+def test_subscript_chain_arg_hoist():
+    """A subscript chain in call-ARG position (final r5) hoists into a
+    temp assignment before the call — `pandas.concat(df['col'].values)`
+    mints the field read + attr read feeding concat at the arg's
+    ordinal, keyword args wire through the kw machinery, and bare
+    single-accessor args keep their existing per-occurrence shapes."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas, sklearn\ndf = pandas.read_csv('t.csv')\n"
+         "z = pandas.concat(df['a'].values, df['b'].sum())\n"
+         "m = sklearn.svm.SVC(C=df['c'].mean())\n"],
+        cat,
+    )
+    z = next(n for n in nodes if n["value_names"] == ["z"])
+    m = next(n for n in nodes if n["value_names"] == ["m"])
+    vals = next(n for n in nodes
+                if n["path"] == ["pandas", "read_csv", "a", "values"])
+    summ = next(n for n in nodes
+                if n["path"] == ["pandas", "read_csv", "b", "sum"])
+    mean = next(n for n in nodes
+                if n["path"] == ["pandas", "read_csv", "c", "mean"])
+    assert vals["flows_to"]["1"] == [z["node_number"]]
+    assert summ["flows_to"]["2"] == [z["node_number"]]
+    assert mean["flows_to"]["1"] == [m["node_number"]]
+    # hoist temps never leak
+    assert all(not v.startswith("_sub") for n in nodes
+               for v in n["value_names"])
+    # each chain mints its field read feeding the chain-final shape
+    for key in ("a", "b", "c"):
+        rd = next(n for n in nodes
+                  if n["path"] == ["pandas", "read_csv", key])
+        assert rd["value_names"] == [] and rd["reads"]
+
+
+def test_dict_literal_keyed_loads():
+    """`cfg = {'m': SVC(1), 'd': df}` (final r5): string keys store
+    their values like the subscript-STORE form, so `cfg['m'].fit(x)`
+    resolves against the stored ctor and `v = cfg['d']` propagates the
+    stored producer; a whole-object rebind invalidates the store."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas, sklearn\n"
+         "df = pandas.read_csv('t.csv')\n"
+         "cfg = {'d': df, 'm': sklearn.svm.SVC(1), 'n': 3}\n"
+         "r = cfg['m'].fit(cfg['d'], 1)\n"
+         "v = cfg['d']\n"
+         "z = pandas.concat(v)\n"],
+        cat,
+    )
+    svc = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"])
+    fit = next(n for n in nodes
+               if n["path"] == ["sklearn", "svm", "SVC", "fit"])
+    df = next(n for n in nodes if n["value_names"] == ["df"])
+    z = next(n for n in nodes if n["value_names"] == ["z"])
+    # stored ctor is the receiver (DATA-0) of the keyed method call
+    assert fit["node_number"] in svc["flows_to"]["0"]
+    # keyed load as an ARG: df feeds fit at ordinal 1
+    assert fit["node_number"] in df["flows_to"]["1"]
+    # keyed load as an assignment rhs propagates the producer
+    assert z["node_number"] in df["flows_to"].get("2", []) or \
+        z["node_number"] in df["flows_to"].get("1", [])
+    # whole-object rebind invalidates the keyed store
+    nodes2 = extract_page_flow_nodes(
+        "http://q/1",
+        ["import sklearn\ncfg = {'m': sklearn.svm.SVC(1)}\ncfg = 5\n"
+         "r = cfg['m'].fit(x, 1)\n"],
+        cat,
+    )
+    assert not any(n["path"] == ["sklearn", "svm", "SVC", "fit"]
+                   for n in nodes2)
+
+
 def test_subscript_chain_desugar():
     """`x = df['col'].values` / `.sum()` / `df.iloc[0].tolist()` (late
     r5): a dot-chain off a subscript access desugars into the two-line
