@@ -581,6 +581,17 @@ _ARG_SUBSCR_CHAIN_RE = re.compile(
     r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*\[[^\][]+\]"
     r"(?:\.[A-Za-z_]\w*(?:\([^()]*\))?)+$"
 )
+#: binop of subscript reads — `x = df['a'] + df['b']` / `df['new'] =
+#: df['a'] * k` (final r5): each subscript operand hoists into a temp
+#: (minting its field-read node), then the existing binop-union /
+#: field-write paths see tracked temps.  Exactly two operands, at
+#: least one a subscript access; LHS may itself be a subscript write.
+_SUBSCR_OPERAND = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\[[^\][]+\]"
+_BINOP_SUBSCR_RE = re.compile(
+    rf"^(\s*)([A-Za-z_]\w*(?:\[[^\][]+\])?)\s*=(?!=)\s*"
+    rf"({_SUBSCR_OPERAND}|[A-Za-z_]\w*|[\d.]+)\s*([-+*/%])\s*"
+    rf"({_SUBSCR_OPERAND}|[A-Za-z_]\w*|[\d.]+)\s*$"
+)
 #: `x = v[<any expression>]` — whole-subscript selection on a tracked
 #: value whose index is too complex for the string-key/simple-slice
 #: forms (nested brackets, computed slices); the reference mints a
@@ -1416,6 +1427,31 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             f"{ind_}{cs_.group(2) or ''}{cs_.group(3)}"
                             f"({', '.join(new_args_)})")
                         return
+                bs_ = _BINOP_SUBSCR_RE.match(stmt_)
+                if (bs_ and "[" in (bs_.group(3) + bs_.group(5))
+                        and not _EXPR_BINOP_RE.match(stmt_)):
+                    # (the string-key × string-key form stays whole —
+                    # the semForms expression miner owns that statement
+                    # and normalizes receivers by producer identity)
+                    # binop of subscript reads: hoist each subscript
+                    # operand into a temp so its field-read node mints
+                    # and the binop-union / field-write paths see
+                    # tracked values
+                    ind_ = bs_.group(1)
+                    ops_ = []
+                    for o_ in (bs_.group(3), bs_.group(5)):
+                        if "[" in o_:
+                            tmp_ = f"_sub{lam_counter[0]}_"
+                            lam_counter[0] += 1
+                            yield from _desugar_stmt(
+                                ln_, phys_, f"{ind_}{tmp_} = {o_}")
+                            ops_.append(tmp_)
+                        else:
+                            ops_.append(o_)
+                    yield ln_, phys_, (
+                        f"{ind_}{bs_.group(2)} = "
+                        f"{ops_[0]} {bs_.group(4)} {ops_[1]}")
+                    return
                 sc_ = _SUBSCR_CHAIN_RE.match(stmt_)
                 if sc_:
                     # dot-chain off a subscript access → the two-line

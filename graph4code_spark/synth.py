@@ -529,7 +529,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "s = v['col'].sum()\n"
                 "w = v.iloc[0].tolist()\n"
                 "u = pandas.concat(s, w)\n"
-                "u2 = pandas.concat(v['d'].values)\n</code></pre>"
+                "u2 = pandas.concat(v['d'].values)\n"
+                "u3 = v['e'] * 2\n"
+                "u4 = pandas.concat(u3)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

@@ -389,6 +389,46 @@ def test_slice_nodes():
     assert plain_slice["flows_to"]["2"] == [out["node_number"]]
 
 
+def test_binop_subscript_reads():
+    """`x = df['a'] * 2` / `df['new'] = df['c'] * 2` (final r5): a
+    subscript operand in a binop hoists into a temp minting its
+    field-read node, which unions into x (G7) and survives the write
+    form; the string-key × string-key form (`df['a'] + df['b']`) stays
+    whole for the semForms expression miner — it records the
+    dataflow-normalized expression and mints no read nodes, exactly as
+    before."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+        extract_page_expressions,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    code = ("import pandas\ndf = pandas.read_csv('t.csv')\n"
+            "x = df['a'] * 2\n"
+            "df['new'] = df['c'] * 2\n"
+            "z = pandas.concat(x)\n")
+    nodes = extract_page_flow_nodes("http://q/1", [code], cat)
+    z = next(n for n in nodes if n["value_names"] == ["z"])
+    ra = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "a"])
+    rc = next(n for n in nodes if n["path"] == ["pandas", "read_csv", "c"])
+    df = next(n for n in nodes if n["value_names"] == ["df"])
+    # the operand read unions into x and feeds the consumer
+    assert ra["flows_to"]["1"] == [z["node_number"]]
+    # the write form keeps its write record; the operand read mints
+    assert {"container": None, "field": "new"} in df["writes"]
+    assert rc["reads"] == [{"container": [df["node_number"]], "field": "c"}]
+    assert all(not v.startswith("_sub") for n in nodes
+               for v in n["value_names"])
+    # miner-owned statement: expression recorded, no read nodes minted
+    miner_code = ("import pandas\ndf = pandas.read_csv('t.csv')\n"
+                  "x = df['a'] + df['b']\n")
+    exprs = extract_page_expressions("http://q/1", [miner_code], cat)
+    assert exprs and "df0['a'] + df0['b']" in [e["code"] for e in exprs]
+    n2 = extract_page_flow_nodes("http://q/1", [miner_code], cat)
+    assert not any(n["path"][-1:] == ["a"] for n in n2)
+
+
 def test_subscript_chain_arg_hoist():
     """A subscript chain in call-ARG position (final r5) hoists into a
     temp assignment before the call — `pandas.concat(df['col'].values)`
