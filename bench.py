@@ -220,14 +220,28 @@ def _submit_levels(cores_list, n_pages: int, reps: int = SUBMIT_REPS) -> dict:
         for cores in cores_list:
             r = subprocess.run(
                 [_SPARK_SUBMIT, "--master", f"local[{cores}]",
+                 # launch-time driver sizing: spark.driver.memory set in
+                 # the SparkSession builder is IGNORED under
+                 # spark-submit (the JVM already started), so the 8g the
+                 # in-process sessions get must be passed here — the 1g
+                 # default OOMs at local[32] once 32 concurrent Arrow
+                 # batches of flow nodes are in flight
+                 "--driver-memory",
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
                  "--py-files", zip_path,
                  os.path.join(REPO, "jobs", "run_pipeline.py"),
                  "--bench", "1", "--pages", str(n_pages)],
                 capture_output=True, text=True, cwd=REPO, env=env,
                 timeout=2700,
             )
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            rec = json.loads(line)
+            json_lines = [l for l in r.stdout.splitlines()
+                          if l.startswith("{")]
+            if not json_lines:
+                raise RuntimeError(
+                    f"submit level local[{cores}] produced no bench JSON "
+                    f"(rc={r.returncode}); stderr tail:\n{r.stderr[-2000:]}"
+                )
+            rec = json.loads(json_lines[-1])
             if cores not in best or rec["sec"] < best[cores]["sec"]:
                 best[cores] = rec
     return {
