@@ -263,19 +263,31 @@ def _run_scaling() -> dict:
     showed ~10 s of core-count-independent driver wall (plan analysis +
     job setup) per run, an Amdahl term that distorted the ratio at 32k
     pages (see BENCH.md)."""
-    pre_ctrl, gate_ok, attempts = _wait_for_quiet_window()
     cores_list = [2, 8, CPUS]
-    if PROTOCOL == "submit" and os.path.exists(_SPARK_SUBMIT):
-        levels = _submit_levels(cores_list, N_PAGES)
-        protocol = "spark-submit"
-    else:
-        out_run = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--ladders",
-             ",".join(map(str, cores_list)), str(N_PAGES), str(REPEATS)],
-            capture_output=True, text=True, cwd=REPO, timeout=2700,
-        )
-        levels = json.loads(out_run.stdout.strip().splitlines()[-1])
-        protocol = "in-process-ladder"
+    # the gate brackets the ladder: a PRE sample admits the window and a
+    # POST sample validates it — a throttle burst opening MID-ladder
+    # (observed: pre 0.92 → post 0.10) invalidates the measurement, so
+    # the whole ladder re-runs on a fresh window (bounded retries; the
+    # last attempt is recorded either way, with its controls attached so
+    # a contaminated record is self-describing)
+    for _ladder_try in range(3):
+        pre_ctrl, gate_ok, attempts = _wait_for_quiet_window()
+        if PROTOCOL == "submit" and os.path.exists(_SPARK_SUBMIT):
+            levels = _submit_levels(cores_list, N_PAGES)
+            protocol = "spark-submit"
+        else:
+            out_run = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--ladders",
+                 ",".join(map(str, cores_list)), str(N_PAGES), str(REPEATS)],
+                capture_output=True, text=True, cwd=REPO, timeout=2700,
+            )
+            levels = json.loads(out_run.stdout.strip().splitlines()[-1])
+            protocol = "in-process-ladder"
+        post_ctrl = _measure_controls()
+        if (gate_ok and post_ctrl
+                and post_ctrl["membw_efficiency"] >= GATE_MEMBW):
+            break
+        gate_ok = False
 
     def eff(lo: int, hi: int) -> float:
         return round(
@@ -302,8 +314,8 @@ def _run_scaling() -> dict:
     # machine's shared memory controller allows a bandwidth-bound
     # workload (a multi-executor cluster gives each executor its own
     # controller, so the raw number understates cluster scaling; see
-    # BENCH.md attribution).
-    post_ctrl = _measure_controls()
+    # BENCH.md attribution).  post_ctrl comes from the bracketing loop
+    # above (`passed` is True only when BOTH samples cleared the gate).
     out["controls_gate"] = {
         "threshold": GATE_MEMBW,
         "passed": gate_ok,

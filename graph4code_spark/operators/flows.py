@@ -586,6 +586,20 @@ _ARG_SUBSCR_CHAIN_RE = re.compile(
 #: (minting its field-read node), then the existing binop-union /
 #: field-write paths see tracked temps.  Exactly two operands, at
 #: least one a subscript access; LHS may itself be a subscript write.
+#: pure attr chain on a TRACKED value — `x = m.coef_.T` / `df.T.values`
+#: (final r5): splits into single-attr reads the tracker already chains
+#: (`_sub = m.coef_` then `x = _sub.T`), recursing for longer chains.
+#: Guarded at desugar time on the base being tracked (the desugar
+#: generator is pulled statement-by-statement, so var_producer reflects
+#: all prior statements) — module paths (`x = sklearn.svm.SVC`) and
+#: self-attrs never match because modules/params are not in
+#: var_producer.
+#: chain capped at 40 hops: the desugar recurses once per attr, and an
+#: adversarial 1000-dot line must not turn into a RecursionError
+_ATTR_CHAIN_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*([A-Za-z_]\w*)"
+    r"((?:\.[A-Za-z_]\w*){2,40})\s*$"
+)
 _SUBSCR_OPERAND = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\[[^\][]+\]"
 _BINOP_SUBSCR_RE = re.compile(
     rf"^(\s*)([A-Za-z_]\w*(?:\[[^\][]+\])?)\s*=(?!=)\s*"
@@ -1427,6 +1441,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             f"{ind_}{cs_.group(2) or ''}{cs_.group(3)}"
                             f"({', '.join(new_args_)})")
                         return
+                ac_ = _ATTR_CHAIN_RE.match(stmt_)
+                if ac_ and ac_.group(3) in var_producer:
+                    # pure attr chain on a tracked base: split the first
+                    # attr into a hidden temp, recurse for the rest —
+                    # each hop is the single-attr read the tracker
+                    # already mints (chained AstPropertyReads)
+                    ind_, lhs_, base_, chain_ = ac_.groups()
+                    segs_ = chain_.split(".")[1:]
+                    tmp_ = f"_sub{lam_counter[0]}_"
+                    lam_counter[0] += 1
+                    yield from _desugar_stmt(
+                        ln_, phys_, f"{ind_}{tmp_} = {base_}.{segs_[0]}")
+                    yield from _desugar_stmt(
+                        ln_, phys_,
+                        f"{ind_}{lhs_} = {tmp_}." + ".".join(segs_[1:]))
+                    return
                 bs_ = _BINOP_SUBSCR_RE.match(stmt_)
                 if (bs_ and "[" in (bs_.group(3) + bs_.group(5))
                         and not _EXPR_BINOP_RE.match(stmt_)):

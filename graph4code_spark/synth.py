@@ -682,7 +682,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 "for mm in ms:\n"
                 "    rr = mm.fit(df)\n"
                 "cfg = {'sc': sklearn.svm.SVC(5.0), 'dd': df}\n"
-                "kk = cfg['sc'].fit(cfg['dd'])\n</code></pre>"
+                "kk = cfg['sc'].fit(cfg['dd'])\n"
+                "ct = m.coef_.T\n"
+                "cz = pandas.concat(ct)\n</code></pre>"
             )
             answers.append((aid, abody, votes))
             continue

@@ -389,6 +389,45 @@ def test_slice_nodes():
     assert plain_slice["flows_to"]["2"] == [out["node_number"]]
 
 
+def test_attr_chain_desugar():
+    """`x = m.coef_.T` (final r5): a pure attr chain on a tracked value
+    splits into the single-attr reads the tracker already chains —
+    each hop a read node with a container back-ref, the last binding x;
+    module paths (`x = sklearn.svm.SVC`) and untracked bases stay
+    untouched, and an adversarial 1000-dot line does not recurse."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas, sklearn\nm = sklearn.svm.SVC(1)\n"
+         "x = m.coef_.T\nz = pandas.concat(x)\n"],
+        cat,
+    )
+    svc = next(n for n in nodes if n["path"] == ["sklearn", "svm", "SVC"])
+    coef = next(n for n in nodes
+                if n["path"] == ["sklearn", "svm", "SVC", "coef_"])
+    t = next(n for n in nodes
+             if n["path"] == ["sklearn", "svm", "SVC", "coef_", "T"])
+    z = next(n for n in nodes if n["value_names"] == ["z"])
+    assert coef["reads"] == [{"container": [svc["node_number"]],
+                              "field": "coef_"}]
+    assert t["reads"] == [{"container": [coef["node_number"]],
+                           "field": "T"}]
+    assert coef["value_names"] == [] and t["value_names"] == ["x"]
+    assert t["flows_to"]["1"] == [z["node_number"]]
+    # module path stays a module path (no spurious read nodes)
+    n2 = extract_page_flow_nodes(
+        "http://q/1",
+        ["import sklearn\nC = sklearn.svm.SVC\nr = C(1).fit(x, 1)\n"],
+        cat,
+    )
+    assert not any(n["reads"] for n in n2)
+
+
 def test_binop_subscript_reads():
     """`x = df['a'] * 2` / `df['new'] = df['c'] * 2` (final r5): a
     subscript operand in a binop hoists into a temp minting its
