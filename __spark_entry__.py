@@ -2096,6 +2096,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patched_types": q_kg_patched_types,
         "kg_rst_docstrings": q_kg_rst_docstrings,
         "kg_golden_nq": q_kg_golden_nq,
+        "kg_sink_roundtrip": q_kg_sink_roundtrip,
         "kg_golden_emitter": q_kg_golden_emitter,
         "top_modules": q_top_modules,
         "builtin_blacklist": q_builtin_blacklist,
@@ -2210,6 +2211,7 @@ def oracle_sql_full() -> dict[str, str]:
         "kg_patched_types": _oracle_kg_patched_types(),
         "kg_rst_docstrings": _oracle_kg_rst_docstrings(),
         "kg_golden_nq": _oracle_kg_golden_nq(),
+        "kg_sink_roundtrip": _oracle_kg_sink_roundtrip(),
         "kg_golden_emitter": _oracle_kg_golden_emitter(),
         "top_modules": _oracle_top_modules(),
         "builtin_blacklist": _oracle_builtin_blacklist(),
@@ -2656,8 +2658,12 @@ def q_kg_golden_nq(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents loaded by `sources/analysis_json.py`, re-emitted by
     `emitters/analysis.py`, and matched quad-for-quad against these
     same WALA-emitted graphs — folded into the curated family row.
-    Oracle: an independent `re`-based Python parse of the same files
-    (+ the straight-line emitter recomputation for the parity rows)."""
+    PLUS (`sink:` pred rows): the S8/S12/A6 materialize-sink round trip
+    (q_kg_sink_roundtrip) — write, read-back, lineage parity, resume
+    proof — so the last three formerly pytest-only operators hold a
+    green row ON the driver record.  Oracle: an independent `re`-based
+    Python parse of the same files (+ the straight-line emitter and
+    sink recomputations for the parity rows)."""
     from graph4code_spark.nq import parse_nq_lines
 
     g = parse_nq_lines(
@@ -2683,7 +2689,18 @@ def q_kg_golden_nq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         zero.alias("n_lit"), zero.alias("n_ann"), zero.alias("n_subj"),
     )
-    return vocab.unionAll(parity)
+    # PLUS (r5, `sink:` pred rows): the S8/S12/A6 materialize-sink round
+    # trip (q_kg_sink_roundtrip) folded onto the same curated family row
+    # — write + read-back per-pred counts, lineage parity, resume proof.
+    sinkrows = q_kg_sink_roundtrip(spark, sf_dir).select(
+        F.lit("__sink__").alias("file"),
+        F.concat(F.lit("sink:"), F.col("pred_name")).alias("pred"),
+        F.col("rows_written").alias("n"),
+        F.col("lineage_rows").alias("n_lit"),
+        F.col("resumed_recomputes").alias("n_ann"),
+        F.col("n_subj"),
+    )
+    return vocab.unionAll(parity).unionAll(sinkrows)
 
 
 def _oracle_kg_golden_nq() -> str:
@@ -2722,6 +2739,10 @@ def _oracle_kg_golden_nq() -> str:
     rows += [
         (fname, f"emitter:{status}", n, 0, 0, 0)
         for fname, status, n in _golden_emitter_rows()
+    ]
+    rows += [
+        ("__sink__", f"sink:{pn}", n, lineage, recomputed, n_subj)
+        for pn, n, lineage, n_subj, recomputed in _sink_roundtrip_rows()
     ]
     return _values_table(
         rows,
@@ -2926,6 +2947,111 @@ def _oracle_kg_golden_emitter() -> str:
         _golden_emitter_rows(),
         ["file", "status", "n"],
         ["VARCHAR", "VARCHAR", "BIGINT"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8/S12/A6: the materialize sink + checkpoint/resume, round-tripped onto
+# the strict oracle record (VERDICT r4 coverage: these three were the last
+# pytest-only operators)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + S12 + A6 behind a strict oracle: the graph-materialize sink
+    round trip.  The docstring quad table — unioned with a FULL copy of
+    itself, which the sink's SO1 set semantics must collapse
+    (`materialize.dedup_quads`; reference: rdflib quad-set collapse in
+    `/root/reference/src/utils.py:465-470`) — is written through
+    `materialize_triples` (observe() totals + the per-(pred,bucket)
+    lineage table, A6/S8's single-table merge sink), then read BACK off
+    disk.  A `StageRunner` checkpoint of the same quads is then resumed
+    by a second runner whose build thunk must not fire (S12; reference
+    analogue: pickle checkpointing, `/root/reference/src/utils.py:
+    104-189`).  One returned row per predicate short-name: rows on disk,
+    lineage-table row sum (must agree), distinct subjects, and the
+    resumed runner's recompute count (always 0).  Only bounded collects
+    (≤ |predicate vocabulary| rows — the fixed ~40-edge vocabulary that
+    also makes `pred_name` a safe partition column at 100 TB)."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph4code_spark.materialize import materialize_triples
+    from graph4code_spark.plans.pipeline import StageRunner
+    from graph4code_spark.schemas import TRIPLE_COLS
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    quads = docstring_triples(catalog_df(spark, FIXED_CATALOG), alias).select(
+        *TRIPLE_COLS
+    )
+    base = tempfile.mkdtemp(prefix="g4c_sink_rt_")
+    try:
+        sink = os.path.join(base, "quads")
+        materialize_triples(quads.unionAll(quads), sink)
+        written = spark.read.parquet(sink)
+        per_pred = written.groupBy("pred_name").agg(
+            F.count(F.lit(1)).alias("rows_written"),
+            F.count_distinct("subj").alias("n_subj"),
+        )
+        lineage = (
+            spark.read.parquet(sink + "_lineage")
+            .groupBy("pred_name")
+            .agg(F.sum("rows").alias("lineage_rows"))
+        )
+        ck = os.path.join(base, "stages")
+        StageRunner(spark, ck, "fp0").run("quads", lambda: quads)
+        build_calls: list[int] = []
+        resumed = StageRunner(spark, ck, "fp0")
+        resumed.run("quads", lambda: build_calls.append(1) or quads)
+        n_recomputed = len(resumed.executed) + len(build_calls)
+        rows = sorted(
+            (
+                r["pred_name"],
+                int(r["rows_written"]),
+                int(r["lineage_rows"]),
+                int(r["n_subj"]),
+                n_recomputed,
+            )
+            for r in per_pred.join(lineage, "pred_name").collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="pred_name string, rows_written long, lineage_rows long, "
+        "n_subj long, resumed_recomputes long",
+    )
+
+
+def _sink_roundtrip_rows() -> list[tuple]:
+    """Straight-line twin of q_kg_sink_roundtrip: the independent
+    reference_impl quad set, deduped, keyed by predicate short-name."""
+    import re as _re
+    from collections import defaultdict
+
+    from graph4code_spark.reference_impl.emitters import documentation_quads
+
+    alias = build_class_alias_map(FIXED_CLASS_MAP)
+    quads = set()
+    for rec in FIXED_CATALOG:
+        quads |= documentation_quads(rec, alias)
+    per: dict[str, list] = defaultdict(lambda: [0, set()])
+    for subj, pred, _obj, _lit, _graph in quads:
+        e = per[_re.split(r"[#/]", pred)[-1]]
+        e[0] += 1
+        e[1].add(subj)
+    return sorted(
+        (pn, n, n, len(subjs), 0) for pn, (n, subjs) in per.items()
+    )
+
+
+def _oracle_kg_sink_roundtrip() -> str:
+    return _values_table(
+        _sink_roundtrip_rows(),
+        ["pred_name", "rows_written", "lineage_rows", "n_subj",
+         "resumed_recomputes"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
     )
 
 
