@@ -171,6 +171,20 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
 - `del a, b` (late r5): unbinds the named variables — WALA treats a
   post-del use as an unresolved read, so dropping every binding keeps
   stale producers from cross-wiring later receiver edges
+- condition-call hoist (final r5): a dotted call in an `if`/`while`
+  condition (`if df.dropna() is not None:`, `while m.score(X) < t:`)
+  hoists into a `_subN_` temp just before the head — the condition
+  evaluates on the pre path, so placement is exact for `if` and the
+  walrus-style one-unrolling approximation for `while`; chains unwind
+  recursively (`if df.isnull().sum() > 0:`).  Subset: dotted callees
+  only (`len(df.dropna())` hoists the inner call, not len), `elif`
+  heads stay out (a hoist between chain arms would break the open
+  frame), string literals skipped by quote parity
+- subscript-write chain RHS (final r5): `df['z'] = df['a'].apply(str)`
+  hoists the RHS chain into a temp (the chain desugar splits it), so
+  the field read + chain-final call mint AND the existing
+  subscript-STORE path records the `z` write on df's producer —
+  bit-identical to the two-line form
 - walrus (late r5): `(name := EXPR)` hoists into `name = EXPR` just
   before the statement with the group replaced by the bare name —
   Python binds the walrus in the enclosing scope when the expression
@@ -440,6 +454,22 @@ _WALRUS_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*:=\s*")
 _DEL_STMT_RE = re.compile(
     r"^\s*del\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*$"
 )
+#: a dotted call with paren-free args inside an `if`/`while` condition
+#: (final r5) — `if df.dropna() is not None:` / `while m.score(X) < t:`:
+#: the call hoists into a `_subN_` temp just before the head (the
+#: condition always evaluates on the pre path when control reaches the
+#: statement, so the placement is exact for `if`; for `while` the hoist
+#: evaluates once ahead of the re-test — the same one-unrolling
+#: approximation the walrus hoist and the loop projection take).
+#: Innermost-first: recursion unwinds outer chain hops
+#: (`if df.isnull().sum() > 0:` hoists isnull then `_sub_.sum()`).
+#: Subset: dotted callees only (bare `len(...)`/ctor calls stay put,
+#: their ARGS still hoist), `elif` heads stay out (a hoist between
+#: chain arms would break the open frame), strings in the condition
+#: are skipped by quote parity.
+_COND_CALL_RE = re.compile(
+    r"(?<![\w.)\]])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)\(([^()]*)\)"
+)
 
 
 def _split_lambda_arg(stmt: str):
@@ -563,6 +593,15 @@ _SUBSCR_CHAIN_RE = re.compile(
     r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*"
     r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\[[^\][]+\])"
     r"((?:\.[A-Za-z_]\w*(?:\([^()]*\))?)+)\s*$"
+)
+#: string-keyed subscript WRITE target with a chain RHS (final r5) —
+#: `df['z'] = df['a'].apply(str)` / `df['z'] = df['a'].values`: the RHS
+#: hoists into a `_subN_` temp (which the chain desugar above then
+#: splits), so the existing subscript-STORE path sees a tracked value.
+#: Target form mirrors _SUBSCR_WRITE_RE (one string-keyed bracket).
+_SUBSCR_WRITE_CHAIN_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*\[\s*(?:'[^']*'|\"[^\"]*\")\s*\])\s*=(?!=)\s*(.+?)\s*$",
+    re.S,
 )
 _SUB_TMP_RE = re.compile(r"^_sub\d+_$")
 #: a whole-statement call (optionally assigned) whose args may carry
@@ -1399,6 +1438,30 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             ln_, phys_,
                             stmt_[:o_] + nm2_ + stmt_[close_ + 1:])
                         return
+                head2_ = stmt_.lstrip()
+                if (
+                    (head2_.startswith("if ") or head2_.startswith("while "))
+                    and head2_.rstrip().endswith(":")
+                ):
+                    # hoist dotted calls out of if/while conditions: the
+                    # condition evaluates on the pre path, so a temp
+                    # assignment just before the head is exact for `if`
+                    # (one-unrolling approximation for `while`, like the
+                    # walrus hoist); recursion unwinds outer chain hops
+                    body_ = head2_.rstrip()[:-1]
+                    for cc_ in _COND_CALL_RE.finditer(body_):
+                        pre_ = body_[: cc_.start()]
+                        if pre_.count("'") % 2 or pre_.count('"') % 2:
+                            continue  # inside a string literal
+                        ind_ = stmt_[: len(stmt_) - len(head2_)]
+                        tmp_ = f"_sub{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_} = {cc_.group(0)}")
+                        yield from _desugar_stmt(
+                            ln_, phys_,
+                            ind_ + pre_ + tmp_ + body_[cc_.end():] + ":")
+                        return
                 dm_ = _BARE_DECORATOR_RE.match(stmt_)
                 if dm_:
                     # `@D` runs D at def time: mint its call in place
@@ -1494,6 +1557,20 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     yield from _desugar_stmt(ln_, phys_, f"{ind_}{tmp_} = {acc_}")
                     yield from _desugar_stmt(ln_, phys_, f"{ind_}{lhs_} = {tmp_}{chain_}")
                     return
+                if "[" in stmt_:
+                    swc_ = _SUBSCR_WRITE_CHAIN_RE.match(stmt_)
+                    if swc_ and _ARG_SUBSCR_CHAIN_RE.match(swc_.group(3)):
+                        # subscript-WRITE target with a chain RHS:
+                        # `df['z'] = df['a'].apply(str)` — hoist the RHS
+                        # into a temp (the chain desugar splits it), then
+                        # the subscript-STORE path sees a tracked value
+                        ind_, tgt_, rhs_ = swc_.groups()
+                        tmp_ = f"_sub{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_} = {rhs_}")
+                        yield ln_, phys_, f"{ind_}{tgt_} = {tmp_}"
+                        return
                 lam = _LAMBDA_RE.match(stmt_)
                 if lam:
                     yield ln_, phys_, f"def {lam.group(1)}({lam.group(2).strip()}):"

@@ -2305,3 +2305,106 @@ def test_literal_tuple_unpack_element_wise():
     nodes3 = extract_page_flow_nodes("http://q/sg", [single], cat)
     elems = [n for n in nodes3 if n["path"][-1] in ("0", "1")]
     assert [e["value_names"] for e in elems] == [["tr"], ["te"]]
+
+
+def test_condition_call_hoist():
+    """`if df.dropna() is not None:` / `while m.head() is None:` (final
+    r5): a dotted call in an if/while condition hoists into a temp just
+    before the head — the condition evaluates on the pre path, so the
+    node set is bit-identical to the explicit two-line form modulo the
+    temp name; chains unwind recursively; calls inside string literals
+    and bare (dotless) callees stay put."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]), n["is_import"],
+         tuple(sorted((k, tuple(v)) for k, v in n["flows_to"].items())))
+        for n in ns
+    ]
+    one = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "if df.isnull().sum() > 0:\n    g = df.dropna()\n"],
+        cat,
+    )
+    two = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "t0 = df.isnull()\nt1 = t0.sum()\n"
+         "if t1 > 0:\n    g = df.dropna()\n"],
+        cat,
+    )
+    assert strip(one) == strip(two)
+    # no temp leaks; condition nodes are unnamed intermediates
+    assert all(not v.startswith("_sub") for n in one
+               for v in n["value_names"])
+    isn = next(n for n in one if n["path"][-1] == "isnull")
+    assert isn["value_names"] == []
+    # while: same hoist, one-unrolling placement before the head
+    w = extract_page_flow_nodes(
+        "http://q/w",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "while df.head() is None:\n    x = 1\n"],
+        cat,
+    )
+    assert any(n["path"][-1] == "head" for n in w)
+    # a call spelled inside a string literal must NOT mint
+    s = extract_page_flow_nodes(
+        "http://q/s",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "if 'df.dropna(x)' in df:\n    y = 1\n"],
+        cat,
+    )
+    assert not any(n["path"][-1] == "dropna" for n in s)
+    # dotless callee (len) stays put; its dotted ARG still hoists
+    ln = extract_page_flow_nodes(
+        "http://q/l",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "if len(df.dropna()) > 0:\n    y = 1\n"],
+        cat,
+    )
+    assert any(n["path"][-1] == "dropna" for n in ln)
+    assert not any(n["path"][-1] == "len" for n in ln)
+
+
+def test_subscript_write_chain_rhs():
+    """`df['z'] = df['a'].apply(str)` (final r5): a chain RHS behind a
+    string-keyed subscript WRITE target hoists into a temp, minting the
+    field read + chain-final call AND the `z` field write on the
+    target's producer — bit-identical to the two-line form."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]),
+         tuple(sorted((k, tuple(v)) for k, v in n["flows_to"].items())),
+         tuple((tuple(r["container"] or []), r["field"]) for r in n["reads"]),
+         tuple((tuple(w["container"] or []), w["field"]) for w in n["writes"]))
+        for n in ns
+    ]
+    one = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "df['z'] = df['a'].values\n"],
+        cat,
+    )
+    two = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "t = df['a'].values\ndf['z'] = t\n"],
+        cat,
+    )
+    assert strip(one) == strip(two)
+    rd = next(n for n in one if n["path"][-1] == "a")
+    assert rd["reads"] == [{"container": [1], "field": "a"}]
+    vals = next(n for n in one if n["path"][-1] == "values")
+    assert vals["value_names"] == []
+    prod = next(n for n in one if n["value_names"] == ["df"])
+    assert {"container": None, "field": "z"} in prod["writes"]
