@@ -470,6 +470,33 @@ _DEL_STMT_RE = re.compile(
 _COND_CALL_RE = re.compile(
     r"(?<![\w.)\]])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)\(([^()]*)\)"
 )
+#: a field access on a TRACKED base inside an `if`/`while` condition
+#: (final r5) — `if df.empty:` / `if df['a'] is None:`: hoisted like
+#: the condition calls above, minting the AstPropertyRead the
+#: assignment form already mints.  Single attr hop only (chains stay
+#: out; a subscript may carry a trailing chain — recursion unwinds it
+#: through the subscript-chain desugar).  The tracked-base guard keeps
+#: module paths (`pd.DataFrame` in an isinstance) from matching.
+_COND_READ_RE = re.compile(
+    r"(?<![\w.)\]])([A-Za-z_]\w*)"
+    r"(\.[A-Za-z_]\w*(?![\w.(\[])|\[\s*(?:'[^']*'|\"[^\"]*\")\s*\])"
+)
+#: augmented assignment onto a FIELD target (final r5) — `df['a'] += 1`
+#: / `df.a *= 2`: desugars into the exact read-then-write two-line form
+#: (`_subN_ = TARGET` then `TARGET = _subN_ op EXPR`), minting the
+#: field-read node and the store on the base's producer.  Python's
+#: evaluation order (read target, evaluate RHS, write) is preserved.
+#: Name-target augmented (`x += a`) keeps the existing G7 fold.
+_AUG_FIELD_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*(?:\.[A-Za-z_]\w*|\[\s*(?:'[^']*'|\"[^\"]*\")\s*\]))"
+    r"\s*(\*\*|//|>>|<<|[+\-*/%&|^])=\s*(.+?)\s*$",
+    re.S,
+)
+#: RHS atoms that need no defensive parens in the aug-field desugar
+_AUG_ATOM_RE = re.compile(
+    r"^(?:[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*(?:\[[^\][]+\])?"
+    r"|-?\d+(?:\.\d+)?|'[^']*'|\"[^\"]*\")$"
+)
 
 
 def _split_lambda_arg(stmt: str):
@@ -1462,6 +1489,26 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             ln_, phys_,
                             ind_ + pre_ + tmp_ + body_[cc_.end():] + ":")
                         return
+                    # no call to hoist: field accesses on TRACKED bases
+                    # (`if df.empty:`, `if df['a'] is None:`) hoist the
+                    # same way, minting the read the assignment form
+                    # mints; a subscript's trailing chain unwinds via
+                    # the chain desugar on the next pass
+                    for cr_ in _COND_READ_RE.finditer(body_):
+                        if cr_.group(1) not in var_producer:
+                            continue
+                        pre_ = body_[: cr_.start()]
+                        if pre_.count("'") % 2 or pre_.count('"') % 2:
+                            continue
+                        ind_ = stmt_[: len(stmt_) - len(head2_)]
+                        tmp_ = f"_sub{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_} = {cr_.group(0)}")
+                        yield from _desugar_stmt(
+                            ln_, phys_,
+                            ind_ + pre_ + tmp_ + body_[cr_.end():] + ":")
+                        return
                 dm_ = _BARE_DECORATOR_RE.match(stmt_)
                 if dm_:
                     # `@D` runs D at def time: mint its call in place
@@ -1557,6 +1604,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     yield from _desugar_stmt(ln_, phys_, f"{ind_}{tmp_} = {acc_}")
                     yield from _desugar_stmt(ln_, phys_, f"{ind_}{lhs_} = {tmp_}{chain_}")
                     return
+                if "." in stmt_ or "[" in stmt_:
+                    ag_ = _AUG_FIELD_RE.match(stmt_)
+                    if ag_:
+                        # `df['a'] += 1` / `df.a *= 2`: exact two-line
+                        # read-then-write form via a hidden temp
+                        ind_, tgt_, op_, rhs_ = ag_.groups()
+                        if not _AUG_ATOM_RE.match(rhs_):
+                            rhs_ = f"({rhs_})"
+                        tmp_ = f"_sub{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_} = {tgt_}")
+                        yield from _desugar_stmt(
+                            ln_, phys_,
+                            f"{ind_}{tgt_} = {tmp_} {op_} {rhs_}")
+                        return
                 if "[" in stmt_:
                     swc_ = _SUBSCR_WRITE_CHAIN_RE.match(stmt_)
                     if swc_ and _ARG_SUBSCR_CHAIN_RE.match(swc_.group(3)):

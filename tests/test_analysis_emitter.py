@@ -2408,3 +2408,78 @@ def test_subscript_write_chain_rhs():
     assert vals["value_names"] == []
     prod = next(n for n in one if n["value_names"] == ["df"])
     assert {"container": None, "field": "z"} in prod["writes"]
+
+
+def test_condition_read_hoist():
+    """`if df.empty:` / `if df['a'] is None:` (final r5): a field access
+    on a TRACKED base in an if/while condition hoists like the condition
+    calls, minting the read node the assignment form mints; module paths
+    (isinstance's `pd.DataFrame`) and untracked bases stay out; a
+    subscript's trailing chain unwinds recursively."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    attr = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "if df.empty:\n    y = 1\n"],
+        cat,
+    )
+    emp = next(n for n in attr if n["path"][-1] == "empty")
+    assert emp["reads"] == [{"container": [1], "field": "empty"}]
+    assert emp["value_names"] == []
+    sub = extract_page_flow_nodes(
+        "http://q/2",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "if df['a'].sum() > 0:\n    y = 1\n"],
+        cat,
+    )
+    rd = next(n for n in sub if n["path"][-1] == "a")
+    sm = next(n for n in sub if n["path"][-1] == "sum")
+    assert sm["node_number"] in rd["flows_to"]["0"]
+    # guards: module path in isinstance and untracked dict stay silent
+    iso = extract_page_flow_nodes(
+        "http://q/3",
+        ["import pandas\ndf = pandas.read_csv('t.csv')\n"
+         "if isinstance(df, pandas.DataFrame):\n    y = 1\n"],
+        cat,
+    )
+    assert not any(n["path"][-1] == "DataFrame" for n in iso)
+    unt = extract_page_flow_nodes(
+        "http://q/4", ["cfg = {}\nif cfg['x'] is None:\n    y = 1\n"], cat,
+    )
+    assert unt == []
+
+
+def test_augmented_field_target():
+    """`df['a'] += 1` / `df.a *= 2` (final r5): augmented assignment
+    onto a field target desugars into the exact read-then-write
+    two-line form — the field-read node mints and the store lands on
+    the base's producer, bit-identical to the explicit form."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]),
+         tuple((tuple(r["container"] or []), r["field"]) for r in n["reads"]),
+         tuple((tuple(w["container"] or []), w["field"]) for w in n["writes"]))
+        for n in ns
+    ]
+    for aug, twoline in [
+        ("df['a'] += 1\n", "t = df['a']\ndf['a'] = t + 1\n"),
+        ("df.a *= 2\n", "t = df.a\ndf.a = t * 2\n"),
+    ]:
+        pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+        one = extract_page_flow_nodes("http://q/1", [pre + aug], cat)
+        two = extract_page_flow_nodes("http://q/1", [pre + twoline], cat)
+        assert strip(one) == strip(two), aug
+        prod = next(n for n in one if n["value_names"] == ["df"])
+        assert prod["writes"], aug
+        assert all(not v.startswith("_sub") for n in one
+                   for v in n["value_names"])
