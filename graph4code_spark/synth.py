@@ -368,6 +368,16 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                         "m2 = sklearn.svm.SVC(df)\n"
                         "r2 = m2.fit(df, 5)\n"
                     )
+                # final-r5 shapes at volume: condition-call/read hoists,
+                # subscript-write chain RHS, augmented field target
+                body_code += (
+                    "if df.isnull().sum() > 0:\n"
+                    "    dfc = df.dropna()\n"
+                    "if df.empty:\n"
+                    "    dfe = df.fillna(0)\n"
+                    "df['z'] = df['w'].values\n"
+                    "df['n'] += 1\n"
+                )
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     + body_code + "</code></pre>"
