@@ -621,6 +621,27 @@ _SUBSCR_CHAIN_RE = re.compile(
     r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\[[^\][]+\])"
     r"((?:\.[A-Za-z_]\w*(?:\([^()]*\))?)+)\s*$"
 )
+#: a CALL followed by a subscript access (then any chain) on the RHS
+#: (final r5) — `x = df.groupby('k')['v'].mean()`: the call hoists into
+#: a temp, so the subscript read and trailing chain mint through the
+#: existing subscript-chain machinery, bit-identical to the two-line
+#: `g = df.groupby('k')` form.  Paren-free call args only (nested calls
+#: unwind through the arg-hoist paths).
+_CALL_SUBSCR_CHAIN_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*"
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*\([^()]*\))"
+    r"((?:\[[^\][]+\]|\.[A-Za-z_]\w*(?:\([^()]*\))?)+)\s*$",
+    re.S,
+)
+#: inner field accesses / dotted calls inside a COMPLEX index (final
+#: r5) — `df2 = df[df['a'] > 0]` / `df2 = df[df.a > 0]`: each inner
+#: access hoists into a temp (minting its read through the assignment
+#: form), leaving the boolean-mask selection itself on the existing
+#: complex-index path; reads keep the tracked-base guard, dotted calls
+#: hoist like the condition-hoist precedent.
+_INDEX_EXPR_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*([A-Za-z_]\w*)\[(.+)\]\s*$", re.S
+)
 #: string-keyed subscript WRITE target with a chain RHS (final r5) —
 #: `df['z'] = df['a'].apply(str)` / `df['z'] = df['a'].values`: the RHS
 #: hoists into a `_subN_` temp (which the chain desugar above then
@@ -1521,6 +1542,19 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     t2_ = re.match(r"\s*([A-Za-z_]\w*)", rest_).group(1)
                     yield ln_, phys_, f"{ind_}{t1_} = {t2_}"
                     return
+                if "(" in stmt_ and "[" in stmt_:
+                    csc_ = _CALL_SUBSCR_CHAIN_RE.match(stmt_)
+                    if csc_ and csc_.group(4).startswith("["):
+                        # call → subscript (→ chain): hoist the call so
+                        # the access chain mints on its tracked value
+                        ind_, lhs_, call_, tail_ = csc_.groups()
+                        tmp_ = f"_sub{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_} = {call_}")
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{lhs_} = {tmp_}{tail_}")
+                        return
                 cs_ = _CALL_STMT_RE.match(stmt_)
                 if cs_ and "[" in (cs_.group(4) or ""):
                     # subscript-chain ARGS hoist into temp assignments
@@ -1620,6 +1654,31 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             ln_, phys_,
                             f"{ind_}{tgt_} = {tmp_} {op_} {rhs_}")
                         return
+                if "[" in stmt_:
+                    ie_ = _INDEX_EXPR_RE.match(stmt_)
+                    if ie_:
+                        # complex index: hoist inner tracked reads /
+                        # dotted calls so their nodes mint; the mask
+                        # selection stays on the complex-index path
+                        idx_ = ie_.group(4)
+                        hits_ = list(_COND_CALL_RE.finditer(idx_)) + [
+                            h_ for h_ in _COND_READ_RE.finditer(idx_)
+                            if h_.group(1) in var_producer
+                        ]
+                        for ih_ in hits_:
+                            pre_ = idx_[: ih_.start()]
+                            if pre_.count("'") % 2 or pre_.count('"') % 2:
+                                continue
+                            ind_, lhs_, base_ = ie_.group(1, 2, 3)
+                            tmp_ = f"_sub{lam_counter[0]}_"
+                            lam_counter[0] += 1
+                            yield from _desugar_stmt(
+                                ln_, phys_, f"{ind_}{tmp_} = {ih_.group(0)}")
+                            yield from _desugar_stmt(
+                                ln_, phys_,
+                                f"{ind_}{lhs_} = {base_}"
+                                f"[{pre_}{tmp_}{idx_[ih_.end():]}]")
+                            return
                 if "[" in stmt_:
                     swc_ = _SUBSCR_WRITE_CHAIN_RE.match(stmt_)
                     if swc_ and _ARG_SUBSCR_CHAIN_RE.match(swc_.group(3)):

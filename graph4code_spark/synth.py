@@ -369,7 +369,8 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                         "r2 = m2.fit(df, 5)\n"
                     )
                 # final-r5 shapes at volume: condition-call/read hoists,
-                # subscript-write chain RHS, augmented field target
+                # subscript-write chain RHS, augmented field target,
+                # boolean-mask inner read, call→subscript chain
                 body_code += (
                     "if df.isnull().sum() > 0:\n"
                     "    dfc = df.dropna()\n"
@@ -377,6 +378,8 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "    dfe = df.fillna(0)\n"
                     "df['z'] = df['w'].values\n"
                     "df['n'] += 1\n"
+                    "df2 = df[df['n'] > 0]\n"
+                    "gm = df.groupby('z')['w'].mean()\n"
                 )
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"

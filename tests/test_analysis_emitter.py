@@ -2483,3 +2483,64 @@ def test_augmented_field_target():
         assert prod["writes"], aug
         assert all(not v.startswith("_sub") for n in one
                    for v in n["value_names"])
+
+
+def test_call_subscript_chain():
+    """`x = df.groupby('k')['v'].mean()` (final r5): a call followed by
+    a subscript access hoists the call into a temp, so the field read
+    and trailing chain mint — bit-identical to the two-line
+    `g = df.groupby('k')` form modulo the temp name."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]),
+         tuple(sorted((k, tuple(v)) for k, v in n["flows_to"].items())),
+         tuple((tuple(r["container"] or []), r["field"]) for r in n["reads"]))
+        for n in ns
+    ]
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    one = extract_page_flow_nodes(
+        "http://q/1", [pre + "x = df.groupby('k')['v'].mean()\n"], cat)
+    two = extract_page_flow_nodes(
+        "http://q/1", [pre + "g = df.groupby('k')\nx = g['v'].mean()\n"], cat)
+    assert strip(one) == strip(two)
+    mean = next(n for n in one if n["path"][-1] == "mean")
+    assert mean["value_names"] == ["x"]
+    rd = next(n for n in one if n["path"][-1] == "v")
+    assert mean["node_number"] in rd["flows_to"]["0"]
+
+
+def test_complex_index_inner_reads():
+    """`df2 = df[df['a'] > 0]` / `df[df.a > 0]` (final r5): inner
+    tracked accesses in a complex index hoist and mint their reads,
+    while the mask selection itself keeps the path-unchanged selection
+    binding — bit-identical to the two-line mask form."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]),
+         tuple(sorted((k, tuple(v)) for k, v in n["flows_to"].items())),
+         tuple((tuple(r["container"] or []), r["field"]) for r in n["reads"]))
+        for n in ns
+    ]
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    one = extract_page_flow_nodes(
+        "http://q/1", [pre + "df2 = df[df['a'] > 0]\n"], cat)
+    two = extract_page_flow_nodes(
+        "http://q/1", [pre + "m = df['a']\ndf2 = df[m > 0]\n"], cat)
+    assert strip(one) == strip(two)
+    rd = next(n for n in one if n["path"][-1] == "a")
+    assert rd["reads"] == [{"container": [1], "field": "a"}]
+    sel = next(n for n in one if n["value_names"] == ["df2"])
+    assert sel["path"] == ["pandas", "read_csv"]
+    # plain forms keep their existing shapes (no hoist, no extra nodes)
+    plain = extract_page_flow_nodes("http://q/2", [pre + "x = df['a']\n"], cat)
+    assert [n["path"][-1] for n in plain] == ["pandas", "read_csv", "a"]
