@@ -185,6 +185,18 @@ extraction per snippet, emitting the reference's node/edge vocabulary —
   the field read + chain-final call mint AND the existing
   subscript-STORE path records the `z` write on df's producer —
   bit-identical to the two-line form
+- augmented field targets (final r5): `df['a'] += 1` / `df.a *= 2`
+  desugar into the exact read-then-write two-line form
+- call→subscript chains (final r5): `x = df.groupby('k')['v'].mean()`
+  hoists the call so the field read + trailing chain mint; a second
+  bracket after a subscript access (`df.iloc[0]['name']`,
+  `df['a']['b']`) re-enters the chain desugar the same way
+- complex-index inner reads (final r5): `df2 = df[df['a'] > 0]` /
+  `df[df.a > 0]` hoist each inner tracked access (minting its read)
+  while the mask selection keeps the path-unchanged selection binding
+- attr-chain calls on tracked values (final r5): `x = t.str.lower()` /
+  `x = m.coef_.sum()` split hop-by-hop into AstPropertyReads + the
+  single-hop receiver call (same tracked-base guard as pure chains)
 - walrus (late r5): `(name := EXPR)` hoists into `name = EXPR` just
   before the statement with the group replaced by the bare name —
   Python binds the walrus in the enclosing scope when the expression
@@ -619,7 +631,7 @@ _ATTR_SUBSCR_SEL_RE = re.compile(
 _SUBSCR_CHAIN_RE = re.compile(
     r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*"
     r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\[[^\][]+\])"
-    r"((?:\.[A-Za-z_]\w*(?:\([^()]*\))?)+)\s*$"
+    r"((?:\.[A-Za-z_]\w*(?:\([^()]*\))?|\[[^\][]+\])+)\s*$"
 )
 #: a CALL followed by a subscript access (then any chain) on the RHS
 #: (final r5) — `x = df.groupby('k')['v'].mean()`: the call hoists into
@@ -686,6 +698,16 @@ _ARG_SUBSCR_CHAIN_RE = re.compile(
 _ATTR_CHAIN_RE = re.compile(
     r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*([A-Za-z_]\w*)"
     r"((?:\.[A-Za-z_]\w*){2,40})\s*$"
+)
+#: attr chain on a TRACKED base ENDING in a call (final r5) —
+#: `x = df_col.str.lower()` / `x = m.coef_.sum()`: splits the first
+#: attr hop into a temp exactly like _ATTR_CHAIN_RE (each hop is the
+#: AstPropertyRead the tracker mints), recursing until the tail is the
+#: single-hop method call the receiver path already handles.  Same
+#: tracked-base guard (module-rooted calls never match).
+_ATTR_CHAIN_CALL_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*([A-Za-z_]\w*)"
+    r"((?:\.[A-Za-z_]\w*){2,40})(\([^()]*\))\s*$"
 )
 _SUBSCR_OPERAND = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\[[^\][]+\]"
 _BINOP_SUBSCR_RE = re.compile(
@@ -1600,6 +1622,22 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     yield from _desugar_stmt(
                         ln_, phys_,
                         f"{ind_}{lhs_} = {tmp_}." + ".".join(segs_[1:]))
+                    return
+                acc_ = _ATTR_CHAIN_CALL_RE.match(stmt_)
+                if acc_ and acc_.group(3) in var_producer:
+                    # attr chain ending in a call on a tracked base:
+                    # split the first hop, recurse until the tail is a
+                    # single-hop method call
+                    ind_, lhs_, base_, chain_, args_ = acc_.groups()
+                    segs_ = chain_.split(".")[1:]
+                    tmp_ = f"_sub{lam_counter[0]}_"
+                    lam_counter[0] += 1
+                    yield from _desugar_stmt(
+                        ln_, phys_, f"{ind_}{tmp_} = {base_}.{segs_[0]}")
+                    yield from _desugar_stmt(
+                        ln_, phys_,
+                        f"{ind_}{lhs_} = {tmp_}."
+                        + ".".join(segs_[1:]) + args_)
                     return
                 bs_ = _BINOP_SUBSCR_RE.match(stmt_)
                 if (bs_ and "[" in (bs_.group(3) + bs_.group(5))

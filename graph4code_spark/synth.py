@@ -380,6 +380,8 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "df['n'] += 1\n"
                     "df2 = df[df['n'] > 0]\n"
                     "gm = df.groupby('z')['w'].mean()\n"
+                    "sl = df['z'].str.lower()\n"
+                    "iv = df.iloc[0]['w']\n"
                 )
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"

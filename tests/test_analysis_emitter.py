@@ -2544,3 +2544,43 @@ def test_complex_index_inner_reads():
     # plain forms keep their existing shapes (no hoist, no extra nodes)
     plain = extract_page_flow_nodes("http://q/2", [pre + "x = df['a']\n"], cat)
     assert [n["path"][-1] for n in plain] == ["pandas", "read_csv", "a"]
+
+
+def test_attr_chain_call_and_bracket_tails():
+    """`x = t.str.lower()` on a tracked value and `x = df.iloc[0]['name']`
+    (final r5): attr chains ENDING in a call split hop-by-hop into the
+    AstPropertyReads + receiver call the tracker already mints, and a
+    second bracket after a subscript access re-enters the chain desugar
+    — both bit-identical to their fully split forms."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]),
+         tuple(sorted((k, tuple(v)) for k, v in n["flows_to"].items())),
+         tuple((tuple(r["container"] or []), r["field"]) for r in n["reads"]))
+        for n in ns
+    ]
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    one = extract_page_flow_nodes(
+        "http://q/1", [pre + "x = df['a'].str.lower()\n"], cat)
+    two = extract_page_flow_nodes(
+        "http://q/1",
+        [pre + "t = df['a']\nt2 = t.str\nx = t2.lower()\n"], cat)
+    assert strip(one) == strip(two)
+    low = next(n for n in one if n["path"][-1] == "lower")
+    assert low["value_names"] == ["x"]
+    one = extract_page_flow_nodes(
+        "http://q/2", [pre + "x = df.iloc[0]['name']\n"], cat)
+    two = extract_page_flow_nodes(
+        "http://q/2", [pre + "t = df.iloc[0]\nx = t['name']\n"], cat)
+    assert strip(one) == strip(two)
+    nm = next(n for n in one if n["path"][-1] == "name")
+    assert nm["value_names"] == ["x"]
+    # module-rooted chains keep the plain call path (guard holds)
+    mod = extract_page_flow_nodes(
+        "http://q/3", ["import pandas\nx = pandas.read_csv('t.csv')\n"], cat)
+    assert [n["path"][-1] for n in mod] == ["pandas", "read_csv"]
