@@ -654,6 +654,23 @@ _CALL_SUBSCR_CHAIN_RE = re.compile(
 _INDEX_EXPR_RE = re.compile(
     r"^(\s*)([A-Za-z_]\w*)\s*=(?!=)\s*([A-Za-z_]\w*)\[(.+)\]\s*$", re.S
 )
+#: STATEMENT-form subscript chain (final r5) — `df['a'].plot()` with no
+#: assignment: desugars into `_subN_ = df['a']` + `_subN_.plot()` so
+#: the receiver path extends the turtle on df's value.  Before this,
+#: the bare `plot` tail token could falsely catalog-match a module
+#: function (e.g. matplotlib.pyplot.plot) — dataflow attribution must
+#: win over tail-token guessing, like the assignment form already does.
+_STMT_SUBSCR_CHAIN_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\[[^\][]+\])"
+    r"((?:\.[A-Za-z_]\w*(?:\([^()]*\))?|\[[^\][]+\])+)\s*$"
+)
+#: STATEMENT-form attr-chain call on a TRACKED base (final r5) —
+#: `df.plot.bar()`: split like the assignment form.  The tracked-base
+#: guard keeps module-rooted statement calls (`pandas.read_csv('x')`)
+#: on the plain call path.
+_STMT_ATTR_CHAIN_CALL_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*)((?:\.[A-Za-z_]\w*){2,40})(\([^()]*\))\s*$"
+)
 #: string-keyed subscript WRITE target with a chain RHS (final r5) —
 #: `df['z'] = df['a'].apply(str)` / `df['z'] = df['a'].values`: the RHS
 #: hoists into a `_subN_` temp (which the chain desugar above then
@@ -1624,7 +1641,9 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         f"{ind_}{lhs_} = {tmp_}." + ".".join(segs_[1:]))
                     return
                 acc_ = _ATTR_CHAIN_CALL_RE.match(stmt_)
-                if acc_ and acc_.group(3) in var_producer:
+                if (acc_ and acc_.group(3) in var_producer
+                        and acc_.group(3) not in var_fields
+                        and acc_.group(3) not in var_members):
                     # attr chain ending in a call on a tracked base:
                     # split the first hop, recurse until the tail is a
                     # single-hop method call
@@ -1717,6 +1736,49 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 f"{ind_}{lhs_} = {base_}"
                                 f"[{pre_}{tmp_}{idx_[ih_.end():]}]")
                             return
+                if "[" in stmt_:
+                    ssc_ = _STMT_SUBSCR_CHAIN_RE.match(stmt_)
+                    # guard: only a tracked NON-container base — known
+                    # containers / keyed stores keep the precise
+                    # element-receiver machinery (`models[0].fit(x)`,
+                    # `cfg['m'].fit(x)`), untracked bases keep the old
+                    # fall-through
+                    if ssc_:
+                        sbase_ = re.match(r"[A-Za-z_]\w*", ssc_.group(2)).group(0)
+                        if (sbase_ not in var_producer
+                                or sbase_ in var_members
+                                or sbase_ in var_fields):
+                            ssc_ = None
+                    if ssc_:
+                        # statement-form subscript chain: hoist the
+                        # access so the chain extends the turtle instead
+                        # of tail-token catalog guessing
+                        ind_, acc_, chain_ = ssc_.groups()
+                        tmp_ = f"_sub{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_} = {acc_}")
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_}{chain_}")
+                        return
+                if "." in stmt_:
+                    sac_ = _STMT_ATTR_CHAIN_CALL_RE.match(stmt_)
+                    if (sac_ and sac_.group(2) in var_producer
+                            and sac_.group(2) not in var_fields
+                            and sac_.group(2) not in var_members):
+                        # statement-form attr-chain call on a tracked
+                        # base: split the first hop like the assignment
+                        # form
+                        ind_, base_, chain_, args_ = sac_.groups()
+                        segs_ = chain_.split(".")[1:]
+                        tmp_ = f"_sub{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_} = {base_}.{segs_[0]}")
+                        yield from _desugar_stmt(
+                            ln_, phys_,
+                            f"{ind_}{tmp_}." + ".".join(segs_[1:]) + args_)
+                        return
                 if "[" in stmt_:
                     swc_ = _SUBSCR_WRITE_CHAIN_RE.match(stmt_)
                     if swc_ and _ARG_SUBSCR_CHAIN_RE.match(swc_.group(3)):

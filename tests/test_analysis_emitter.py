@@ -2584,3 +2584,40 @@ def test_attr_chain_call_and_bracket_tails():
     mod = extract_page_flow_nodes(
         "http://q/3", ["import pandas\nx = pandas.read_csv('t.csv')\n"], cat)
     assert [n["path"][-1] for n in mod] == ["pandas", "read_csv"]
+
+
+def test_statement_form_chain_attribution():
+    """`df['a'].plot()` / `df.plot.bar()` as bare STATEMENTS (final r5):
+    the chain extends the turtle on df's value — before this, the bare
+    `plot` tail token falsely catalog-matched matplotlib.pyplot.plot
+    (dataflow attribution must win over tail-token guessing, as it
+    already did in the assignment form).  Known containers and keyed
+    stores keep the precise element-receiver machinery, untracked bases
+    keep the old fall-through."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    sub = extract_page_flow_nodes("http://q/1", [pre + "df['a'].plot()\n"], cat)
+    assert [tuple(n["path"]) for n in sub] == [
+        ("pandas",), ("pandas", "read_csv"),
+        ("pandas", "read_csv", "a"), ("pandas", "read_csv", "a", "plot"),
+    ]
+    attr = extract_page_flow_nodes("http://q/2", [pre + "df.plot.bar()\n"], cat)
+    assert [tuple(n["path"]) for n in attr] == [
+        ("pandas",), ("pandas", "read_csv"),
+        ("pandas", "read_csv", "plot"), ("pandas", "read_csv", "plot", "bar"),
+    ]
+    # container element receivers stay precise
+    cont = extract_page_flow_nodes(
+        "http://q/3",
+        ["import sklearn\nimport pandas\ndf = pandas.read_csv('t.csv')\n"
+         "a = sklearn.svm.SVC()\nmodels = [a]\nmodels[0].fit(df)\n"],
+        cat,
+    )
+    svc = next(n for n in cont if n["path"] == ["sklearn", "svm", "SVC"])
+    fit = next(n for n in cont if n["path"] == ["sklearn", "svm", "SVC", "fit"])
+    assert fit["node_number"] in svc["flows_to"]["0"]
