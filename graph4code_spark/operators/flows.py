@@ -2543,11 +2543,25 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 cur_def.setdefault("recv_calls", []).append(fwd)
                                 continue
                             kls = var_klass.get(val) if val else None
-                            if kls is None or rc["meth"] not in methods_of.get(kls, {}):
+                            if (val is not None and kls is not None
+                                    and rc["meth"] in methods_of.get(kls, {})):
+                                cpath = list(methods_of[kls][rc["meth"]])
+                            elif val is not None and val in var_producer:
+                                # turtle receiver (final r5): the site's
+                                # value is tracked but has no ctor class
+                                # (`clean(raw)` with raw = read_csv(...)
+                                # and body `d.dropna()`) — extend the
+                                # producer's path per clone, the same G1
+                                # rule the direct `raw.dropna()` form
+                                # applies (WALA mints every invoke on a
+                                # tracked turtle)
+                                cpath = list(
+                                    nodes[idx_of[var_producer[val]]]["path"]
+                                ) + [rc["meth"]]
+                            else:
                                 continue
                             cnode = new_node(
-                                list(methods_of[kls][rc["meth"]]),
-                                rc["ln"], rc["phys"], rc["text"],
+                                cpath, rc["ln"], rc["phys"], rc["text"],
                             )
                             rprod = var_producer.get(val)
                             if rprod is not None:

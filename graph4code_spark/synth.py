@@ -382,6 +382,9 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "gm = df.groupby('z')['w'].mean()\n"
                     "sl = df['z'].str.lower()\n"
                     "iv = df.iloc[0]['w']\n"
+                    "def clean(d):\n"
+                    "    return d.dropna()\n"
+                    "cl = clean(df)\n"
                 )
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"

@@ -688,3 +688,48 @@ def test_nested_call_arg_wires_into_def_params():
     vlog = next(n for n in vnodes if n["path"] == ["numpy", "log"])
     varr = next(n for n in vnodes if n["path"] == ["numpy", "array"])
     assert vlog["node_number"] in varr["flows_to"].get("1", [])
+
+
+def test_call_site_contexts_turtle_receiver():
+    """G8 final r5: a param-method helper called with a TURTLE value
+    (`def clean(d): return d.dropna()` with `raw = read_csv(...)`)
+    clones per call site by EXTENDING the receiver's turtle path — the
+    same G1 rule the direct `raw.dropna()` form applies — with distinct
+    receiver edges per site, and the returned clone chains through the
+    caller's binding.  Ctor-class receivers keep the catalog-resolved
+    method path."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+    from graph4code_spark.synth import FIXED_CATALOG
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    nodes = extract_page_flow_nodes(
+        "http://q/t",
+        ["import pandas\n"
+         "def clean(d):\n    return d.dropna()\n"
+         "a = pandas.read_csv('x.csv')\n"
+         "b = pandas.read_csv('y.csv')\n"
+         "ca = clean(a)\n"
+         "cb = clean(b)\n"
+         "x = ca.head()\n"],
+        cat,
+    )
+    reads = [n for n in nodes if n["value_names"] in (["a"], ["b"])]
+    clones = [n for n in nodes
+              if n["path"] == ["pandas", "read_csv", "dropna"]]
+    assert len(clones) == 2  # one per call site, not one merged context
+    # each site's receiver feeds ITS clone only
+    ra = next(n for n in reads if n["value_names"] == ["a"])
+    rb = next(n for n in reads if n["value_names"] == ["b"])
+    fed_a = set(ra["flows_to"].get("0", []))
+    fed_b = set(rb["flows_to"].get("0", []))
+    cnums = {c["node_number"] for c in clones}
+    assert fed_a & cnums and fed_b & cnums
+    assert not (fed_a & fed_b & cnums)
+    # the returned clone chains through the caller's binding
+    head = next(n for n in nodes if n["path"][-1] == "head")
+    assert head["value_names"] == ["x"]
+    assert any(head["node_number"] in c["flows_to"].get("0", [])
+               for c in clones)
