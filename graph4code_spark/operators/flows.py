@@ -671,6 +671,11 @@ _STMT_SUBSCR_CHAIN_RE = re.compile(
 _STMT_ATTR_CHAIN_CALL_RE = re.compile(
     r"^(\s*)([A-Za-z_]\w*)((?:\.[A-Za-z_]\w*){2,40})(\([^()]*\))\s*$"
 )
+#: a call-shaped ARGUMENT (paren-free inner args) — used by the
+#: user-def call-site hoist below
+_CALL_ARG_RE = re.compile(
+    r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*\([^()]*\)$"
+)
 #: string-keyed subscript WRITE target with a chain RHS (final r5) —
 #: `df['z'] = df['a'].apply(str)` / `df['z'] = df['a'].values`: the RHS
 #: hoists into a `_subN_` temp (which the chain desugar above then
@@ -1595,6 +1600,36 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             ln_, phys_, f"{ind_}{lhs_} = {tmp_}{tail_}")
                         return
                 cs_ = _CALL_STMT_RE.match(stmt_)
+                if (cs_ and "(" in (cs_.group(4) or "")
+                        and "." not in cs_.group(3)
+                        and cs_.group(3) in local_defs):
+                    # USER-DEF call site with call-shaped args (final
+                    # r5): `train(SVC(), df)` / `train(m=SVC(), d=df)`
+                    # — hoist each nested call into a temp so the
+                    # name-binding machinery (G3 wiring, G8 receiver
+                    # clones) sees a bound value exactly like the
+                    # two-line form
+                    args_ = _split_args(cs_.group(4))
+                    hoisted_, new_args_ = False, []
+                    for a_ in args_:
+                        kw_ = re.match(r"^([A-Za-z_]\w*)=(?!=)(.*)$", a_, re.S)
+                        core_ = kw_.group(2).strip() if kw_ else a_.strip()
+                        if _CALL_ARG_RE.match(core_):
+                            tmp_ = f"_sub{lam_counter[0]}_"
+                            lam_counter[0] += 1
+                            yield from _desugar_stmt(
+                                ln_, phys_, f"{cs_.group(1)}{tmp_} = {core_}")
+                            new_args_.append(
+                                f"{kw_.group(1)}={tmp_}" if kw_ else tmp_)
+                            hoisted_ = True
+                        else:
+                            new_args_.append(a_)
+                    if hoisted_:
+                        yield from _desugar_stmt(
+                            ln_, phys_,
+                            f"{cs_.group(1)}{cs_.group(2) or ''}"
+                            f"{cs_.group(3)}({', '.join(new_args_)})")
+                        return
                 if cs_ and "[" in (cs_.group(4) or ""):
                     # subscript-chain ARGS hoist into temp assignments
                     # before the call (args evaluate first, so the

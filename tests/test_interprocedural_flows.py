@@ -733,3 +733,35 @@ def test_call_site_contexts_turtle_receiver():
     assert head["value_names"] == ["x"]
     assert any(head["node_number"] in c["flows_to"].get("0", [])
                for c in clones)
+
+
+def test_nested_call_args_at_def_call_sites():
+    """`train(SVC(), df)` / `train(m=SVC(), d=df)` (final r5): a
+    call-shaped argument at a USER-DEF call site hoists into a temp, so
+    the binding machinery (G3 wiring + G8 receiver clones) sees a bound
+    value — bit-identical to the explicit two-line form modulo the
+    temp name, positionally AND by keyword."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+    from graph4code_spark.synth import FIXED_CATALOG
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]),
+         tuple(sorted((k, tuple(v)) for k, v in n["flows_to"].items())))
+        for n in ns
+    ]
+    pre = ("import sklearn\nimport pandas\n"
+           "def train(m, d):\n    r = m.fit(d)\n"
+           "df = pandas.read_csv('a.csv')\n")
+    base = extract_page_flow_nodes(
+        "http://q/1", [pre + "s = sklearn.svm.SVC()\ntrain(s, df)\n"], cat)
+    for form in ("train(sklearn.svm.SVC(), df)\n",
+                 "train(m=sklearn.svm.SVC(), d=df)\n"):
+        got = extract_page_flow_nodes("http://q/1", [pre + form], cat)
+        assert strip(got) == strip(base), form
+        fit = next(n for n in got if n["path"][-1] == "fit")
+        svc = next(n for n in got if n["path"][-1] == "SVC")
+        assert fit["node_number"] in svc["flows_to"]["0"], form
