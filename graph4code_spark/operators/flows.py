@@ -676,6 +676,13 @@ _STMT_ATTR_CHAIN_CALL_RE = re.compile(
 _CALL_ARG_RE = re.compile(
     r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*\([^()]*\)$"
 )
+#: ternary assignment (final r5) — the CONDITION always evaluates, so
+#: tracked reads in it hoist exactly like if-head conditions
+#: (`x = 1 if df.empty else 2`); the arm expressions keep the existing
+#: ternary member-union path
+_TERNARY_ASSIGN_RE = re.compile(
+    r"^(\s*)([A-Za-z_]\w*\s*=(?!=).+?)\s+if\s+(.+?)\s+else\s+(.+)$", re.S
+)
 #: string-keyed subscript WRITE target with a chain RHS (final r5) —
 #: `df['z'] = df['a'].apply(str)` / `df['z'] = df['a'].values`: the RHS
 #: hoists into a `_subN_` temp (which the chain desugar above then
@@ -1573,6 +1580,34 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         yield from _desugar_stmt(
                             ln_, phys_,
                             ind_ + pre_ + tmp_ + body_[cr_.end():] + ":")
+                        return
+                tern_ = _TERNARY_ASSIGN_RE.match(stmt_)
+                if (
+                    tern_
+                    and " lambda " not in f" {tern_.group(3)} "
+                    and tern_.group(2).count("'") % 2 == 0
+                    and tern_.group(2).count('"') % 2 == 0
+                ):
+                    # ternary assignment: the CONDITION always evaluates
+                    # — hoist tracked reads from it like if-heads; the
+                    # arms keep the existing member-union path
+                    cond_ = tern_.group(3)
+                    for cr_ in _COND_READ_RE.finditer(cond_):
+                        if cr_.group(1) not in var_producer:
+                            continue
+                        p_ = cond_[: cr_.start()]
+                        if p_.count("'") % 2 or p_.count('"') % 2:
+                            continue
+                        ind_ = tern_.group(1)
+                        tmp_ = f"_sub{lam_counter[0]}_"
+                        lam_counter[0] += 1
+                        yield from _desugar_stmt(
+                            ln_, phys_, f"{ind_}{tmp_} = {cr_.group(0)}")
+                        yield from _desugar_stmt(
+                            ln_, phys_,
+                            f"{ind_}{tern_.group(2)} if "
+                            f"{p_}{tmp_}{cond_[cr_.end():]} else "
+                            f"{tern_.group(4)}")
                         return
                 dm_ = _BARE_DECORATOR_RE.match(stmt_)
                 if dm_:

@@ -2621,3 +2621,29 @@ def test_statement_form_chain_attribution():
     svc = next(n for n in cont if n["path"] == ["sklearn", "svm", "SVC"])
     fit = next(n for n in cont if n["path"] == ["sklearn", "svm", "SVC", "fit"])
     assert fit["node_number"] in svc["flows_to"]["0"]
+
+
+def test_ternary_condition_read_hoist():
+    """`x = 1 if df.empty else 2` (final r5): the ternary CONDITION
+    always evaluates, so a tracked read in it hoists like an if-head
+    condition; arm calls keep the existing member-union path; string
+    payloads containing ` if ` never trigger the hoist."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    got = extract_page_flow_nodes(
+        "http://q/1", [pre + "x = 1 if df.empty else 2\n"], cat)
+    emp = next(n for n in got if n["path"][-1] == "empty")
+    assert emp["reads"] == [{"container": [1], "field": "empty"}]
+    arms = extract_page_flow_nodes(
+        "http://q/2",
+        [pre + "x = df.head() if len(df) else df.tail()\n"], cat)
+    assert any(n["path"][-1] == "head" for n in arms)
+    assert any(n["path"][-1] == "tail" for n in arms)
+    safe = extract_page_flow_nodes(
+        "http://q/3", [pre + "x = 'v if df.empty else w'\n"], cat)
+    assert not any(n["path"][-1] == "empty" for n in safe)
