@@ -3069,6 +3069,16 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                     node = new_node(list(path), ln, phys, call_txt)
                     # the FINAL node of the postfix expression starting at
                     # chain_start (a later `.meth(` continuation overwrites)
+                    prev_chain_ = line_call_nodes.get(chain_start)
+                    if prev_chain_ is not None:
+                        # chain continuation: WALA binds only the postfix
+                        # expression's FINAL value — the earlier call's
+                        # value is an unnamed SSA intermediate (the
+                        # golden `data.where(...)` node-82 pattern), so
+                        # its name clears when the chain extends
+                        pn_ = nodes[idx_of[prev_chain_]]
+                        if pn_.get("value_names"):
+                            pn_["value_names"] = None
                     line_call_nodes[chain_start] = node["node_number"]
                     line_call_klass[chain_start] = produced_klass
                     # receiver dataflow at ordinal 0 (reference DATA-0)

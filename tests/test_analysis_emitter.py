@@ -2647,3 +2647,30 @@ def test_ternary_condition_read_hoist():
     safe = extract_page_flow_nodes(
         "http://q/3", [pre + "x = 'v if df.empty else w'\n"], cat)
     assert not any(n["path"][-1] == "empty" for n in safe)
+
+
+def test_chain_final_binds_only():
+    """Multi-call chains (final r5): WALA binds only the postfix
+    expression's FINAL value (golden example3 node 82 — `data =
+    data.where(...)` names only the chain-final node); intermediate
+    call values are unnamed SSA temps.  Previously every node in
+    `x = df.groupby('a').agg('m').reset_index()` claimed x."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    got = extract_page_flow_nodes(
+        "http://q/1",
+        [pre + "x = df.groupby('a').agg('mean').reset_index()\n"], cat)
+    named = [(n["path"][-1], n["value_names"]) for n in got
+             if n["value_names"]]
+    assert named == [("read_csv", ["df"]), ("reset_index", ["x"])]
+    ctor = extract_page_flow_nodes(
+        "http://q/2", ["import sklearn\nr = sklearn.svm.SVC().fit(x, 3)\n"],
+        cat)
+    named2 = [(n["path"][-1], n["value_names"]) for n in ctor
+              if n["value_names"]]
+    assert named2 == [("fit", ["r"])]
