@@ -3663,6 +3663,18 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                     rnode["node_number"], p,
                                     methods_of[var_klass[v]][field],
                                 )
+                            elif arm:
+                                # TURTLE bound method (final r5):
+                                # `g = df.dropna` then `g()` — WALA's
+                                # collapse fixpoint fuses the read into
+                                # the invoke regardless of catalog
+                                # membership; the fused path is the
+                                # turtle extension the read already
+                                # carries
+                                var_bound[x] = (
+                                    rnode["node_number"], p,
+                                    list(rnode["path"]),
+                                )
                             continue
                     if rm_ and rm_.group(2) not in var_producer:
                         # field LOAD from an UNTRACKED object: if a
@@ -3864,6 +3876,13 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                                 var_klass[v] = var_klass[rhs]
                             else:
                                 var_klass.pop(v, None)
+                            if rhs in var_bound:
+                                # the alias still names the same bound
+                                # read — WALA's collapse fixpoint sees
+                                # through SSA copies (`h = f; h(x)`)
+                                var_bound[v] = var_bound[rhs]
+                            else:
+                                var_bound.pop(v, None)
                             if re.match(r"^_unp\d+_\d+$", rhs):
                                 # desugar temp from a literal-tuple
                                 # unpack: the USER name is v — swap it

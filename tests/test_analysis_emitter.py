@@ -2674,3 +2674,44 @@ def test_chain_final_binds_only():
     named2 = [(n["path"][-1], n["value_names"]) for n in ctor
               if n["value_names"]]
     assert named2 == [("fit", ["r"])]
+
+
+def test_bound_method_collapse_turtle_and_alias():
+    """G4 fixpoint parity (final r5): the bound-method collapse now
+    fuses TURTLE receivers (`g = df.dropna; r = g()` — catalog
+    membership is irrelevant to WALA's fixpoint) and sees through SSA
+    copies (`f = m.fit; h = f; h(x)`); a read used as an ARGUMENT
+    still cancels the fuse (sole-use guard)."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    strip = lambda ns: [  # noqa: E731
+        (tuple(n["path"]), tuple(n["value_names"] or ()),
+         tuple(sorted((k, len(v)) for k, v in n["flows_to"].items())))
+        for n in ns
+    ]
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    one = extract_page_flow_nodes(
+        "http://q/1", [pre + "g = df.dropna\nr = g()\n"], cat)
+    two = extract_page_flow_nodes(
+        "http://q/1", [pre + "r = df.dropna()\n"], cat)
+    assert strip(one) == strip(two)
+    ali = extract_page_flow_nodes(
+        "http://q/2",
+        ["import sklearn\nm = sklearn.svm.SVC()\nf = m.fit\nh = f\nh(x, 3)\n"],
+        cat)
+    fits = [n for n in ali if n["path"][-1] == "fit"]
+    assert len(fits) == 1 and not fits[0]["reads"]  # fused invoke, no read
+    svc = next(n for n in ali if n["path"][-1] == "SVC")
+    assert fits[0]["node_number"] in svc["flows_to"]["0"]
+    # sole-use guard: a read consumed as an arg keeps its node
+    arg = extract_page_flow_nodes(
+        "http://q/3",
+        ["import pandas\nimport sklearn\ndf = pandas.read_csv('t.csv')\n"
+         "g = df.values\nm = sklearn.svm.SVC(g)\n"],
+        cat)
+    vals = next(n for n in arg if n["path"][-1] == "values")
+    assert vals["reads"] and vals["value_names"] == ["g"]
