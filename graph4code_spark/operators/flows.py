@@ -476,9 +476,11 @@ _DEL_STMT_RE = re.compile(
 #: Innermost-first: recursion unwinds outer chain hops
 #: (`if df.isnull().sum() > 0:` hoists isnull then `_sub_.sum()`).
 #: Subset: dotted callees only (bare `len(...)`/ctor calls stay put,
-#: their ARGS still hoist), `elif` heads stay out (a hoist between
-#: chain arms would break the open frame), strings in the condition
-#: are skipped by quote parity.
+#: their ARGS still hoist); `elif` heads hoist with the same
+#: one-unrolling placement the walrus hoist already takes mid-chain
+#: (the frame machinery chains the hoisted binding before the arm —
+#: verified against the walrus-in-elif shape); strings in the
+#: condition are skipped by quote parity.
 _COND_CALL_RE = re.compile(
     r"(?<![\w.)\]])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)\(([^()]*)\)"
 )
@@ -1539,7 +1541,8 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         return
                 head2_ = stmt_.lstrip()
                 if (
-                    (head2_.startswith("if ") or head2_.startswith("while "))
+                    (head2_.startswith("if ") or head2_.startswith("while ")
+                     or head2_.startswith("elif "))
                     and head2_.rstrip().endswith(":")
                 ):
                     # hoist dotted calls out of if/while conditions: the

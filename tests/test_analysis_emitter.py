@@ -2715,3 +2715,26 @@ def test_bound_method_collapse_turtle_and_alias():
         cat)
     vals = next(n for n in arg if n["path"][-1] == "values")
     assert vals["reads"] and vals["value_names"] == ["g"]
+
+
+def test_elif_condition_hoist():
+    """`elif df.head() is None:` / `elif df.empty:` (final r5): elif
+    conditions hoist with the same one-unrolling placement the walrus
+    hoist already takes mid-chain; arm bindings stay exclusive."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    got = extract_page_flow_nodes(
+        "http://q/1",
+        [pre + "if 0:\n    x = 1\nelif df.head() is None:\n    y = 1\n"],
+        cat)
+    assert any(n["path"][-1] == "head" for n in got)
+    rd = extract_page_flow_nodes(
+        "http://q/2",
+        [pre + "if 0:\n    x = 1\nelif df.empty:\n    y = 1\n"], cat)
+    emp = next(n for n in rd if n["path"][-1] == "empty")
+    assert emp["reads"] == [{"container": [1], "field": "empty"}]
