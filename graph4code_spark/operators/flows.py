@@ -1540,18 +1540,30 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             stmt_[:o_] + nm2_ + stmt_[close_ + 1:])
                         return
                 head2_ = stmt_.lstrip()
+                is_for_ = head2_.startswith("for ")
                 if (
                     (head2_.startswith("if ") or head2_.startswith("while ")
-                     or head2_.startswith("elif "))
+                     or head2_.startswith("elif ") or is_for_)
                     and head2_.rstrip().endswith(":")
                 ):
                     # hoist dotted calls out of if/while conditions: the
                     # condition evaluates on the pre path, so a temp
                     # assignment just before the head is exact for `if`
                     # (one-unrolling approximation for `while`, like the
-                    # walrus hoist); recursion unwinds outer chain hops
+                    # walrus hoist); recursion unwinds outer chain hops.
+                    # `for v in df['col'](.chain):` hoists only the READ
+                    # (the iterable evaluates ONCE before the loop —
+                    # exact placement; iterable CALLS keep the existing
+                    # for-over-call path)
                     body_ = head2_.rstrip()[:-1]
-                    for cc_ in _COND_CALL_RE.finditer(body_):
+                    seg0_ = 0
+                    if is_for_:
+                        in_pos_ = body_.find(" in ")
+                        seg0_ = None if in_pos_ < 0 else in_pos_ + 4
+                    for cc_ in (
+                        () if (is_for_ or seg0_ is None)
+                        else _COND_CALL_RE.finditer(body_)
+                    ):
                         pre_ = body_[: cc_.start()]
                         if pre_.count("'") % 2 or pre_.count('"') % 2:
                             continue  # inside a string literal
@@ -1565,11 +1577,15 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                             ind_ + pre_ + tmp_ + body_[cc_.end():] + ":")
                         return
                     # no call to hoist: field accesses on TRACKED bases
-                    # (`if df.empty:`, `if df['a'] is None:`) hoist the
-                    # same way, minting the read the assignment form
-                    # mints; a subscript's trailing chain unwinds via
-                    # the chain desugar on the next pass
-                    for cr_ in _COND_READ_RE.finditer(body_):
+                    # (`if df.empty:`, `if df['a'] is None:`, `for v in
+                    # df['col']:`) hoist the same way, minting the read
+                    # the assignment form mints; a subscript's trailing
+                    # chain unwinds via the chain desugar on the next
+                    # pass
+                    for cr_ in (
+                        () if seg0_ is None
+                        else _COND_READ_RE.finditer(body_, seg0_)
+                    ):
                         if cr_.group(1) not in var_producer:
                             continue
                         pre_ = body_[: cr_.start()]

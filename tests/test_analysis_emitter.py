@@ -2738,3 +2738,31 @@ def test_elif_condition_hoist():
         [pre + "if 0:\n    x = 1\nelif df.empty:\n    y = 1\n"], cat)
     emp = next(n for n in rd if n["path"][-1] == "empty")
     assert emp["reads"] == [{"container": [1], "field": "empty"}]
+
+
+def test_for_iterable_read_hoist():
+    """`for v in df['col']:` / `for v in df['col'].unique():` (final
+    r5): the iterable evaluates once before the loop, so a tracked
+    subscript read in a for-head hoists EXACTLY, minting the read (and
+    chaining into the for-over-call path for trailing calls); plain
+    call iterables (`df.iterrows()`, `range(10)`) keep their existing
+    paths."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    sub = extract_page_flow_nodes(
+        "http://q/1", [pre + "for v in df['col']:\n    y = 1\n"], cat)
+    rd = next(n for n in sub if n["path"][-1] == "col")
+    assert rd["reads"] == [{"container": [1], "field": "col"}]
+    ch = extract_page_flow_nodes(
+        "http://q/2", [pre + "for v in df['col'].unique():\n    y = 1\n"],
+        cat)
+    assert [n["path"][-1] for n in ch] == [
+        "pandas", "read_csv", "col", "unique"]
+    it = extract_page_flow_nodes(
+        "http://q/3", [pre + "for r in df.iterrows():\n    y = 1\n"], cat)
+    assert any(n["path"][-1] == "iterrows" for n in it)
