@@ -368,6 +368,26 @@ _ATTR_WRITE_RE = re.compile(r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=[^=]")
 _SUBSCR_WRITE_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\[\s*(?:'([^']*)'|\"([^\"]*)\")\s*\]\s*=[^=]"
 )
+#: string literals (optionally f-prefixed) for the inert-text check
+_STRING_LIT_RE = re.compile(
+    r"([fF]?)('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+)
+
+
+def _in_inert_string(line: str, pos: int) -> bool:
+    """True when ``pos`` sits inside string-literal TEXT — a plain
+    literal, or an f-string outside its brace regions.  Code inside
+    f-string braces evaluates (`f'{df.shape}'` is a real read); code
+    inside plain quotes is text (`'df.empty'` is not)."""
+    for m in _STRING_LIT_RE.finditer(line):
+        if m.start(2) <= pos < m.end(2):
+            if not m.group(1):
+                return True
+            seg = line[m.start(2):pos]
+            return seg.count("{") - seg.count("}") <= 0
+    return False
+
+
 _ATTR_READ_RE = re.compile(
     r"(?<![\w.])([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?![\w.])(?!\s*\()"
 )
@@ -4000,6 +4020,8 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 for rm in _ATTR_READ_RE.finditer(line):
                     if wm is not None and rm.start(1) == wm.start(1):
                         continue  # the write target itself is not a read
+                    if _in_inert_string(line, rm.start()):
+                        continue  # `'df.empty'` is text; f-string braces evaluate
                     if rm.group(1) in var_producer:
                         src = nodes[idx_of[var_producer[rm.group(1)]]]
                         src["reads"] = src["reads"] + [{"container": None, "field": rm.group(2)}]

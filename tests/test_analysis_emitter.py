@@ -2766,3 +2766,25 @@ def test_for_iterable_read_hoist():
     it = extract_page_flow_nodes(
         "http://q/3", [pre + "for r in df.iterrows():\n    y = 1\n"], cat)
     assert any(n["path"][-1] == "iterrows" for n in it)
+
+
+def test_string_literal_reads_inert():
+    """Final r5: an attr access spelled inside a PLAIN string literal
+    (`'df.empty in x'`) records no read — it is text; inside f-string
+    BRACES it evaluates and the read stays (`f'{df.shape}'`), while the
+    f-string's text part stays inert."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    def reads_of(code):
+        nodes = extract_page_flow_nodes("http://q/1", [pre + code], cat)
+        prod = next(n for n in nodes if n["value_names"] == ["df"])
+        return prod["reads"]
+    assert reads_of("s = 'df.empty in x'\n") == []
+    assert reads_of("s = f'{df.shape}'\n") == [
+        {"container": None, "field": "shape"}]
+    assert reads_of("s = f'df.empty is {1}'\n") == []
