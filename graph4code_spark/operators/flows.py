@@ -1123,24 +1123,53 @@ def _net_paren_depth(line: str, depth: int = 0) -> int:
 _MAX_SPAN = 8
 
 
+def _strip_comment(line: str) -> str:
+    """Cut a trailing `# …` comment (quote-aware: a `#` inside a string
+    literal stays).  Comments are not statements in WALA's IR, and a
+    trailing comment otherwise breaks every `$`-anchored desugar AND
+    the paren-depth joiner (`x = f(a)  # (note` would read as an open
+    paren)."""
+    if "#" not in line:
+        return line
+    q = None
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "#":
+            return line[:i].rstrip()
+        i += 1
+    return line
+
+
 def _logical_lines(lines: list[str]):
     """Merge physical lines whose parens stay open into one logical
     statement — multi-line call spans, the G2 subset of the reference's
     statement-level source spans (`RunTurtleSingleAnalysis.java:233-259`
-    records firstLine != lastLine for such calls)."""
+    records firstLine != lastLine for such calls).  Comments strip per
+    physical line (quote-aware) before depth counting and statement
+    assembly; the recorded `phys` span keeps the original text."""
+    stripped = [_strip_comment(l) for l in lines]
     out: list[tuple[int, list[str], str]] = []
     i, n = 0, len(lines)
     while i < n:
-        depth = _net_paren_depth(lines[i])
+        depth = _net_paren_depth(stripped[i])
         j = i
         while (
-            (depth > 0 or lines[j].rstrip().endswith("\\"))
+            (depth > 0 or stripped[j].rstrip().endswith("\\"))
             and j + 1 < n
             and (j - i) < _MAX_SPAN - 1
         ):
             j += 1
-            depth = _net_paren_depth(lines[j], depth)
-        phys = lines[i : j + 1]
+            depth = _net_paren_depth(stripped[j], depth)
+        phys = stripped[i : j + 1]
         # explicit `\` continuations splice token-tight (late r5):
         # `x = pandas.\` + `    read_csv(…)` is ONE statement whose
         # dotted name must not carry the newline; paren-merged spans
@@ -2466,6 +2495,12 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 # target because a param may have several body uses
                 pending_def_args: list = []  # (inner start, [(node#, pos)])
                 for m in _CALL_RE.finditer(line):
+                    if ("'" in line or '"' in line) and _in_inert_string(
+                        line, m.start()
+                    ):
+                        # `s = 'pd.read_csv(x)'` is text, not a call
+                        # (f-string braces evaluate and stay live)
+                        continue
                     cname = m.group(1)
                     # a call THROUGH an import binding gets a DATA-0 edge
                     # from the binding's import/member-read node

@@ -385,6 +385,8 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                     "def clean(d):\n"
                     "    return d.dropna()\n"
                     "cl = clean(df)\n"
+                    "# pandas.read_csv('commented-out.csv')\n"
+                    "tc = df['w'].sum()  # trailing comment\n"
                 )
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"

@@ -2788,3 +2788,43 @@ def test_string_literal_reads_inert():
     assert reads_of("s = f'{df.shape}'\n") == [
         {"container": None, "field": "shape"}]
     assert reads_of("s = f'df.empty is {1}'\n") == []
+
+
+def test_comments_and_string_calls_inert():
+    """Final r5: comments strip per physical line before processing —
+    a commented-out call mints nothing, a trailing comment no longer
+    breaks the anchored desugars or the paren-depth joiner — and a call
+    spelled inside a plain string/docstring is text (f-string braces
+    stay live).  `#` inside a string literal is kept."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    pre = "import pandas\ndf = pandas.read_csv('t.csv')\n"
+    com = extract_page_flow_nodes(
+        "http://q/1",
+        [pre + "# pandas.read_csv('b.csv')\n"
+         "x = df['a'].sum()  # total\n"], cat)
+    assert [n["path"][-1] for n in com] == [
+        "pandas", "read_csv", "a", "sum"]
+    assert next(n for n in com if n["path"][-1] == "sum")[
+        "value_names"] == ["x"]
+    multi = extract_page_flow_nodes(
+        "http://q/2",
+        ["import pandas\ndf = pandas.read_csv(\n"
+         "    't.csv',  # the path (note\n    sep=',')\ny = df.head()\n"],
+        cat)
+    assert [n["path"][-1] for n in multi] == ["pandas", "read_csv", "head"]
+    s = extract_page_flow_nodes(
+        "http://q/3",
+        ["import pandas\ns = 'pandas.read_csv(x)'\n"
+         "df = pandas.read_csv('a#b.csv')\n"], cat)
+    assert [n["path"][-1] for n in s] == ["pandas", "read_csv"]
+    doc = extract_page_flow_nodes(
+        "http://q/4",
+        ["import pandas\ndef f():\n"
+         "    \"\"\"uses pandas.read_csv('a.csv')\"\"\"\n    return 1\n"],
+        cat)
+    assert [n["path"][-1] for n in doc] == ["pandas"]
