@@ -1149,14 +1149,59 @@ def _strip_comment(line: str) -> str:
     return line
 
 
+_TRIPLE_RE = re.compile(r"'''|\"\"\"")
+
+
+def _scan_triple_open(line: str):
+    """Detect an UNCLOSED triple-quote opener on ``line``: returns
+    (text up to and including the opener, open delimiter) or
+    (line, None).  Same-line open+close pairs pass through (the
+    single-line quote scanners treat their content as string text)."""
+    pos = 0
+    while True:
+        m = _TRIPLE_RE.search(line, pos)
+        if not m:
+            return line, None
+        close = line.find(m.group(0), m.end())
+        if close < 0:
+            return line[: m.end()], m.group(0)
+        pos = close + 3
+
+
+def _blank_multiline_strings(lines: list[str]) -> list[str]:
+    """Blank every line INSIDE a multi-line triple-quoted string — the
+    content is text (docstrings, embedded SQL, quoted code samples),
+    and WALA's parser never sees it as statements.  Before this, code
+    spelled inside a triple-quoted block minted real nodes AND
+    bindings.  Pragmatic subset: a triple quote nested inside a
+    single-quoted literal on the same line reads as an opener."""
+    out: list[str] = []
+    delim = None
+    for line in lines:
+        if delim is not None:
+            j = line.find(delim)
+            if j < 0:
+                out.append("")
+                continue
+            delim = None
+            kept, delim = _scan_triple_open(line[j + 3:])
+            out.append(kept)
+            continue
+        kept, delim = _scan_triple_open(line)
+        out.append(kept)
+    return out
+
+
 def _logical_lines(lines: list[str]):
     """Merge physical lines whose parens stay open into one logical
     statement — multi-line call spans, the G2 subset of the reference's
     statement-level source spans (`RunTurtleSingleAnalysis.java:233-259`
     records firstLine != lastLine for such calls).  Comments strip per
-    physical line (quote-aware) before depth counting and statement
-    assembly; the recorded `phys` span keeps the original text."""
-    stripped = [_strip_comment(l) for l in lines]
+    physical line (quote-aware) and multi-line triple-quoted string
+    interiors blank before depth counting and statement assembly."""
+    stripped = _blank_multiline_strings(
+        [_strip_comment(l) for l in lines]
+    )
     out: list[tuple[int, list[str], str]] = []
     i, n = 0, len(lines)
     while i < n:

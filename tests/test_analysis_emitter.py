@@ -2828,3 +2828,30 @@ def test_comments_and_string_calls_inert():
          "    \"\"\"uses pandas.read_csv('a.csv')\"\"\"\n    return 1\n"],
         cat)
     assert [n["path"][-1] for n in doc] == ["pandas"]
+
+
+def test_multiline_string_interiors_inert():
+    """Final r5: lines inside a multi-line triple-quoted string are
+    text — code spelled there (quoted samples, docstrings, embedded
+    SQL) previously minted real nodes AND bindings; code after the
+    closing delimiter still tracks."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    got = extract_page_flow_nodes(
+        "http://q/1",
+        ["import pandas\nq = '''\ndf2 = pandas.read_csv('x.csv')\n'''\n"
+         "df = pandas.read_csv('a.csv')\nx = df.head()\n"],
+        cat)
+    assert [n["path"][-1] for n in got] == ["pandas", "read_csv", "head"]
+    assert next(n for n in got if n["path"][-1] == "read_csv")[
+        "value_names"] == ["df"]
+    doc = extract_page_flow_nodes(
+        "http://q/2",
+        ["import pandas\ndef f():\n    '''\n"
+         "    example: pandas.read_csv('x.csv')\n    '''\n    return 1\n"],
+        cat)
+    assert [n["path"][-1] for n in doc] == ["pandas"]
