@@ -1228,13 +1228,45 @@ def _logical_lines(lines: list[str]):
     return out
 
 
+#: interactive-transcript prompts — plain REPL and IPython
+_REPL_PS1_RE = re.compile(r"^\s*>>>(?: |$)")
+_REPL_PS2_RE = re.compile(r"^\s*\.\.\.(?: |:|$)")
+_IPY_IN_RE = re.compile(r"^\s*In \[\d+\]: ?")
+_IPY_CONT_RE = re.compile(r"^\s*\.{3,}: ?")
+
+
+def _strip_repl_transcript(lines: list[str]) -> list[str]:
+    """StackOverflow-style code blocks are often REPL transcripts
+    (`>>> df = read_csv(...)` with interleaved output, or IPython
+    `In [1]:` cells).  When prompt lines are present, keep ONLY the
+    prompt/continuation lines with the prompt stripped and drop the
+    output lines — the statements a user actually typed.  Blocks with
+    no prompts pass through untouched.  (Snippet repair beyond the
+    reference, which stores forum snippets as literals without
+    analyzing them; the flow extractor analyzes them, so transcripts
+    would otherwise yield nothing.)"""
+    if any(_REPL_PS1_RE.match(l) for l in lines):
+        return [  # length-preserving: line numbers stay faithful
+            l[m.end():] if (m := _REPL_PS1_RE.match(l)
+                            or _REPL_PS2_RE.match(l)) else ""
+            for l in lines
+        ]
+    if any(_IPY_IN_RE.match(l) for l in lines):
+        return [
+            l[m.end():] if (m := _IPY_IN_RE.match(l)
+                            or _IPY_CONT_RE.match(l)) else ""
+            for l in lines
+        ]
+    return lines
+
+
 def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                 exprs=None):
         nodes: list[dict] = []
         idx_of: dict[int, int] = {}  # node_number -> index in `nodes` (O(1) edge wiring)
         counter = 0
         for code in codes or []:
-            lines = code.split("\n")
+            lines = _strip_repl_transcript(code.split("\n"))
             var_producer: dict[str, int] = {}   # var -> node number
             var_klass: dict[str, str] = {}      # var -> class name
             var_members: dict[str, list] = {}   # var -> producer node numbers inside a container literal

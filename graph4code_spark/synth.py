@@ -391,6 +391,12 @@ def _page_record(page_id: int, seed: int, names: list[str], hub: str,
                 abody += (
                     "<pre><code>import pandas\nimport sklearn\n"
                     + body_code + "</code></pre>"
+                    # final-r5: a REPL-transcript block (prompt lines
+                    # keep, output lines drop — the snippet-repair path)
+                    "<pre><code>>>> import pandas\n"
+                    ">>> z = pandas.read_csv('r.csv')\n"
+                    ">>> z.describe()\n"
+                    "       a    b\n0  1  2\n</code></pre>"
                 )
             elif special == 1:
                 # optimizer-driven constructor args: fmin's result flows

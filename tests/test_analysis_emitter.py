@@ -2855,3 +2855,39 @@ def test_multiline_string_interiors_inert():
          "    example: pandas.read_csv('x.csv')\n    '''\n    return 1\n"],
         cat)
     assert [n["path"][-1] for n in doc] == ["pandas"]
+
+
+def test_repl_transcript_repair():
+    """Final r5 snippet repair: REPL transcripts (`>>> `/`... ` with
+    interleaved output) and IPython cells (`In [n]:`) keep only the
+    typed statements, prompt-stripped and line-number-faithful; blocks
+    without prompts (incl. a bare `x = ...` ellipsis) pass through."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    repl = extract_page_flow_nodes(
+        "http://q/1",
+        [">>> import pandas\n>>> df = pandas.read_csv('a.csv')\n"
+         ">>> df.head()\n       a\n0  1\n"],
+        cat)
+    assert [n["path"][-1] for n in repl] == ["pandas", "read_csv", "head"]
+    assert repl[1]["source_location"]["first_line"] == 2
+    loop = extract_page_flow_nodes(
+        "http://q/2",
+        [">>> import numpy\n>>> for i in range(2):\n"
+         "...     a = numpy.zeros(i)\n"],
+        cat)
+    assert any(n["path"][-1] == "zeros" for n in loop)
+    ipy = extract_page_flow_nodes(
+        "http://q/3",
+        ["In [1]: import pandas\nIn [2]: df = pandas.read_csv('a.csv')\n"
+         "Out[2]: <DataFrame>\nIn [3]: df.head()\n"],
+        cat)
+    assert [n["path"][-1] for n in ipy] == ["pandas", "read_csv", "head"]
+    plain = extract_page_flow_nodes(
+        "http://q/4",
+        ["import pandas\nx = ...\ndf = pandas.read_csv('a.csv')\n"], cat)
+    assert any(n["path"][-1] == "read_csv" for n in plain)
