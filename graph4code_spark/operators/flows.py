@@ -1899,6 +1899,15 @@ def _page_nodes(url, codes, by_name, methods_of, modules, tail_first,
                         f"{ops_[0]} {bs_.group(4)} {ops_[1]}")
                     return
                 sc_ = _SUBSCR_CHAIN_RE.match(stmt_)
+                if sc_ and re.match(
+                    r"[A-Za-z_]\w*", sc_.group(3)
+                ).group(0) in var_members:
+                    # container base (`r = models[0].fit(x)`): leave the
+                    # line whole — the precise element-receiver path
+                    # resolves the member the index selects; the temp
+                    # desugar would hit the digit-subscript ambiguity
+                    # path and drop the call
+                    sc_ = None
                 if sc_:
                     # dot-chain off a subscript access → the two-line
                     # form via a hidden `_subN_` temp (stripped from

@@ -2891,3 +2891,28 @@ def test_repl_transcript_repair():
         "http://q/4",
         ["import pandas\nx = ...\ndf = pandas.read_csv('a.csv')\n"], cat)
     assert any(n["path"][-1] == "read_csv" for n in plain)
+
+
+def test_assignment_form_container_element_receiver():
+    """`r = models[0].fit(x)` (final r5 fix): a container base skips
+    the subscript-chain temp desugar (whose digit-index temp hits the
+    node-ref-ambiguity path and dropped the call) and resolves through
+    the precise element-receiver machinery — including append-built
+    lists; keyed stores and DataFrame chains keep their paths."""
+    from graph4code_spark.operators.flows import (
+        build_flow_catalog,
+        extract_page_flow_nodes,
+    )
+
+    cat = build_flow_catalog(FIXED_CATALOG)
+    for pre in (
+        "import sklearn\na = sklearn.svm.SVC()\nmodels = [a]\n",
+        "import sklearn\na = sklearn.svm.SVC()\nmodels = []\n"
+        "models.append(a)\n",
+    ):
+        got = extract_page_flow_nodes(
+            "http://q/1", [pre + "r = models[0].fit(x)\n"], cat)
+        svc = next(n for n in got if n["path"][-1] == "SVC")
+        fit = next(n for n in got if n["path"][-1] == "fit")
+        assert fit["value_names"] == ["r"]
+        assert fit["node_number"] in svc["flows_to"]["0"]
